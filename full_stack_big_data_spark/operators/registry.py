@@ -1,0 +1,57 @@
+"""Query registry.
+
+Every operator the engine claims (SURVEY.md §2) registers here as a named
+query: a builder ``(spark, sf_dir) -> DataFrame`` plus, when the semantics
+are SQL-expressible, the exactly-equivalent DuckDB SQL used as a
+differential oracle. ``__spark_entry__.py`` derives its ``queries()`` /
+``oracle_sql()`` contract from this registry, and the pytest parity
+harness (tests/test_oracle_parity.py) replays the same comparison locally
+at sf0.001 so correctness regressions never wait for the driver.
+
+Determinism rules every registered query follows:
+
+- alias every computed column identically in Spark and SQL;
+- money aggregates go through DECIMAL(18,4) (exact, order-independent)
+  and are rounded before the final cast to double;
+- temporal outputs are formatted to strings (engine-neutral);
+- result-affecting hashing uses the md5-portable helpers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL, or None → driver does rows-only check
+    description: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, description: str = "",
+             tags: tuple[str, ...] = ()):
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` as a query."""
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = QuerySpec(name, fn, oracle, description, tags)
+        return fn
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every operator module (side effect: registration) and
+    return the registry."""
+    from . import relational, wordcount, textanalysis, dedup, similarity  # noqa: F401
+    from . import multimodal  # noqa: F401
+    from .. import streaming  # noqa: F401  (registers streaming queries)
+    return REGISTRY
