@@ -1,1 +1,170 @@
-"""(placeholder — populated later this round)"""
+"""Similarity search over the embeddings table (``array<float>``, dim 64).
+
+Three operators:
+
+- ``ann_brute_topk``    — exact top-k cosine neighbors for a fixed query
+  set. The query side is broadcast, the corpus side streams: one scan,
+  no shuffle until the final per-query top-k (window over ≤ q·N rows,
+  pruned by rank). This is the correctness baseline.
+- ``ann_srp_lsh``       — sign-random-projection LSH: 8 hash tables × 8
+  hyperplane bits, numpy-vectorized in an Arrow-batched pandas UDF (the
+  documented Python fast path: one matrix multiply per batch instead of
+  per-row Python). Candidates = bucket collisions; verify with exact
+  cosine; per-query top-k. Approximate by design → rows-only driver
+  check; recall vs the brute-force baseline is pinned in tests.
+- ``embedding_neardup`` — all corpus pairs with cosine ≥ 0.40 (the
+  testdata's top-pair regime). Exact quadratic at test scale; the
+  100 TB path is the SRP bucketing above (same verify kernel).
+
+Cosine is computed in double after an elementwise float→double widen,
+left-to-right accumulation — bit-compatible with DuckDB's
+``list_cosine_similarity`` on the same values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.types import ArrayType, IntegerType
+
+from ..engine.catalog import Catalog
+from ..functions.vectors import cosine_sim
+from .registry import register
+
+N_QUERIES = 5          # vec_id < 5 are the query vectors
+TOP_K = 10
+NEARDUP_COS = 0.40
+
+# SRP tuning: this corpus's true top-10 neighbors sit at cosine ≈ 0.45
+# (θ ≈ 66°), so per-hyperplane agreement is only 1-θ/π ≈ 0.63. Short
+# 4-bit tables keep per-table collision at 0.63⁴ ≈ 0.16; 16 tables lift
+# recall to 1-(1-0.16)¹⁶ ≈ 0.94 at the cost of examining ≈ tables·N/2ᵇⁱᵗˢ
+# candidates per query. On real embedding corpora (near-dups at cos≥0.9)
+# the same code runs 8×16-bit tables with tiny candidate sets — the
+# constants are the tuning surface, the plan shape doesn't change.
+SRP_TABLES = 16
+SRP_BITS = 4
+SRP_DIM = 64
+_SRP_SEED = 42
+
+
+@register(
+    "ann_brute_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS cos
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+""",
+    description=f"exact cosine top-{TOP_K} neighbors for {N_QUERIES} query vectors (broadcast + window)",
+    tags=("similarity", "ann", "bench"),
+)
+def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    q = (e.where(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")))
+    scored = (
+        F.broadcast(q).join(e, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                cosine_sim(F.col("embedding"), F.col("qv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
+def _srp_hyperplanes() -> np.ndarray:
+    """Deterministic hyperplanes, shape (TABLES*BITS, DIM), seed fixed."""
+    rng = np.random.RandomState(_SRP_SEED)
+    return rng.standard_normal((SRP_TABLES * SRP_BITS, SRP_DIM))
+
+
+def srp_buckets(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Append ``buckets: array<int>`` — one SRP bucket id per hash table.
+
+    Arrow-batched pandas UDF: each batch becomes one (rows × dim) numpy
+    matrix; bucket bits for all tables come from a single matmul against
+    the (dim × tables·bits) hyperplane matrix.
+    """
+    planes = _srp_hyperplanes()  # captured in the UDF closure, ~16 KB
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _buckets(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy())                      # (n, dim)
+        bits = (mat @ planes.T) > 0                       # (n, tables*bits)
+        weights = (1 << np.arange(SRP_BITS))
+        out = np.einsum(
+            "ntb,b->nt",
+            bits.reshape(len(mat), SRP_TABLES, SRP_BITS).astype(np.int64),
+            weights,
+        )
+        return pd.Series(list(out.astype(np.int32)))
+
+    return df.withColumn("buckets", _buckets(F.col(vec_col)))
+
+
+@register(
+    "ann_srp_lsh",
+    oracle=None,  # approximate by design; recall pinned in tests instead
+    description=f"SRP-LSH ANN: {SRP_TABLES} tables × {SRP_BITS} bits, bucket join + exact verify",
+    tags=("similarity", "ann", "lsh"),
+)
+def ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = srp_buckets(Catalog(spark, sf_dir).embeddings)
+    tbl = e.select(
+        "vec_id", "embedding",
+        F.posexplode("buckets").alias("table_id", "bucket"),
+    )
+    q = (tbl.where(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+                 "table_id", "bucket"))
+    cand = (
+        F.broadcast(q).join(tbl, ["table_id", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "embedding")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id",
+                    cosine_sim(F.col("embedding"), F.col("qv")).alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
+@register(
+    "embedding_neardup",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {NEARDUP_COS}
+""",
+    description=f"embedding near-dup pairs: exact all-pairs cosine ≥ {NEARDUP_COS}",
+    tags=("similarity", "dedup"),
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    cos = cosine_sim(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos"))
+        .where(F.col("cos") >= NEARDUP_COS)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+    )

@@ -1,1 +1,147 @@
-"""(placeholder — populated later this round)"""
+"""Text-analysis operators for the LLM-data-pipeline surface.
+
+The reference's only text processing is pre-tokenized word counting
+(``integration/StormSpec.scala:65-67``); a real training-data pipeline
+needs per-document statistics at corpus scale. Everything here is pure
+Catalyst expressions over the shared tokenizer — one narrow scan of the
+documents table, no shuffle at all (per-row results), no Python in the
+hot path. At 100 TB these are embarrassingly parallel map-only plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..engine.catalog import Catalog
+from ..functions.text import (
+    STOPWORDS_BY_LANG, char_ngrams, char_ngrams_sql, tokens, tokens_sql,
+)
+from .registry import register
+
+# BPE-ish pre-tokenization regex: letter runs, digit runs, or single
+# non-space symbols — a cheap proxy for subword token counting.
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       len({tokens_sql('text')}) AS n_tokens,
+       len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS n_bpe_tokens,
+       ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / greatest(len({tokens_sql('text')}), 1), 6) AS avg_token_len
+FROM documents
+""",
+    description="per-document token counts (whitespace + BPE-ish regex)",
+    tags=("text", "map-only"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    tok = tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(tok).alias("n_tokens"),
+        F.regexp_count(F.lower("text"), F.lit(_BPE_RE)).alias("n_bpe_tokens"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.greatest(F.size(tok), F.lit(1)), 6,
+        ).alias("avg_token_len"),
+    )
+
+
+def _stopword_hits_spark(lang: str):
+    pat = "\\b(" + "|".join(STOPWORDS_BY_LANG[lang]) + ")\\b"
+    return F.regexp_count(F.lower("text"), F.lit(pat))
+
+
+def _stopword_hits_sql(lang: str) -> str:
+    pat = "\\b(" + "|".join(STOPWORDS_BY_LANG[lang]) + ")\\b"
+    return f"len(regexp_extract_all(lower(text), '{pat}'))"
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+SELECT doc_id, n_chars,
+       len({tokens_sql('text')}) AS n_tokens,
+       ROUND(CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+             / greatest(length(text), 1), 6) AS symbol_ratio,
+       ROUND(CAST({_stopword_hits_sql('en')} AS DOUBLE)
+             / greatest(len({tokens_sql('text')}), 1), 6) AS stopword_ratio,
+       CASE WHEN len({tokens_sql('text')}) >= 20
+              AND {_stopword_hits_sql('en')} > 0 THEN 1 ELSE 0 END AS quality_ok
+FROM documents
+""",
+    description="per-document quality signals: length, symbol/stopword ratios, keep flag",
+    tags=("text", "map-only"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    tok = tokens("text")
+    en_hits = _stopword_hits_spark("en")
+    return d.select(
+        "doc_id", "n_chars",
+        F.size(tok).alias("n_tokens"),
+        F.round(
+            F.regexp_count("text", F.lit("[^a-z0-9 ]")).cast("double")
+            / F.greatest(F.length("text"), F.lit(1)), 6,
+        ).alias("symbol_ratio"),
+        F.round(en_hits.cast("double") / F.greatest(F.size(tok), F.lit(1)), 6)
+         .alias("stopword_ratio"),
+        F.when((F.size(tok) >= 20) & (en_hits > 0), 1).otherwise(0).alias("quality_ok"),
+    )
+
+
+_LANGS = ("en", "de", "fr", "es", "zh")
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+WITH hits AS (
+  SELECT doc_id, lang,
+         {', '.join(f"{_stopword_hits_sql(lg)} AS {lg}_hits" for lg in _LANGS)}
+  FROM documents
+)
+SELECT doc_id, lang AS labeled_lang, {', '.join(f'{lg}_hits' for lg in _LANGS)},
+       CASE {' '.join(f"WHEN {lg}_hits = greatest({', '.join(f'{m}_hits' for m in _LANGS)}) THEN '{lg}'" for lg in _LANGS)}
+       END AS pred_lang
+FROM hits
+""",
+    description="n-gram/stopword language-ID heuristic vs labeled lang",
+    tags=("text", "langid", "map-only"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    hit_cols = [_stopword_hits_spark(lg).alias(f"{lg}_hits") for lg in _LANGS]
+    scored = d.select("doc_id", F.col("lang").alias("labeled_lang"), *hit_cols)
+    best = F.greatest(*[F.col(f"{lg}_hits") for lg in _LANGS])
+    # first language (in fixed order) achieving the max — same tie-break as
+    # the SQL CASE ladder.
+    expr = None
+    for lg in _LANGS:
+        cond = F.col(f"{lg}_hits") == best
+        expr = F.when(cond, lg) if expr is None else expr.when(cond, lg)
+    return scored.withColumn("pred_lang", expr)
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({tokens_sql('text')})), ' ')) AS content_fp,
+       list_aggregate(list_transform({char_ngrams_sql('text', 5)}, g -> md5(g)), 'min') AS winnow_min
+FROM documents
+""",
+    description="document fingerprints: content hash of sorted vocab + min-hash of char 5-grams",
+    tags=("text", "fingerprint", "map-only"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens("text")))))
+         .alias("content_fp"),
+        F.array_min(F.transform(char_ngrams("text", 5), F.md5)).alias("winnow_min"),
+    )
