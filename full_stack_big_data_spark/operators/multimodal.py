@@ -1,1 +1,155 @@
-"""(placeholder — populated later this round)"""
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+
+The reference's wire model is exactly this — Kafka key/value as
+``Array[Byte]`` (``kafka/KafkaProducerApp.scala:25-26``) with decode as a
+separate operator — so "image/audio/video as binary column" is the same
+pattern at analytics scale. The container has no image/audio libraries,
+so the *decode* step is stubbed (deterministic fake, clearly marked, with
+an import-gated real path), while everything Spark-side is real and
+tested: BinaryType columns, Arrow-batched ``mapInPandas`` with explicit
+output schema, per-batch (not per-row) processing, frame-sampling
+fan-out.
+
+The testdata has no binary table, so payloads are materialized from
+``documents.text`` via utf-8 encode — pure ASCII (verified), so byte
+arithmetic has an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+from ..engine.catalog import Catalog
+from .registry import register
+
+FRAME_BYTES = 64  # "frame sampling" stride over the payload
+
+
+def with_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the opaque binary column + typed metadata struct — the
+    multimodal ingestion schema (payload + mime + n_bytes)."""
+    return df.select(
+        "doc_id",
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length(F.encode(F.col(text_col), "utf-8")).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+# --- decode stub -----------------------------------------------------------
+
+def _decode_payload_fake(buf: bytes) -> tuple[int, int, str]:
+    """Deterministic FAKE decode (the real decoder needs PIL/ffmpeg, not
+    present in this container): derives pseudo width/height/mode from
+    byte statistics. Replace the body with PIL.Image.open when available;
+    the Spark-side plumbing (schema, batching) is identical."""
+    n = len(buf)
+    checksum = sum(buf) % 9973
+    return (n % 640 + 1, checksum % 480 + 1, "L" if checksum % 2 else "RGB")
+
+
+def decode_payload(buf: bytes) -> tuple[int, int, str]:
+    try:
+        import PIL  # noqa: F401  — real path, absent in this container
+    except ImportError:
+        return _decode_payload_fake(buf)
+    raise NotImplementedError("real image decode path: wire PIL.Image.open here")
+
+
+_FEATURE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_bytes", IntegerType()),
+    StructField("byte_sum_mod", IntegerType()),
+])
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+SELECT doc_id,
+       length(text) AS n_bytes,
+       CAST(list_aggregate(list_transform(range(1, length(text) + 1),
+                                          i -> ord(substring(text, i, 1))), 'sum')
+            % 997 AS INTEGER) AS byte_sum_mod
+FROM documents
+""",
+    description="binary payload feature extraction via Arrow-batched mapInPandas",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extract over binary payloads: the full multimodal hot path
+    (binary column → Arrow batch → numpy-ish per-batch compute)."""
+    src = with_payload(Catalog(spark, sf_dir).documents)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(len).astype("int32"),
+                "byte_sum_mod": payloads.map(lambda b: sum(b) % 997).astype("int32"),
+            })
+
+    return src.mapInPandas(extract, _FEATURE_SCHEMA)
+
+
+@register(
+    "multimodal_frames",
+    oracle=f"""
+SELECT doc_id, CAST(t.i - 1 AS INTEGER) AS frame_idx,
+       md5(substring(text, (t.i - 1) * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5
+FROM documents,
+     unnest(range(1, CAST(ceil(length(text) / {FRAME_BYTES}.0) AS BIGINT) + 1)) AS t(i)
+""",
+    description=f"frame sampling: {FRAME_BYTES}-byte strides over the payload, one row per frame",
+    tags=("multimodal",),
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    n_frames = F.ceil(F.length("text") / F.lit(float(FRAME_BYTES))).cast("bigint")
+    frames = F.transform(
+        F.sequence(F.lit(1), n_frames),
+        lambda i: F.md5(F.col("text").substr((i - 1) * FRAME_BYTES + 1, F.lit(FRAME_BYTES))),
+    )
+    return (
+        d.select("doc_id", F.posexplode(frames).alias("frame_idx", "frame_md5"))
+        .select("doc_id", F.col("frame_idx").cast("int").alias("frame_idx"), "frame_md5")
+    )
+
+
+_DECODE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("mode", StringType()),
+])
+
+
+@register(
+    "multimodal_decode_stub",
+    oracle=None,  # decode is a stub; plumbing checked rows-only + pytest
+    description="stubbed media decode over binary payloads (mapInPandas, deterministic fake)",
+    tags=("multimodal", "stub"),
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = with_payload(Catalog(spark, sf_dir).documents)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = pdf["payload"].map(decode_payload)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": decoded.map(lambda t: t[0]).astype("int32"),
+                "height": decoded.map(lambda t: t[1]).astype("int32"),
+                "mode": decoded.map(lambda t: t[2]),
+            })
+
+    return src.mapInPandas(decode, _DECODE_SCHEMA)

@@ -52,6 +52,6 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every operator module (side effect: registration) and
     return the registry."""
     from . import relational, wordcount, textanalysis, dedup, similarity  # noqa: F401
-    from . import multimodal  # noqa: F401
-    from .. import streaming  # noqa: F401  (registers streaming queries)
+    from . import multimodal, wire  # noqa: F401
+    from ..streaming import queries as _streaming_queries  # noqa: F401
     return REGISTRY

@@ -1,0 +1,173 @@
+"""Wire-format serde: Avro binary (Tweet schema) and JSON.
+
+The reference's wire format is Avro-binary-encoded ``Tweet`` records
+(schema ``/root/reference/src/main/avro/twitter.avsc:1-19``: username
+string, text string, timestamp long) moved as raw bytes through Kafka
+(``kafka/KafkaProducerApp.scala:25-26``). This module reproduces that
+format exactly:
+
+- This container ships neither the spark-avro jar nor a Python avro
+  package, so the codec is implemented here from the public Avro binary
+  spec (zigzag-varint longs, length-prefixed utf-8 strings — ~30 lines
+  for a flat record) and applied as an Arrow-batched pandas UDF. With
+  spark-avro available, ``from_avro``/``to_avro`` drop in behind the
+  same two call sites.
+- Error semantics mirror the reference's two decoders:
+  PERMISSIVE → null out bad payloads then drop, like ``AvroDecoderBolt``
+  (log & skip, ``storm/bolts/AvroDecoderBolt.scala:61-76``);
+  FAILFAST → raise, like ``AvroScheme.deserialize``
+  (``storm/serialization/AvroScheme.scala:49-55``). The reference's
+  third variant — silently emitting unit on failure
+  (``KafkaSparkStreamingSpec.scala:217-223``) — is a bug we do not
+  reproduce.
+
+JSON serde is pure Catalyst (``to_json``/``from_json``) and is the
+default wire format for the streaming identity pipes.
+"""
+
+from __future__ import annotations
+
+import io
+import struct as _struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType, LongType, StringType, StructField, StructType,
+)
+
+TWEET_SCHEMA = StructType([
+    StructField("username", StringType(), False),
+    StructField("text", StringType(), False),
+    StructField("timestamp", LongType(), False),  # epoch seconds (twitter.avsc:13-16)
+])
+
+TWEET_AVSC = {
+    "type": "record", "name": "Tweet",
+    "namespace": "com.miguno.avro",
+    "fields": [
+        {"name": "username", "type": "string"},
+        {"name": "text", "type": "string"},
+        {"name": "timestamp", "type": "long"},
+    ],
+}
+
+
+# --- Avro binary primitives (public Avro 1.x spec) --------------------------
+
+def _zigzag_encode(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag_decode(buf: io.BytesIO) -> int:
+    shift, acc = 0, 0
+    while True:
+        raw = buf.read(1)
+        if not raw:
+            raise ValueError("truncated varint")
+        b = raw[0]
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint too long")
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _write_str(s: str) -> bytes:
+    raw = s.encode("utf-8")
+    return _zigzag_encode(len(raw)) + raw
+
+
+def _read_str(buf: io.BytesIO) -> str:
+    n = _zigzag_decode(buf)
+    if n < 0:
+        raise ValueError("negative string length")
+    raw = buf.read(n)
+    if len(raw) != n:
+        raise ValueError("truncated string")
+    return raw.decode("utf-8")
+
+
+def tweet_to_avro_bytes(username: str, text: str, timestamp: int) -> bytes:
+    return _write_str(username) + _write_str(text) + _zigzag_encode(timestamp)
+
+
+def tweet_from_avro_bytes(payload: bytes) -> tuple[str, str, int]:
+    buf = io.BytesIO(payload)
+    username, text, ts = _read_str(buf), _read_str(buf), _zigzag_decode(buf)
+    if buf.read(1):
+        raise ValueError("trailing bytes after record")
+    return username, text, ts
+
+
+# --- Spark column-level serde (Arrow-batched) --------------------------------
+
+@F.pandas_udf(BinaryType())
+def encode_tweet_avro(username: pd.Series, text: pd.Series,
+                      timestamp: pd.Series) -> pd.Series:
+    return pd.Series([
+        tweet_to_avro_bytes(u, t, int(ts))
+        for u, t, ts in zip(username, text, timestamp)
+    ])
+
+
+_DECODED = StructType([
+    StructField("username", StringType()),
+    StructField("text", StringType()),
+    StructField("timestamp", LongType()),
+])
+
+
+def _decode_udf(mode: str):
+    failfast = mode == "FAILFAST"
+
+    @F.pandas_udf(_DECODED)
+    def decode(payload: pd.Series) -> pd.DataFrame:
+        rows = []
+        for raw in payload:
+            try:
+                rows.append(tweet_from_avro_bytes(bytes(raw)))
+            except Exception:
+                if failfast:
+                    raise ValueError(f"Could not decode input bytes: {bytes(raw)!r}")
+                rows.append((None, None, None))
+        return pd.DataFrame(rows, columns=["username", "text", "timestamp"])
+
+    return decode
+
+
+def decode_tweet_avro(payload: Column, mode: str = "PERMISSIVE") -> Column:
+    """bytes → Tweet struct. PERMISSIVE yields a null struct-field row for
+    bad payloads (drop with ``.filter(col.username.isNotNull())``);
+    FAILFAST raises — the reference's T1 vs T2 semantics."""
+    if mode not in ("PERMISSIVE", "FAILFAST"):
+        raise ValueError(f"unknown mode {mode!r}")
+    return _decode_udf(mode)(payload)
+
+
+# --- JSON identity serde (pure Catalyst) -------------------------------------
+
+def to_json_bytes(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Rows → single binary 'value' column, Kafka-sink shaped."""
+    return df.select(F.encode(F.to_json(F.struct(*cols)), "utf-8").alias("value"))
+
+
+def from_json_bytes(df: DataFrame, schema: StructType,
+                    value_col: str = "value") -> DataFrame:
+    """Kafka-source shaped (binary value) → typed columns."""
+    return (
+        df.select(F.from_json(F.decode(F.col(value_col), "utf-8"), schema).alias("r"))
+        .select("r.*")
+    )

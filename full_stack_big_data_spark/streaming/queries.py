@@ -1,0 +1,129 @@
+"""Registry entries for streaming operators.
+
+Each query runs a REAL Structured Streaming job — file-streaming source,
+stateful aggregation, memory sink — drained with trigger(availableNow),
+then returns the sink table. Because Available-Now replays exactly the
+data a batch query would read, every streaming operator gets a plain-SQL
+DuckDB oracle: the strongest correctness statement Structured Streaming's
+unified model supports (same program text, bounded or unbounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..engine.session import tune_session
+from ..operators.registry import register
+from ..operators.wordcount import _WC_SQL
+from .core import run_to_completion, stream_table
+from .identity import identity_pipe_json
+from .windows import session_counts, sliding_counts, tumbling_counts
+from .wordcount_stream import streaming_word_counts
+
+
+def _stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    tune_session(spark)
+    path = f"{sf_dir}/{table}.parquet"
+    template = spark.read.parquet(path)
+    return stream_table(spark, path, template)
+
+
+@register(
+    "stream_wordcount",
+    oracle=_WC_SQL,
+    description="streaming word count (speed layer, Q2/A1) drained via availableNow",
+    tags=("streaming", "wordcount"),
+)
+def stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wc = streaming_word_counts(_stream(spark, sf_dir, "documents"))
+    return run_to_completion(wc, output_mode="complete")
+
+
+@register(
+    "stream_window_tumbling",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS events
+FROM events GROUP BY 1, 2
+""",
+    description="1-hour tumbling event-time windows with watermark",
+    tags=("streaming", "window"),
+)
+def stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = tumbling_counts(_stream(spark, sf_dir, "events"))
+    return run_to_completion(agg, output_mode="complete")
+
+
+@register(
+    "stream_window_sliding",
+    oracle="""
+WITH b AS (
+  SELECT time_bucket(INTERVAL 30 MINUTES, ts) AS b30, event_type FROM events
+), w AS (
+  SELECT event_type, unnest([b30, b30 - INTERVAL 30 MINUTES]) AS ws FROM b
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS events
+FROM w GROUP BY 1, 2
+""",
+    description="1-hour sliding windows (30-min slide) with watermark",
+    tags=("streaming", "window"),
+)
+def stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = sliding_counts(_stream(spark, sf_dir, "events"))
+    return run_to_completion(agg, output_mode="complete")
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTES THEN 1
+              ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTES, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+    description="session windows (30-min gap) per user — custom stateful op as built-in",
+    tags=("streaming", "window", "session"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = session_counts(_stream(spark, sf_dir, "events"))
+    return run_to_completion(agg, output_mode="complete")
+
+
+@register(
+    "stream_identity_json",
+    oracle="""
+SELECT event_id, user_id, event_type, ROUND(value, 6) AS value
+FROM events
+""",
+    description="streaming identity pipe: rows→JSON bytes→rows (reference §3.2/§3.3)",
+    tags=("streaming", "serde", "identity"),
+)
+def stream_identity_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+    src = _stream(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.round("value", 6).alias("value"))
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ])
+    pipe = identity_pipe_json(src, ["event_id", "user_id", "event_type", "value"], schema)
+    return run_to_completion(pipe, output_mode="append")

@@ -1,0 +1,97 @@
+"""Streaming semantics: update-mode emission, chained aggregation (A3),
+observed metrics (A4), and checkpointed exactly-once restart."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType,
+)
+
+from full_stack_big_data_spark.streaming.core import run_to_completion, stream_table
+from full_stack_big_data_spark.streaming.wordcount_stream import (
+    chained_aggregation, streaming_word_counts,
+)
+from full_stack_big_data_spark.operators.wordcount import word_counts
+from conftest import SF_SMOKE
+
+WORDS_SCHEMA = StructType([
+    StructField("seq", LongType()),
+    StructField("word", StringType()),
+])
+
+
+def _write_words(dirpath: str, rows, start_seq=0):
+    os.makedirs(dirpath, exist_ok=True)
+    for i, w in enumerate(rows):
+        with open(os.path.join(dirpath, f"w{start_seq + i}.json"), "w") as f:
+            f.write(json.dumps({"seq": start_seq + i, "word": w}) + "\n")
+
+
+def test_streaming_wordcount_equals_batch(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    batch = {(r.word, r.cnt) for r in word_counts(docs).collect()}
+    sdf = stream_table(spark, f"{SF_SMOKE}/documents.parquet", docs)
+    streamed = run_to_completion(streaming_word_counts(sdf), output_mode="complete")
+    assert {(r.word, r.cnt) for r in streamed.collect()} == batch
+
+
+def test_reference_word_fixture_final_state(spark, tmp_path):
+    """The reference's canonical word stream alice,bob,joe,alice
+    (StormSpec.scala:65-67) → final state {alice:2, bob:1, joe:1}."""
+    src = str(tmp_path / "words")
+    _write_words(src, ["alice", "bob", "joe", "alice"])
+    sdf = (spark.readStream.schema(WORDS_SCHEMA).json(src)
+           .select(F.col("word").alias("text")))
+    out = run_to_completion(streaming_word_counts(sdf), output_mode="complete")
+    assert {(r.word, r.cnt) for r in out.collect()} == {("alice", 2), ("bob", 1), ("joe", 1)}
+
+
+def test_chained_aggregation_a3(spark, tmp_path):
+    """A3 (StormSpec.scala:60-61): aggregate over the word-count update
+    stream via foreachBatch — one drain of the 4-word fixture produces one
+    update per key, so 3 update events covering 4 words."""
+    src = str(tmp_path / "words_a3")
+    _write_words(src, ["alice", "bob", "joe", "alice"])
+    sdf = (spark.readStream.schema(WORDS_SCHEMA).json(src)
+           .select(F.col("word").alias("text")))
+    row = chained_aggregation(sdf, spark, str(tmp_path / "wc_updates")).collect()[0]
+    assert row.update_events == 3
+    assert row.sum_counts == 4
+
+
+def test_observed_metrics_a4(spark):
+    """A4 (accumulator counts) via observe() on a batch run."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    observed = docs.observe("m", F.count(F.lit(1)).alias("n"))
+    n = observed.count()
+    assert n == 500
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Offsets live in the checkpoint (replaces the reference's ZK offset
+    storage, KafkaStormSpec.scala:141-143): a restarted query must process
+    only new files, and the union of outputs is exactly-once."""
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    _write_words(src, ["alice", "bob"], start_seq=0)
+
+    def drain():
+        sdf = spark.readStream.schema(WORDS_SCHEMA).json(src)
+        q = (sdf.writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()
+    first = spark.read.parquet(out_dir).count()
+    assert first == 2
+    _write_words(src, ["joe", "alice"], start_seq=2)
+    drain()
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 4  # no reprocessing of the first two files
+    assert sorted(r.seq for r in rows) == [0, 1, 2, 3]
