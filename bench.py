@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes fully through the noop sink (real scan → compute →
+exchange work, no driver collect, no sink I/O) — the number is engine
+time, not materialization time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from full_stack_big_data_spark.engine.session import get_spark
+from full_stack_big_data_spark.operators.registry import load_all
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q_window_running",
+    "wordcount_batch",
+    "text_quality",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "ann_brute_topk",
+    "embedding_neardup",
+    "multimodal_features",
+    "json_roundtrip",
+]
+
+
+def main() -> None:
+    reg = load_all()
+    spark = get_spark(app_name="fsbd-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen once with the cheapest query so per-query times
+    # measure the plan, not first-run JIT.
+    reg["q2_filter_project"].builder(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = reg[name].builder(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
