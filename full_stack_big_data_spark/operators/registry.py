@@ -51,7 +51,7 @@ def register(name: str, oracle: str | None, description: str = "",
 def load_all() -> dict[str, QuerySpec]:
     """Import every operator module (side effect: registration) and
     return the registry."""
-    from . import relational, wordcount, textanalysis, dedup, similarity  # noqa: F401
+    from . import relational, relational_ext, wordcount, textanalysis, dedup, similarity  # noqa: F401
     from . import multimodal, wire  # noqa: F401
     from ..streaming import queries as _streaming_queries  # noqa: F401
     return REGISTRY
