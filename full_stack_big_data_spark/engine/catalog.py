@@ -26,6 +26,16 @@ TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
+# Fact-side tables whose downstream operators are compute-heavy (explode,
+# hashing, vector math). If the file layout gives the scan fewer splits
+# than the session has cores (the testdata is one row group per table —
+# one task per scan), decouple processing parallelism from input layout
+# with a round-robin repartition: the reference does exactly this for the
+# same reason (`KafkaSparkStreamingSpec.scala:186-191`). On a production
+# multi-file dataset the split count already exceeds parallelism and the
+# spread is skipped, so plans there keep the bare scan.
+SPREAD_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
+
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
@@ -46,7 +56,30 @@ class Catalog:
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":
             # nanos → micros, truncating (matches DuckDB/Arrow).
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if name in SPREAD_TABLES:
+            par = self.spark.sparkContext.defaultParallelism
+            if self._est_splits(name) < max(2, par // 2):
+                # Filters still reach the scan: Catalyst pushes predicates
+                # through the repartition, so the exchange carries only
+                # surviving rows.
+                df = df.repartition(par)
         return df
+
+    def _est_splits(self, name: str) -> int:
+        """Scan splits the file layout yields: Σ bytes / maxPartitionBytes
+        (cheap filesystem arithmetic — no plan materialization)."""
+        p = self.path(name)
+        if os.path.isdir(p):
+            size = sum(os.path.getsize(os.path.join(p, f))
+                       for f in os.listdir(p) if f.endswith(".parquet"))
+            nfiles = max(1, sum(f.endswith(".parquet") for f in os.listdir(p)))
+        elif os.path.exists(p):
+            size, nfiles = os.path.getsize(p), 1
+        else:  # non-local path — let Spark's own split logic stand
+            return 1 << 30
+        max_bytes = int(self.spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728").removesuffix("b"))
+        return max(nfiles, size // max_bytes)
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TABLES:

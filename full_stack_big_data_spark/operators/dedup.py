@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..engine.catalog import Catalog
-from ..functions.hashing import hex64
+from ..functions.hashing import hex64, hex64_sql
 from ..functions.text import token_ngrams, token_ngrams_sql, tokens, tokens_sql
 from .registry import register
 
@@ -79,12 +79,29 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH near-dup.
 # ---------------------------------------------------------------------------
 
+# Affine MinHash family over one 60-bit md5 value per shingle:
+# h_i(g) = (a_i·h + b_i) mod P with P = 2³¹-1 (Mersenne). One md5 per
+# shingle instead of N_HASHES of them — the signature stage is 16×
+# cheaper in hashing work, and the min() shuffles bigints, not hex
+# strings. Constants come from a fixed LCG so both engines embed the
+# same literals; all products stay < 2⁶² (no BIGINT overflow anywhere).
+MH_P = 2147483647
+_seed_lcg = 1
+_MH_A, _MH_B = [], []
+for _ in range(N_HASHES):
+    _seed_lcg = (_seed_lcg * 48271) % MH_P
+    _MH_A.append(_seed_lcg or 1)
+    _seed_lcg = (_seed_lcg * 48271) % MH_P
+    _MH_B.append(_seed_lcg)
+
+
 def _minhash_oracle() -> str:
     mh_cols = ",\n         ".join(
-        f"min(md5('{i}|' || g)) AS mh{i}" for i in range(N_HASHES)
+        f"min(({_MH_A[i]} * h + {_MH_B[i]}) % {MH_P}) AS mh{i}"
+        for i in range(N_HASHES)
     )
     band_rows = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {b} AS band, md5(mh{2*b} || '|' || mh{2*b+1}) AS bucket FROM mh"
+        f"  SELECT doc_id, {b} AS band, md5(concat_ws('|', mh{2*b}, mh{2*b+1})) AS bucket FROM mh"
         for b in range(BANDS)
     )
     return f"""
@@ -96,7 +113,8 @@ WITH sh AS (
 ), mh AS (
   SELECT doc_id,
          {mh_cols}
-  FROM ex GROUP BY doc_id
+  FROM (SELECT doc_id, {hex64_sql('g')} % {MH_P} AS h FROM ex)
+  GROUP BY doc_id
 ), bands AS (
 {band_rows}
 ), cand AS (
@@ -131,9 +149,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = _shingled(spark, sf_dir)
 
     # Signatures: ONE groupBy computing all 16 min-hashes (partial agg
-    # before the shuffle — no per-hash explode).
-    mh = ex.groupBy("doc_id").agg(*[
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("g")))).alias(f"mh{i}")
+    # before the shuffle — no per-hash explode). Each shingle is md5'd
+    # once; the 16 family members are affine transforms of that value.
+    exh = ex.select("doc_id", (hex64(F.col("g")) % MH_P).alias("h"))
+    mh = exh.groupBy("doc_id").agg(*[
+        F.min((F.col("h") * _MH_A[i] + _MH_B[i]) % MH_P).alias(f"mh{i}")
         for i in range(N_HASHES)
     ])
 
@@ -144,7 +164,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", f"mh{2*b}", f"mh{2*b+1}")).alias("bucket"),
+                F.md5(F.concat_ws("|", F.col(f"mh{2*b}").cast("string"),
+                                  F.col(f"mh{2*b+1}").cast("string"))).alias("bucket"),
             ) for b in range(BANDS)
         ])).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
