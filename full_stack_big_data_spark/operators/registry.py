@@ -54,4 +54,5 @@ def load_all() -> dict[str, QuerySpec]:
     from . import relational, relational_ext, wordcount, textanalysis, dedup, similarity  # noqa: F401
     from . import multimodal, wire  # noqa: F401
     from ..streaming import queries as _streaming_queries  # noqa: F401
+    from ..streaming import stateful as _streaming_stateful  # noqa: F401
     return REGISTRY

@@ -11,6 +11,7 @@ trigger is the only difference between "stream forever" and "drain once".
 
 from __future__ import annotations
 
+import hashlib
 import itertools
 import os
 import tempfile
@@ -28,7 +29,12 @@ def _staged_dir(path: str) -> str:
     global _stage_root
     if _stage_root is None:
         _stage_root = tempfile.mkdtemp(prefix="fsbd_stream_src_")
-    d = os.path.join(_stage_root, os.path.basename(path).replace(".", "_"))
+    # Key by the full source path, not the basename: the same table name
+    # exists at every scale factor, and a basename-keyed dir would silently
+    # serve the first SF's data to every later one in the same process.
+    tag = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:10]
+    d = os.path.join(_stage_root,
+                     f"{os.path.basename(path).replace('.', '_')}_{tag}")
     if not os.path.isdir(d):
         os.makedirs(d, exist_ok=True)
         os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))

@@ -1,0 +1,87 @@
+"""Physical-plan pins (SURVEY.md §4): the shapes we rely on at 100 TB.
+
+The reference hand-tunes its physical layer (Kryo, sort shuffle, producer
+pools — §4 table); in this engine Catalyst owns those choices, so these
+tests pin the *outcomes*: dimension joins stay broadcast, predicates reach
+the parquet scan, projection prunes the read schema, and no plan silently
+degenerates to a cartesian product.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from full_stack_big_data_spark.operators.registry import load_all
+from full_stack_big_data_spark.plans.checks import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    assert_read_schema_only,
+    plan_string,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return load_all()
+
+
+def test_q5_broadcasts_dims(spark, reg):
+    """nation/region/supplier are broadcast, never shuffled (Q5 star join)."""
+    assert_broadcast_join(reg["q5_local_supplier_volume"].builder(spark, SF))
+
+
+def test_q9_broadcasts_part(spark, reg):
+    assert_broadcast_join(reg["q9_product_profit"].builder(spark, SF))
+
+
+def test_q2_filter_pushdown(spark, reg):
+    """o_orderstatus/o_totalprice predicates reach the parquet scan."""
+    assert_pushed_filters(reg["q2_filter_project"].builder(spark, SF), "o_orderstatus")
+    assert_pushed_filters(reg["q2_filter_project"].builder(spark, SF), "o_totalprice")
+
+
+def test_q6_filter_pushdown(spark, reg):
+    """Q6's shipdate/discount/quantity predicates all push into the scan."""
+    df = reg["q6_forecast_revenue"].builder(spark, SF)
+    assert_pushed_filters(df, "l_shipdate")
+    assert_pushed_filters(df, "l_discount")
+    assert_pushed_filters(df, "l_quantity")
+
+
+def test_q2_column_pruning(spark, reg):
+    """The orders scan reads only the three referenced columns."""
+    assert_read_schema_only(
+        reg["q2_filter_project"].builder(spark, SF), "orders.parquet",
+        {"o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"})
+
+
+def test_q1_column_pruning(spark, reg):
+    """Q1 reads no lineitem columns beyond the 7 it aggregates."""
+    assert_read_schema_only(
+        reg["q1_pricing_summary"].builder(spark, SF), "lineitem.parquet",
+        {"l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_tax", "l_shipdate"})
+
+
+@pytest.mark.parametrize("name", [
+    "q3_shipping_priority", "q5_local_supplier_volume", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "q10_returned_items",
+    "q17_small_qty_revenue", "q18_large_volume", "q19_brand_discount",
+])
+def test_no_cartesian_products(spark, reg, name):
+    assert_no_cartesian(reg[name].builder(spark, SF))
+
+
+def test_semi_anti_join_shapes(spark, reg):
+    """EXISTS/NOT EXISTS compile to semi/anti joins, not row explosion."""
+    assert "LeftSemi" in plan_string(reg["q4_order_priority"].builder(spark, SF))
+    assert "LeftAnti" in plan_string(reg["q22_dormant_customers"].builder(spark, SF))
+
+
+def test_q3_takeordered(spark, reg):
+    """Top-k compiles to TakeOrderedAndProject, not global sort."""
+    plan = plan_string(reg["q3_shipping_priority"].builder(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
