@@ -26,6 +26,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q18_large_volume",
     "q_window_running",
     "wordcount_batch",
     "text_quality",

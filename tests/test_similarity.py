@@ -39,3 +39,24 @@ def test_neardup_pairs_ordered_and_thresholded(spark):
     assert rows
     assert all(r.vec_a < r.vec_b for r in rows)
     assert all(r.cosine >= 0.40 for r in rows)
+
+
+def test_ivf_partial_scan_exactness_and_recall(spark):
+    """IVF returns the exact top-k *within the probed cells* (scores match
+    the brute-force scores for the same pairs), and recall stays at or
+    above the scan-fraction floor — on this near-random corpus recall ≈
+    probes/cells is the ceiling for any coarse quantizer (see module doc).
+    """
+    from full_stack_big_data_spark.operators.similarity import (
+        IVF_CELLS, IVF_PROBES, ann_ivf,
+    )
+    truth = {(r.query_id, r.neighbor_id): r.cosine
+             for r in ann_brute_topk(spark, SF_SMOKE).collect()}
+    ivf = ann_ivf(spark, SF_SMOKE).collect()
+    assert len({r.query_id for r in ivf}) == 5
+    for r in ivf:  # any pair IVF shares with truth must score identically
+        if (r.query_id, r.neighbor_id) in truth:
+            assert r.cosine == truth[(r.query_id, r.neighbor_id)]
+    recall = len(truth.keys() & {(r.query_id, r.neighbor_id) for r in ivf}) / len(truth)
+    floor = IVF_PROBES / IVF_CELLS * 0.6  # generous variance margin
+    assert recall >= floor, f"IVF recall {recall:.2f} below floor {floor:.2f}"
