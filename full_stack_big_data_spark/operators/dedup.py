@@ -13,9 +13,10 @@ jaccard ≥ 0.8) in `documents`; these operators find them four ways:
   flipped bits cannot touch all 8 bands), so the banded plan returns
   exactly the brute-force result — the oracle exploits that and checks
   the banded Spark plan against a simple all-pairs SQL.
-- ``dedup_ngram_jaccard`` — exact all-pairs jaccard via a shared-shingle
-  equi-join (the non-approximate baseline for the two above; the join
-  explodes only on shared shingles, not the full cross product).
+- ``dedup_ngram_jaccard`` — exact jaccard with AllPairs prefix
+  filtering: candidates must share one of their *rarest* shingles
+  (lossless for jaccard ≥ t), so hot-shingle fan-out never goes
+  quadratic; full-intersection verify on survivors only.
 
 Portability: every hash that reaches results is md5-based (see
 ``functions.hashing``) so DuckDB reproduces signatures bit-for-bit.
@@ -25,7 +26,7 @@ md5 *hex strings* — lexicographic order, identical in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..engine.catalog import Catalog
 from ..functions.hashing import hex64, hex64_sql
@@ -305,17 +306,48 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
 """,
-    description=f"exact all-pairs token-{SHINGLE_N}-gram jaccard ≥ {JACCARD_THRESHOLD} via shared-shingle join",
+    description=f"exact token-{SHINGLE_N}-gram jaccard ≥ {JACCARD_THRESHOLD}, prefix-filtered candidate join",
     tags=("dedup", "join"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact jaccard join with AllPairs prefix filtering.
+
+    A raw shared-shingle self-join fans out quadratically on hot
+    shingles (a shingle in k docs → k² candidate rows), which is what
+    kills this plan at corpus scale. Prefix filtering bounds it: order
+    each doc's shingles by (global document frequency, shingle) and keep
+    only the first ``n - ⌈t·n⌉ + 1`` — for jaccard ≥ t, the globally
+    smallest shared shingle of any qualifying pair provably lies in
+    BOTH prefixes (pigeonhole + minimality), so joining prefixes loses
+    nothing, and prefixes are by construction the *rarest* shingles.
+    Verification then counts the full intersection for the surviving
+    candidates only. Same results as the brute self-join (the oracle is
+    still the plain all-pairs SQL) at a fraction of the shuffle.
+    """
     ex = _shingled(spark, sf_dir)
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # ⌈t·n⌉ in exact integer arithmetic (t = 4/5): (4n + 4) div 5.
+    prefix_len = (F.col("n") - ((F.lit(4) * F.col("n") + 4) / 5).cast("bigint") + 1)
+    freq = ex.groupBy("g").agg(F.count("*").alias("df_g"))
+    w = Window.partitionBy("doc_id").orderBy("df_g", "g")
+    pref = (
+        ex.join(freq, "g")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .where(F.col("pos") <= prefix_len)
+        .select("doc_id", "g")
+    )
+    cand = (
+        pref.select(F.col("doc_id").alias("doc_a"), "g")
+        .join(pref.select(F.col("doc_id").alias("doc_b"), "g"), "g")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
     a = ex.select(F.col("doc_id").alias("doc_a"), "g")
     b = ex.select(F.col("doc_id").alias("doc_b"), "g")
     inter = (
-        a.join(b, "g")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        cand.join(a, "doc_a").join(b, ["doc_b", "g"])
         .groupBy("doc_a", "doc_b").agg(F.count("*").alias("i"))
     )
     jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
