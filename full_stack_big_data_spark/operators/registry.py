@@ -55,4 +55,5 @@ def load_all() -> dict[str, QuerySpec]:
     from . import multimodal, wire  # noqa: F401
     from ..streaming import queries as _streaming_queries  # noqa: F401
     from ..streaming import stateful as _streaming_stateful  # noqa: F401
+    from ..streaming import joins as _streaming_joins  # noqa: F401
     return REGISTRY
