@@ -49,6 +49,10 @@ def main() -> None:
     # Warm the JVM/codegen once with the cheapest query so per-query times
     # measure the plan, not first-run JIT.
     reg["q2_filter_project"].builder(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # Warm the Arrow/pandas-UDF path too (executor-side Python workers and
+    # Arrow serde spin up on first use — startup cost, not plan cost).
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long").write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
