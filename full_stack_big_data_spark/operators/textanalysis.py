@@ -145,3 +145,70 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("content_fp"),
         F.array_min(F.transform(char_ngrams("text", 5), F.md5)).alias("winnow_min"),
     )
+
+
+# ---------------------------------------------------------------------------
+# tf-idf: top terms per document.
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP = 5
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT tok, COUNT(*) AS df_t FROM tf GROUP BY tok
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, tok, tf,
+         tf * 1.0 * n_docs / df_t AS raw,
+         ROUND(tf * ln(n_docs * 1.0 / df_t), 6) AS tfidf
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, tok, tfidf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY raw DESC, tok) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT doc_id, tok, tfidf, rank FROM ranked WHERE rank <= {TFIDF_TOP}
+""",
+    description=f"tf-idf: top-{TFIDF_TOP} distinguishing terms per document",
+    tags=("text", "tfidf", "agg"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide tf-idf, two shuffles (tf, then document frequency).
+
+    Determinism note: ranking uses the exact rational ``tf·N/df`` —
+    integer products < 2⁵³ then one correctly-rounded division, so the
+    order is bit-identical in any engine; ``ln`` (last-ulp differences
+    between libm implementations) only appears in the *displayed* score,
+    rounded to 6 decimals. The doc-frequency table is broadcast back
+    onto the tf rows (vocabulary ≪ corpus), so the scoring join adds no
+    shuffle of the big side.
+    """
+    from pyspark.sql import Window
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df_t"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok").crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "tok",
+            (F.col("tf") * 1.0 * F.col("n_docs") / F.col("df_t")).alias("raw"),
+            F.round(F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df_t")), 6)
+            .alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("raw"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= TFIDF_TOP)
+        .select("doc_id", "tok", "tfidf", "rank")
+    )
