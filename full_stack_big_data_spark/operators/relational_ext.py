@@ -659,3 +659,92 @@ def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("`4-NOT SPECIFIED`"), F.lit(0)).alias("notspec"),
         F.coalesce(F.col("`5-LOW`"), F.lit(0)).alias("low"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13: customer order-count distribution (outer join + two-level agg).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q13_order_count_dist",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderstatus = 'F'
+      GROUP BY c_custkey)
+GROUP BY c_count
+""",
+    description="TPC-H Q13: distribution of per-customer order counts (outer join keeps zeros)",
+    tags=("join", "outer", "agg"),
+)
+def q13_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o = cat.orders.where(F.col("o_orderstatus") == "F").select("o_orderkey", "o_custkey")
+    per_cust = (
+        cat.customer.select("c_custkey")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16-adapted: distinct suppliers per part group, excluding a
+# supplier subset (NOT IN → anti join). The fixture has no partsupp, so
+# the part↔supplier link is the lineitem fact.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q16_parts_suppliers",
+    oracle="""
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (1, 5, 9, 13)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+    description="TPC-H Q16-adapted: distinct supplier count per part group, NOT IN exclusion",
+    tags=("join", "anti", "distinct", "agg"),
+)
+def q16_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    bad = cat.supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        cat.lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(cat.part.where(F.col("p_size").isin(1, 5, 9, 13))
+                          .select("p_partkey", "p_brand", "p_type", "p_size")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (continuous interpolation) per segment.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_percentiles",
+    oracle="""
+SELECT c_mktsegment,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+""",
+    description="exact continuous percentiles (median/p90 order value per segment)",
+    tags=("agg", "percentile"),
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.orders.select("o_custkey", "o_totalprice")
+        .join(cat.customer.select("c_custkey", "c_mktsegment"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+             F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"))
+    )
