@@ -43,6 +43,9 @@ _RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
+    # Arrow batching for toPandas/pandas-UDF transfer — runtime-settable,
+    # so caller-owned (vanilla) sessions get the vectorized path too.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
 

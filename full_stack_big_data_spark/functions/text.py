@@ -45,13 +45,21 @@ def tokens_sql(expr: str) -> str:
 
 def char_ngrams(col: Column | str, n: int) -> Column:
     """Array of character n-grams of the lowercased string (distinct not
-    applied). Pure Catalyst: sequence + transform + substring."""
+    applied). Pure Catalyst: sequence + transform + substring.
+
+    Guarded for inputs shorter than ``n``: Spark's ``sequence(1, 0)``
+    yields a DESCENDING ``[1, 0]`` (it never returns empty), unlike SQL
+    ``range`` — without the guard short inputs crash or diverge from the
+    DuckDB twin (caught by tests/test_portability.py).
+    """
     c = F.col(col) if isinstance(col, str) else col
     s = F.lower(c)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(0))),
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(s) - (n - 1)),
         lambda i: s.substr(i, F.lit(n)),
     )
+    return F.when(F.length(s) >= n, grams).otherwise(
+        F.array().cast("array<string>"))
 
 
 def char_ngrams_sql(expr: str, n: int) -> str:
@@ -60,11 +68,14 @@ def char_ngrams_sql(expr: str, n: int) -> str:
 
 
 def token_ngrams(tok: Column, n: int) -> Column:
-    """Array of space-joined n-grams over a token array (Catalyst-only)."""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tok) - (n - 1), F.lit(0))),
+    """Array of space-joined n-grams over a token array (Catalyst-only).
+    Same short-input guard as :func:`char_ngrams` (see note there)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tok) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(tok, i, n)),
     )
+    return F.when(F.size(tok) >= n, grams).otherwise(
+        F.array().cast("array<string>"))
 
 
 def token_ngrams_sql(tok_expr: str, n: int) -> str:
