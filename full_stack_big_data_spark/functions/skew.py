@@ -1,0 +1,63 @@
+"""Skew mitigation: salted aggregation and salted replicate-join.
+
+AQE's skew-join splitting (enabled in ``engine/session.py``) handles
+most runtime skew, but two patterns still need explicit salting at
+100 TB — a single hot *aggregation* key whose partial states overwhelm
+one reducer, and a shuffle join against a mid-size table too big to
+broadcast where a few keys dominate. Both helpers preserve results
+exactly (aggregation is reassociated, never changed; the join replicates
+the small side across salt buckets so every matching pair still meets).
+
+The salt on the big side must split a SINGLE key's rows, so it cannot be
+a function of the key — it derives from ``monotonically_increasing_id``,
+which is partitioning-dependent but result-invariant for the supported
+(commutative, associative) merges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# partial-aggregate builder and its merge for each supported aggregate
+_MERGES = {
+    "count": (lambda c: F.count("*"), F.sum),
+    "sum": (F.sum, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_agg(df: DataFrame, keys: list[str],
+               aggs: dict[str, tuple[str, str | Column]],
+               salt: int = 16) -> DataFrame:
+    """Two-phase aggregation: group by (keys + salt) for partials, then by
+    keys for the merge. ``aggs`` maps output column → (agg_name, input
+    column); supported: count (input ignored), sum, min, max.
+
+    Example::
+
+        salted_agg(tokens, ["word"], {"cnt": ("count", "*")})
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)))
+    partials = salted.groupBy(*keys, "_salt").agg(*[
+        _MERGES[kind][0](col if kind != "count" else "*").alias(f"_p_{out}")
+        for out, (kind, col) in aggs.items()
+    ])
+    return partials.groupBy(*keys).agg(*[
+        _MERGES[kind][1](f"_p_{out}").alias(out)
+        for out, (kind, col) in aggs.items()
+    ])
+
+
+def salted_join(big: DataFrame, small: DataFrame, on: list[str],
+                salt: int = 8, how: str = "inner") -> DataFrame:
+    """Equi-join with the big side salted and the small side replicated
+    ``salt`` times, so one hot key spreads over ``salt`` reducers instead
+    of one straggler. Small-side shuffle grows ×salt — use when the
+    small side is too big to broadcast but the big side is skewed."""
+    bigs = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)))
+    smalls = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(salt)])))
+    return bigs.join(smalls, on + ["_salt"], how).drop("_salt")

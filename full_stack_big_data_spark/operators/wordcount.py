@@ -128,3 +128,22 @@ def wordcount_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("batch_cnt", F.lit(0)) - F.coalesce("speed_cnt", F.lit(0))).alias("diff"),
         )
     )
+
+
+@register(
+    "wordcount_salted",
+    oracle=_WC_SQL,
+    description="word count via two-phase salted aggregation (hot-key skew mitigation)",
+    tags=("wordcount", "agg", "skew"),
+)
+def wordcount_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as ``wordcount_batch`` through the salted path: group
+    by (word, salt) for partials, then by word for the merge — one hot
+    word spreads over 16 reducers instead of one straggler. The oracle
+    is identical to the plain word count because salting only
+    reassociates the aggregation."""
+    from ..functions.skew import salted_agg
+    from ..functions.text import tokens
+    toks = (Catalog(spark, sf_dir).documents
+            .select(F.explode(tokens("text")).alias("word")))
+    return salted_agg(toks, ["word"], {"cnt": ("count", "*")}, salt=16)
