@@ -748,3 +748,104 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
              F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20-adapted: IN-subquery with aggregate HAVING over a relative
+# (scale-free) threshold — suppliers shipping more SMALL-part quantity
+# than the per-supplier average.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q20_heavy_suppliers",
+    oracle="""
+WITH per_supp AS (
+  SELECT l_suppkey, SUM(l_quantity) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'SMALL'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM per_supp
+                    WHERE qty > (SELECT SUM(qty) / COUNT(*) FROM per_supp))
+""",
+    description="TPC-H Q20-adapted: suppliers above average SMALL-part volume (IN + HAVING-style)",
+    tags=("join", "semi", "subquery", "agg"),
+)
+def q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    per_supp = (
+        cat.lineitem.select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(cat.part.where(F.col("p_type") == "SMALL")
+                          .select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    avg = per_supp.agg((F.sum("qty") / F.count("*")).alias("avg_qty"))
+    heavy = (per_supp.join(F.broadcast(avg))
+             .where(F.col("qty") > F.col("avg_qty"))
+             .select("l_suppkey"))
+    return (
+        cat.supplier.select("s_suppkey", "s_name")
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21-adapted: double correlation — late suppliers on multi-supplier
+# orders where no OTHER supplier was late (EXISTS + NOT EXISTS).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+              JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAYS
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAYS)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+    description="TPC-H Q21-adapted: sole-late supplier on multi-supplier orders",
+    tags=("join", "subquery", "exists", "agg", "topk"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decorrelated form of the EXISTS/NOT-EXISTS pair: per order,
+    count distinct suppliers and distinct LATE suppliers; a late
+    lineitem qualifies iff its order has ≥2 suppliers and exactly one
+    late supplier (necessarily l1's own). One extra aggregation replaces
+    two correlated subqueries — the same rewrite Catalyst/DuckDB apply,
+    made explicit so the fact table is scanned twice, not three times.
+    """
+    cat = Catalog(spark, sf_dir)
+    li = (cat.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(cat.orders.select("o_orderkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+          .withColumn("late",
+                      F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")))
+    per_order = li.groupBy(F.col("l_orderkey").alias("po_key")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    return (
+        li.where(F.col("late"))
+        .join(per_order, F.col("l_orderkey") == F.col("po_key"))
+        .where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(cat.supplier.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
