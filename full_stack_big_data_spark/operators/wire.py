@@ -65,3 +65,43 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _tweets(spark, sf_dir)
     return from_json_bytes(to_json_bytes(t, ["username", "text", "timestamp"]),
                            TWEET_SCHEMA)
+
+
+@register(
+    "json_deadletter",
+    oracle="""
+SELECT CASE WHEN doc_id % 10 = 0 THEN 'dead' ELSE 'ok' END AS channel,
+       COUNT(*) AS n
+FROM documents
+GROUP BY channel
+""",
+    description="dead-letter channel: corrupt payloads routed, not dropped (SURVEY §7 risk 3)",
+    tags=("serde", "json", "deadletter"),
+)
+def json_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third error mode beyond the reference's drop (T1) and throw (T2):
+    decode failures become rows on a dead-letter channel carrying the
+    raw payload, so bad data is quarantined and auditable instead of
+    silently vanishing — the posture a 100 TB ingest actually needs.
+    Corruption is injected deterministically (every 10th doc's JSON is
+    truncated) so the channel split has an exact oracle.
+    """
+    # Build payloads keyed by doc_id, truncating every 10th to invalid JSON.
+    src = Catalog(spark, sf_dir).documents.select(
+        "doc_id",
+        F.to_json(F.struct(
+            F.concat(F.lit("user_"), (F.col("doc_id") % 50)).alias("username"),
+            F.col("text"),
+            (F.col("n_chars") * 1000).alias("timestamp"),
+        )).alias("payload"))
+    corrupted = src.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, F.substring("payload", 1, 5))
+        .otherwise(F.col("payload")).alias("payload"))
+    decoded = corrupted.select(
+        "doc_id", "payload",
+        F.from_json("payload", TWEET_SCHEMA).alias("pojo"))
+    routed = decoded.select(
+        F.when(F.col("pojo").isNull() | F.col("pojo.username").isNull(), "dead")
+        .otherwise("ok").alias("channel"))
+    return routed.groupBy("channel").agg(F.count("*").alias("n"))
