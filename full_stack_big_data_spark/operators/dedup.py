@@ -20,8 +20,9 @@ jaccard ≥ 0.8) in `documents`; these operators find them four ways:
 
 Portability: every hash that reaches results is md5-based (see
 ``functions.hashing``) so DuckDB reproduces signatures bit-for-bit.
-MinHash needs only a uniform hash with a total order, so we min over
-md5 *hex strings* — lexicographic order, identical in both engines.
+MinHash mins over an affine integer family derived from one md5 per
+shingle (exact BIGINT arithmetic mod 2³¹-1 — identical in both
+engines; see the constants block below).
 """
 
 from __future__ import annotations
