@@ -849,3 +849,23 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Value histogram: integer bucketing of a measure column.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_value_histogram",
+    oracle="""
+SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bucket, COUNT(*) AS n
+FROM events
+GROUP BY bucket
+""",
+    description="integer-bucket histogram of the events value column",
+    tags=("agg", "histogram"),
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    return (ev.groupBy(F.floor(F.col("value") / 10).cast("bigint").alias("bucket"))
+            .agg(F.count("*").alias("n")))

@@ -287,3 +287,32 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     return src.mapInPandas(scan, "vec_a bigint, vec_b bigint, cosine double")
+
+
+@register(
+    "q_embedding_stats",
+    oracle="""
+SELECT label, COUNT(*) AS n,
+       ROUND(MIN(list_cosine_similarity(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS self_cos,
+       MIN(len(embedding)) AS min_dim, MAX(len(embedding)) AS max_dim
+FROM embeddings GROUP BY label
+""",
+    description="per-label embedding sanity stats (count, self-cosine, dim bounds)",
+    tags=("similarity", "agg"),
+)
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus hygiene check a real pipeline runs before indexing:
+    per-label counts, dimension bounds (catches ragged arrays), and
+    self-cosine (1.0 unless a vector is zero/NaN — catches dead
+    embeddings). Order-independent aggregates only (min/max/count), so
+    the result is partitioning-invariant without decimal tricks."""
+    e = Catalog(spark, sf_dir).embeddings
+    return (
+        e.select("label",
+                 cosine_sim(F.col("embedding"), F.col("embedding")).alias("sc"),
+                 F.size("embedding").alias("dim"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"),
+             F.round(F.min("sc"), 6).alias("self_cos"),
+             F.min("dim").alias("min_dim"), F.max("dim").alias("max_dim"))
+    )
