@@ -94,3 +94,65 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("last_orderkey"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_orderdate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range join: bucketed interval equi-join + residual filter.
+# ---------------------------------------------------------------------------
+
+RANGE_DAYS = 30
+_EPOCH = "1992-01-01"
+
+
+def _bucket(col):
+    """30-day bucket index of a date column (portable integer math)."""
+    return F.floor(F.datediff(col, F.lit(_EPOCH).cast("date")) / RANGE_DAYS)
+
+
+@register(
+    "q_range_join",
+    oracle=f"""
+SELECT a.o_orderkey, COUNT(*) AS n_nearby
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey <> b.o_orderkey
+ AND b.o_orderdate >= a.o_orderdate - INTERVAL {RANGE_DAYS} DAYS
+ AND b.o_orderdate <= a.o_orderdate + INTERVAL {RANGE_DAYS} DAYS
+GROUP BY a.o_orderkey
+""",
+    description=f"range join: same-customer orders within ±{RANGE_DAYS} days, bucketed equi-join",
+    tags=("join", "range", "custom"),
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join done the scalable way: a raw inequality join is a
+    per-key cross product filtered late (quadratic on active customers).
+    Bucketing the time axis at the interval width turns it into an
+    equi-join on (key, bucket) — the probe side expands to its 3
+    adjacent buckets (any ±30-day neighbor must land there), and the
+    exact interval predicate runs as a residual filter on the tiny
+    per-bucket candidate set. Shuffle is by (key, bucket): bounded
+    fan-out, hash-partitionable, AQE-skew-splittable.
+    """
+    cat = Catalog(spark, sf_dir)
+    o = cat.orders.select("o_custkey", "o_orderkey", "o_orderdate")
+    probe = o.select(
+        F.col("o_custkey").alias("a_cust"), F.col("o_orderkey").alias("a_key"),
+        F.col("o_orderdate").alias("a_date"),
+        F.explode(F.array(_bucket(F.col("o_orderdate")) - 1,
+                          _bucket(F.col("o_orderdate")),
+                          _bucket(F.col("o_orderdate")) + 1)).alias("bucket"),
+    )
+    build = o.select(
+        F.col("o_custkey").alias("b_cust"), F.col("o_orderkey").alias("b_key"),
+        F.col("o_orderdate").alias("b_date"),
+        _bucket(F.col("o_orderdate")).alias("bucket"),
+    )
+    lo = F.col("a_date") - F.expr(f"INTERVAL {RANGE_DAYS} DAYS")
+    hi = F.col("a_date") + F.expr(f"INTERVAL {RANGE_DAYS} DAYS")
+    return (
+        probe.join(build, ["bucket"])
+        .where((F.col("a_cust") == F.col("b_cust"))
+               & (F.col("a_key") != F.col("b_key"))
+               & (F.col("b_date") >= lo) & (F.col("b_date") <= hi))
+        .groupBy(F.col("a_key").alias("o_orderkey"))
+        .agg(F.count("*").alias("n_nearby"))
+    )
