@@ -52,7 +52,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every operator module (side effect: registration) and
     return the registry."""
     from . import relational, relational_ext, wordcount, textanalysis, dedup, similarity  # noqa: F401
-    from . import multimodal, wire, sampling, asof  # noqa: F401
+    from . import multimodal, wire, sampling, asof, sketches  # noqa: F401
     from ..streaming import queries as _streaming_queries  # noqa: F401
     from ..streaming import stateful as _streaming_stateful  # noqa: F401
     from ..streaming import joins as _streaming_joins  # noqa: F401

@@ -1,0 +1,96 @@
+"""Sketches and rollup reuse — the last of the named custom operators.
+
+- ``q_sketch_kmv``: K-Minimum-Values distinct-count sketch. KMV keeps
+  the k smallest hash values of a set; (k-1)/h_k (with h_k the k-th
+  smallest, normalized to [0,1)) estimates the distinct count. Because
+  the hash is the engine-portable md5 ``hex64`` and the k-th smallest of
+  a fixed set is deterministic, the ESTIMATE itself is differentially
+  checkable against DuckDB — unlike ``approx_count_distinct``, whose
+  HLL internals are engine-private (that operator stays rows-only).
+  At scale the k-smallest pass is a per-partition top-k merged on one
+  tiny reducer: no global sort, state = k values per partition.
+
+- ``q_hypertable_rollup``: continuous-aggregate pattern (hypertable
+  rollup): a fine-grained hourly aggregate is the stored base; coarser
+  windows are answered by RE-aggregating the hourly table, never the
+  raw events. The oracle computes daily directly from raw events, so
+  the hash match proves hourly→daily re-aggregation is lossless —
+  the invariant that makes serving dashboards from rollups sound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..engine.catalog import Catalog
+from ..functions.hashing import hex64, hex64_sql
+from ..functions.text import token_ngrams_sql, tokens_sql
+from .dedup import _shingled
+from .registry import register
+
+KMV_K = 256
+_TWO60 = float(1 << 60)
+
+_SHINGLES_SQL = f"list_distinct({token_ngrams_sql(tokens_sql('text'), 3)})"
+
+
+@register(
+    "q_sketch_kmv",
+    oracle=f"""
+WITH ex AS (
+  SELECT DISTINCT unnest({_SHINGLES_SQL}) AS g FROM documents
+), hs AS (
+  SELECT DISTINCT {hex64_sql('g')} AS h FROM ex
+), kth AS (
+  SELECT MAX(h) AS hk FROM (SELECT h FROM hs ORDER BY h LIMIT {KMV_K})
+), n AS (
+  SELECT COUNT(*) AS true_distinct FROM hs
+)
+SELECT ROUND({KMV_K - 1}.0 * {_TWO60} / CAST(hk AS DOUBLE), 2) AS kmv_estimate,
+       true_distinct
+FROM kth CROSS JOIN n
+""",
+    description=f"KMV({KMV_K}) distinct-count sketch — estimate itself oracle-checked",
+    tags=("sketch", "distinct", "custom"),
+)
+def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hs = (_shingled(spark, sf_dir).select("g").distinct()
+          .select(hex64(F.col("g")).alias("h")).distinct())
+    kth = (hs.orderBy("h").limit(KMV_K)          # TakeOrdered: per-partition
+           .agg(F.max("h").alias("hk")))         # top-k, one tiny merge
+    n = hs.agg(F.count("*").alias("true_distinct"))
+    return (kth.crossJoin(n)
+            .select(F.round(F.lit(float(KMV_K - 1)) * _TWO60
+                            / F.col("hk").cast("double"), 2).alias("kmv_estimate"),
+                    "true_distinct"))
+
+
+@register(
+    "q_hypertable_rollup",
+    oracle="""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY day, event_type
+""",
+    description="hypertable rollup: daily aggregates re-aggregated from the hourly base",
+    tags=("rollup", "agg", "custom"),
+)
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"))
+    )
+    # Daily is served FROM the hourly rollup — counts sum, exact decimal
+    # partials sum; the oracle aggregates the raw events directly, so a
+    # hash match proves the re-aggregation is lossless.
+    return (
+        hourly.groupBy(F.date_format(F.date_trunc("day", "hour"), "yyyy-MM-dd").alias("day"),
+                       "event_type")
+        .agg(F.sum("n_events").alias("n_events"),
+             F.round(F.sum("sum_value"), 2).cast("double").alias("sum_value"))
+    )
