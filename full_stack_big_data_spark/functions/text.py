@@ -43,7 +43,7 @@ def tokens_sql(expr: str) -> str:
             f" t -> t <> '')")
 
 
-def char_ngrams(col: Column | str, n: int) -> Column:
+def char_ngrams(col: Column | str, n: int, *, pre_lowered: bool = False) -> Column:
     """Array of character n-grams of the lowercased string (distinct not
     applied). Pure Catalyst: sequence + transform + substring.
 
@@ -51,9 +51,14 @@ def char_ngrams(col: Column | str, n: int) -> Column:
     yields a DESCENDING ``[1, 0]`` (it never returns empty), unlike SQL
     ``range`` — without the guard short inputs crash or diverge from the
     DuckDB twin (caught by tests/test_portability.py).
+
+    Hot-path note: the input is referenced inside the ``transform``
+    lambda, whose body re-evaluates non-attribute expressions per
+    ELEMENT. Pass an attribute of pre-lowered text (``pre_lowered=True``)
+    to keep the lowercase pass at once-per-row instead of O(len²).
     """
     c = F.col(col) if isinstance(col, str) else col
-    s = F.lower(c)
+    s = c if pre_lowered else F.lower(c)
     grams = F.transform(
         F.sequence(F.lit(1), F.length(s) - (n - 1)),
         lambda i: s.substr(i, F.lit(n)),

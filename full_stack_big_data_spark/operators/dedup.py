@@ -46,11 +46,31 @@ _SHINGLES_SQL = (
 )
 
 
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s) — one row per doc, s = distinct token 3-gram shingles.
+
+    The compact per-doc form: signatures explode it, verification
+    intersects it map-side. Persisted by callers that consume it more
+    than once so tokenization+n-gramming runs a single time.
+    """
+    d = Catalog(spark, sf_dir).documents
+    # Tokenize into a real column first: token_ngrams references its input
+    # inside a transform() lambda, and a lambda body re-evaluates non-
+    # attribute expressions per ELEMENT. An attribute reference keeps the
+    # regex split at once-per-row (CollapseProject leaves multi-referenced
+    # non-cheap projections alone).
+    # Filter on token count, not size(s) > 0: they're equivalent (n-grams
+    # exist iff tokens ≥ n), but a filter on s would be pushed below the
+    # projections with the whole shingle expression re-inlined into it.
+    toks = (d.select("doc_id", tokens("text").alias("toks"))
+            .where(F.size("toks") >= SHINGLE_N))
+    sh = F.array_distinct(token_ngrams(F.col("toks"), SHINGLE_N))
+    return toks.select("doc_id", sh.alias("s"))
+
+
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, g) — distinct token 3-gram shingles, one row per shingle."""
-    d = Catalog(spark, sf_dir).documents
-    sh = F.array_distinct(token_ngrams(tokens("text"), SHINGLE_N))
-    return (d.select("doc_id", F.explode(sh).alias("g")))
+    return _shingle_sets(spark, sf_dir).select("doc_id", F.explode("s").alias("g"))
 
 
 # ---------------------------------------------------------------------------
@@ -148,7 +168,11 @@ WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
     tags=("dedup", "lsh", "bench"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ex = _shingled(spark, sf_dir)
+    # The per-doc shingle-set table feeds three consumers (signatures,
+    # candidate verify ×2); persisting it runs tokenize+n-gram once. At
+    # cluster scale this is the "shingle table" you'd checkpoint anyway.
+    sh = _shingle_sets(spark, sf_dir).persist()
+    ex = sh.select("doc_id", F.explode("s").alias("g"))
 
     # Signatures: ONE groupBy computing all 16 min-hashes (partial agg
     # before the shuffle — no per-hash explode). Each shingle is md5'd
@@ -181,18 +205,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ea = ex.select(F.col("doc_id").alias("doc_a"), "g")
-    eb = ex.select(F.col("doc_id").alias("doc_b"), "g")
-    inter = (
-        cand.join(ea, "doc_a").join(eb, ["doc_b", "g"])
-        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("i"))
-    )
+    # Verify: join each candidate pair to the compact per-doc arrays and
+    # intersect map-side — no shuffle of the exploded shingle table, and
+    # per-pair cost is bounded by document length, not corpus size.
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    i = F.size(F.array_intersect("sa", "sb"))
     jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
-        inter
-        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", i.alias("i"),
+                F.size("sa").alias("na"), F.size("sb").alias("nb"))
         .where(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )

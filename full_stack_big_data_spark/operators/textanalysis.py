@@ -139,11 +139,15 @@ FROM documents
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
-    return d.select(
+    # Lowercase once per row; char_ngrams' transform-lambda would
+    # otherwise re-lower the full text per gram (O(len²) per doc).
+    lowered = d.select("doc_id", "text", F.lower("text").alias("lc"))
+    return lowered.select(
         "doc_id",
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens("text")))))
          .alias("content_fp"),
-        F.array_min(F.transform(char_ngrams("text", 5), F.md5)).alias("winnow_min"),
+        F.array_min(F.transform(char_ngrams(F.col("lc"), 5, pre_lowered=True),
+                                F.md5)).alias("winnow_min"),
     )
 
 
