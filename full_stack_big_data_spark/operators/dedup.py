@@ -382,3 +382,73 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster formation (connected components over near-dup pairs).
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_minhash_oracle()}) mh
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), reach(node, lbl) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id,
+       MIN(lbl) AS cluster_id,
+       CAST(MIN(lbl) = node AS INTEGER) AS is_canonical
+FROM reach
+GROUP BY node
+""",
+    description="near-dup clusters: min-label connected components over MinHash pairs, canonical keeper per cluster",
+    tags=("dedup", "custom", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn pairwise near-dup hits into deletion decisions.
+
+    A dedup pipeline can't drop rows from a PAIR list — transitive
+    duplicates (a≈b, b≈c) must collapse into one cluster with one
+    canonical survivor. This is min-label propagation connected
+    components as a DataFrame loop: each round, every node takes the
+    min of its own label and its neighbors' labels; converged when no
+    label changes. Rounds = component diameter, and near-dup components
+    are tiny (duplicates of one origin), so 2-3 rounds in practice; at
+    cluster scale each round is one shuffle of the (bounded) edge list,
+    never of the corpus. The DuckDB oracle computes the same components
+    with a recursive CTE — transitive closure checked, not just pairs.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (pairs.union(pairs.select("doc_b", "doc_a"))
+             .toDF("src", "dst").persist())
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("lbl", F.col("node")).persist())
+    while True:
+        nbr_min = (edges.join(labels.withColumnRenamed("node", "src"), "src")
+                   .groupBy(F.col("dst").alias("node"))
+                   .agg(F.min("lbl").alias("nbr_lbl")))
+        new_labels = (labels.join(nbr_min, "node", "left")
+                      .select("node", F.least("lbl", F.coalesce("nbr_lbl", "lbl"))
+                              .alias("lbl"))
+                      .persist())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.lbl") != F.col("o.lbl"))
+                   .limit(1).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("lbl") == F.col("node")).cast("int").alias("is_canonical"),
+    )
