@@ -345,11 +345,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOTH prefixes (pigeonhole + minimality), so joining prefixes loses
     nothing, and prefixes are by construction the *rarest* shingles.
     Verification then counts the full intersection for the surviving
-    candidates only. Same results as the brute self-join (the oracle is
-    still the plain all-pairs SQL) at a fraction of the shuffle.
+    candidates only — map-side over the persisted per-doc shingle
+    arrays, so nothing re-shuffles the exploded table. Same results as
+    the brute self-join (the oracle is still the plain all-pairs SQL)
+    at a fraction of the shuffle.
     """
-    ex = _shingled(spark, sf_dir)
-    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sh = _shingle_sets(spark, sf_dir).persist()
+    ex = sh.select("doc_id", F.explode("s").alias("g"))
+    sizes = sh.select("doc_id", F.size("s").alias("n"))
     # ⌈t·n⌉ in exact integer arithmetic (t = 4/5): (4n + 4) div 5.
     prefix_len = (F.col("n") - ((F.lit(4) * F.col("n") + 4) / 5).cast("bigint") + 1)
     freq = ex.groupBy("g").agg(F.count("*").alias("df_g"))
@@ -359,26 +362,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w))
         .join(sizes, "doc_id")
         .where(F.col("pos") <= prefix_len)
-        .select("doc_id", "g")
+        .select("doc_id", "g", "n")
     )
+    # Length filter (lossless for jaccard ≥ 4/5): J ≤ min(|A|,|B|)/max,
+    # so 4·na ≤ 5·nb ∧ 4·nb ≤ 5·na — prunes size-incompatible pairs
+    # before the distinct and the verify join ever see them.
     cand = (
-        pref.select(F.col("doc_id").alias("doc_a"), "g")
-        .join(pref.select(F.col("doc_id").alias("doc_b"), "g"), "g")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        pref.select(F.col("doc_id").alias("doc_a"), "g", F.col("n").alias("pna"))
+        .join(pref.select(F.col("doc_id").alias("doc_b"), "g", F.col("n").alias("pnb")), "g")
+        .where((F.col("doc_a") < F.col("doc_b"))
+               & (4 * F.col("pna") <= 5 * F.col("pnb"))
+               & (4 * F.col("pnb") <= 5 * F.col("pna")))
         .select("doc_a", "doc_b")
         .distinct()
     )
-    a = ex.select(F.col("doc_id").alias("doc_a"), "g")
-    b = ex.select(F.col("doc_id").alias("doc_b"), "g")
-    inter = (
-        cand.join(a, "doc_a").join(b, ["doc_b", "g"])
-        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("i"))
-    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    i = F.size(F.array_intersect("sa", "sb"))
     jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
-        inter
-        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", i.alias("i"),
+                F.size("sa").alias("na"), F.size("sb").alias("nb"))
         .where(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
