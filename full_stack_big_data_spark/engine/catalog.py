@@ -26,15 +26,26 @@ TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
-# Fact-side tables whose downstream operators are compute-heavy (explode,
-# hashing, vector math). If the file layout gives the scan fewer splits
-# than the session has cores (the testdata is one row group per table —
-# one task per scan), decouple processing parallelism from input layout
-# with a round-robin repartition: the reference does exactly this for the
-# same reason (`KafkaSparkStreamingSpec.scala:186-191`). On a production
-# multi-file dataset the split count already exceeds parallelism and the
-# spread is skipped, so plans there keep the bare scan.
-SPREAD_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
+# Tables whose downstream operators are compute-heavy per row (shingle
+# explode, md5 hashing, vector math). If the file layout gives the scan
+# fewer splits than the session has cores (the testdata is one row group
+# per table — one task per scan), decouple processing parallelism from
+# input layout with a round-robin repartition: the reference does exactly
+# this for the same reason (`KafkaSparkStreamingSpec.scala:186-191`). On a
+# production multi-file dataset the split count already exceeds
+# parallelism and the spread is skipped, so plans there keep the bare scan.
+#
+# Relational facts (lineitem/orders/events) are deliberately NOT here:
+# their per-row work is plain codegen'd expressions, cheap enough that the
+# scan stage is never the bottleneck, while the spread costs a full extra
+# exchange per load — q18 loads lineitem twice and paid two fact-table
+# exchanges before doing any work (16.7 s → the round-1 bench outlier).
+SPREAD_TABLES = {"documents", "embeddings"}
+
+# Below this size the exchange costs more than the parallelism returns
+# (the whole table is a handful of Arrow batches); keeps the sf≤0.01
+# correctness sweep free of pointless shuffles.
+SPREAD_MIN_BYTES = 256 * 1024
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -56,7 +67,7 @@ class Catalog:
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":
             # nanos → micros, truncating (matches DuckDB/Arrow).
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        if name in SPREAD_TABLES:
+        if name in SPREAD_TABLES and self._size(name) >= SPREAD_MIN_BYTES:
             par = self.spark.sparkContext.defaultParallelism
             if self._est_splits(name) < max(2, par // 2):
                 # Filters still reach the scan: Catalyst pushes predicates
@@ -64,6 +75,13 @@ class Catalog:
                 # surviving rows.
                 df = df.repartition(par)
         return df
+
+    def _size(self, name: str) -> int:
+        p = self.path(name)
+        if os.path.isdir(p):
+            return sum(os.path.getsize(os.path.join(p, f))
+                       for f in os.listdir(p) if f.endswith(".parquet"))
+        return os.path.getsize(p) if os.path.exists(p) else 1 << 60
 
     def _est_splits(self, name: str) -> int:
         """Scan splits the file layout yields: Σ bytes / maxPartitionBytes

@@ -50,10 +50,19 @@ def register(name: str, oracle: str | None, description: str = "",
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every operator module (side effect: registration) and
-    return the registry."""
-    from . import relational, relational_ext, wordcount, textanalysis, dedup, similarity  # noqa: F401
-    from . import multimodal, wire, sampling, asof, sketches  # noqa: F401
+    return the registry.
+
+    Import order IS sweep order: the driver walks ``queries()`` in
+    registration order with a wall-clock budget, so modules whose queries
+    have never received a driver-green CORRECTNESS row run first
+    (round 1's sweep truncated at entry 50, leaving everything after the
+    relational corpus unverified). The relational queries — all driver-
+    green in round 1 — re-verify last.
+    """
+    from . import textanalysis, dedup, similarity, multimodal, wire  # noqa: F401
+    from . import sampling, asof, sketches  # noqa: F401
     from ..streaming import queries as _streaming_queries  # noqa: F401
     from ..streaming import stateful as _streaming_stateful  # noqa: F401
     from ..streaming import joins as _streaming_joins  # noqa: F401
+    from . import wordcount, relational, relational_ext  # noqa: F401
     return REGISTRY

@@ -554,7 +554,7 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        COUNT(*) AS events,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events
 WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
 GROUP BY event_type

@@ -67,7 +67,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "split_train_eval",
     oracle=f"""
-SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM (SELECT CASE WHEN {hex64_sql("'split|' || CAST(doc_id AS VARCHAR)")} % 100 < {SPLIT_EVAL_PCT}
                   THEN 'eval' ELSE 'train' END AS split,
              n_chars

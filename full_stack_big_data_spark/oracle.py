@@ -59,11 +59,18 @@ class CompareResult:
 
 def compare(name: str, spark_df: DataFrame, oracle_sql: str,
             con: "duckdb.DuckDBPyConnection") -> CompareResult:
-    s_cols = spark_df.columns
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    cur = con.execute(oracle_sql)
-    o_cols = [d[0] for d in cur.description]
-    o_rows = cur.fetchall()
+    # Both sides go through Arrow, exactly like the driver's harness. This
+    # is load-bearing for type fidelity: cursor.fetchall() would collapse
+    # DuckDB's widened types back to Python ints (e.g. SUM(BIGINT) →
+    # HUGEINT → int), hiding mismatches the driver's value-hash sees
+    # (HUGEINT surfaces as decimal128 via Arrow — caught round 1 on
+    # q_json_extract only by the driver, not locally).
+    s_tbl = spark_df.toArrow()
+    s_cols = s_tbl.column_names
+    s_rows = [tuple(d[c] for c in s_cols) for d in s_tbl.to_pylist()]
+    o_tbl = con.execute(oracle_sql).arrow()
+    o_cols = o_tbl.column_names
+    o_rows = [tuple(d[c] for c in o_cols) for d in o_tbl.to_pylist()]
 
     if sorted(s_cols) != sorted(o_cols):
         return CompareResult(name, False, len(s_rows), len(o_rows),
