@@ -55,7 +55,17 @@ def salted_join(big: DataFrame, small: DataFrame, on: list[str],
     """Equi-join with the big side salted and the small side replicated
     ``salt`` times, so one hot key spreads over ``salt`` reducers instead
     of one straggler. Small-side shuffle grows ×salt — use when the
-    small side is too big to broadcast but the big side is skewed."""
+    small side is too big to broadcast but the big side is skewed.
+
+    Only ``inner`` and ``left`` are supported: replicating the small side
+    is result-preserving when unmatched small-side rows are dropped, but
+    a right/full outer join would emit every unmatched small-side row
+    once per salt bucket."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how in ('inner', 'left'), got {how!r}: "
+            "the replicated small side would duplicate unmatched rows "
+            f"{salt}x under an outer join")
     bigs = big.withColumn(
         "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)))
     smalls = small.withColumn(

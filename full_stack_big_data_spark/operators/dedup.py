@@ -172,14 +172,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate verify ×2); persisting it runs tokenize+n-gram once. At
     # cluster scale this is the "shingle table" you'd checkpoint anyway.
     sh = _shingle_sets(spark, sf_dir).persist()
-    ex = sh.select("doc_id", F.explode("s").alias("g"))
 
-    # Signatures: ONE groupBy computing all 16 min-hashes (partial agg
-    # before the shuffle — no per-hash explode). Each shingle is md5'd
-    # once; the 16 family members are affine transforms of that value.
-    exh = ex.select("doc_id", (hex64(F.col("g")) % MH_P).alias("h"))
-    mh = exh.groupBy("doc_id").agg(*[
-        F.min((F.col("h") * _MH_A[i] + _MH_B[i]) % MH_P).alias(f"mh{i}")
+    # Signatures: computed entirely map-side. Each doc's shingle array is
+    # md5'd once into a bigint array (its own projection — an attribute
+    # reference, so the 16 consumers below don't re-inline the md5 work;
+    # see the CollapseProject note in _shingle_sets), then every family
+    # member is array_min over an affine transform of that array. Zero
+    # shuffle: the old explode → groupBy(doc_id) formulation shuffled the
+    # entire exploded shingle table (the engine's largest exchange) just
+    # to bring each doc's shingles back together — rows that start
+    # co-located, since a doc's shingles live in its own array.
+    hashed = sh.select("doc_id", "s",
+                       F.transform("s", lambda g: hex64(g) % MH_P).alias("h"))
+    mh = hashed.select("doc_id", *[
+        F.array_min(F.transform("h", lambda h: (h * _MH_A[i] + _MH_B[i]) % MH_P))
+        .alias(f"mh{i}")
         for i in range(N_HASHES)
     ])
 
@@ -268,17 +275,21 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
     tags=("dedup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ex = _shingled(spark, sf_dir)
-    h = hex64(F.col("g"))
-    sums = ex.groupBy("doc_id").agg(*[
-        F.sum(F.when(F.shiftright(h, j).bitwiseAND(1) == 1, 1).otherwise(-1)).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
-    ])
+    # Signature is map-side, like the minhash path: hash each doc's
+    # shingle array once (own projection → no re-inlining), then bit j of
+    # the signature is set iff Σ(±1) over shingles is > 0, i.e. iff
+    # strictly more than half the shingle hashes have bit j set. The old
+    # explode → groupBy(doc_id, 32 sums) shuffled the whole exploded
+    # shingle table; this shuffles nothing.
+    hashed = (_shingle_sets(spark, sf_dir)
+              .select("doc_id", F.transform("s", lambda g: hex64(g)).alias("h")))
+    ones = [F.size(F.filter("h", lambda x: F.shiftright(x, j).bitwiseAND(1) == 1))
+            for j in range(SIMHASH_BITS)]
     sig_expr = None
     for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(0)
+        term = F.when(ones[j] * 2 > F.size("h"), F.lit(1 << j)).otherwise(0)
         sig_expr = term if sig_expr is None else sig_expr + term
-    sig = sums.select("doc_id", sig_expr.cast("bigint").alias("simhash"))
+    sig = hashed.select("doc_id", sig_expr.cast("bigint").alias("simhash"))
 
     # Blocking: 8 nibble bands; pigeonhole-complete for hamming ≤ 4, so
     # no candidate the brute-force scan would keep is ever lost.

@@ -113,12 +113,19 @@ FROM documents,
     tags=("multimodal",),
 )
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = Catalog(spark, sf_dir).documents
+    return frame_rows(Catalog(spark, sf_dir).documents)
+
+
+def frame_rows(d: DataFrame) -> DataFrame:
+    """One (doc_id, frame_idx, frame_md5) row per FRAME_BYTES stride."""
     n_frames = F.ceil(F.length("text") / F.lit(float(FRAME_BYTES))).cast("bigint")
-    frames = F.transform(
+    # Empty payload guard: sequence(1, 0) yields a DESCENDING [1, 0] in
+    # Spark, which would fabricate two frames where the oracle's
+    # range(1, 1) correctly yields none.
+    frames = F.when(n_frames >= 1, F.transform(
         F.sequence(F.lit(1), n_frames),
         lambda i: F.md5(F.col("text").substr((i - 1) * FRAME_BYTES + 1, F.lit(FRAME_BYTES))),
-    )
+    )).otherwise(F.array().cast("array<string>"))
     return (
         d.select("doc_id", F.posexplode(frames).alias("frame_idx", "frame_md5"))
         .select("doc_id", F.col("frame_idx").cast("int").alias("frame_idx"), "frame_md5")

@@ -213,6 +213,122 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Broadcast path is used while the corpus parquet fits well under driver/
+# executor memory as a dense float64 matrix (bytes on disk ≈ bytes as
+# float32; ×2 for the widen). 256 MiB of parquet ≈ 1 M vectors at dim 64
+# — far below the ~10 M hard ceiling, so the switch happens long before
+# the broadcast path degrades. Past it, the same exact kernel runs as a
+# block-pair join with no driver materialization at all.
+NEARDUP_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+NEARDUP_BLOCK_ROWS = 65536          # ~32 MiB float64 per block side at dim 64
+_NEARDUP_SCHEMA = "vec_a bigint, vec_b bigint, cosine double"
+
+
+def _neardup_pairs(aid, amat, bid, bmat, thresh, margin):
+    """Exact near-dup pairs between two id/matrix sides (BLAS filter +
+    strict left-to-right re-score). Returns a pandas DataFrame or None.
+
+    The matmul only *filters* with an ε-margin — BLAS accumulation order
+    differs from the oracle's ``aggregate`` in the last ulp; survivors (a
+    tiny set) are re-scored with left-to-right accumulation, bit-identical
+    to DuckDB, so exactness never depends on BLAS rounding.
+    """
+    anorm = np.sqrt((amat * amat).sum(axis=1))
+    bnorm = np.sqrt((bmat * bmat).sum(axis=1))
+    sims = (amat @ bmat.T) / np.outer(anorm, bnorm)
+    cand = (sims >= thresh - margin) & (aid[:, None] < bid[None, :])
+    ai, bi = np.nonzero(cand)
+    if not len(ai):
+        return None
+    va, vb = amat[ai], bmat[bi]
+    dot = np.zeros(len(ai)); na = np.zeros(len(ai)); nb = np.zeros(len(ai))
+    for j in range(va.shape[1]):
+        dot += va[:, j] * vb[:, j]
+        na += va[:, j] * va[:, j]
+        nb += vb[:, j] * vb[:, j]
+    cos = dot / (np.sqrt(na) * np.sqrt(nb))
+    keep = cos >= thresh
+    return pd.DataFrame({
+        "vec_a": aid[ai[keep]],
+        "vec_b": bid[bi[keep]],
+        # HALF_UP at 6 decimals (cos > 0 here), matching F.round/DuckDB.
+        "cosine": np.floor(cos[keep] * 1e6 + 0.5) / 1e6,
+    })
+
+
+def _neardup_broadcast(spark: SparkSession, src: DataFrame) -> DataFrame:
+    """Corpus broadcast as one dense matrix; a single ``mapInPandas`` scan
+    computes each Arrow batch's similarities as one BLAS matmul — one
+    scan, zero shuffle, zero pair-row explosion."""
+    pdf_all = src.toPandas()  # build side: same materialization a broadcast join does
+    ids_all = pdf_all["vec_id"].to_numpy(dtype=np.int64)
+    mat_all = np.stack(pdf_all["embedding"].to_numpy()).astype(np.float64)
+    bc = spark.sparkContext.broadcast((ids_all, mat_all))
+    thresh, margin = NEARDUP_COS, 1e-6
+
+    def scan(batches):
+        ids_b, mat_b = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            aid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            amat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            out = _neardup_pairs(aid, amat, ids_b, mat_b, thresh, margin)
+            if out is not None:
+                yield out
+
+    return src.mapInPandas(scan, _NEARDUP_SCHEMA)
+
+
+def _neardup_blockpair(spark: SparkSession, src: DataFrame,
+                       block_rows: int = NEARDUP_BLOCK_ROWS) -> DataFrame:
+    """All-pairs near-dup as a block-pair join — no driver materialization.
+
+    The corpus is range-partitioned on vec_id into contiguous blocks of
+    ~``block_rows`` vectors, each packed into one row of (ids, vecs)
+    arrays. A tiny driver-built (blk_a ≤ blk_b) pair table equi-joins the
+    packed table twice, so every block pair meets exactly once; the same
+    BLAS-filter + exact-re-score kernel runs per pair. Range blocking
+    makes the ``vec_a < vec_b`` mask uniform: for blk_a < blk_b every
+    left id is below every right id, and the diagonal blocks mask
+    in-block. Shuffle volume is N·√P-ish (each block replicated once per
+    partner), the canonical exact all-pairs posture when nothing fits in
+    one task's memory — flops are identical to the broadcast path.
+    """
+    lo, hi = src.agg(F.min("vec_id"), F.max("vec_id")).first()
+    nblk = max(2, int(hi - lo) // block_rows + 1)
+    span = (int(hi - lo) // nblk) + 1
+    packed = (
+        src.groupBy(((F.col("vec_id") - lo) / span).cast("int").alias("blk"))
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))).alias("pk"))
+    )
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(nblk) for j in range(i, nblk)], "ba int, bb int")
+    joined = (
+        F.broadcast(pairs)
+        .join(packed.select(F.col("blk").alias("ba"), F.col("pk").alias("pa")), "ba")
+        .join(packed.select(F.col("blk").alias("bb"), F.col("pk").alias("pb")), "bb")
+        .repartition(nblk * (nblk + 1) // 2)  # one block pair per task
+    )
+    thresh, margin = NEARDUP_COS, 1e-6
+
+    def unpack(cell):
+        ids = np.fromiter((r["vec_id"] for r in cell), dtype=np.int64, count=len(cell))
+        mat = np.array([r["embedding"] for r in cell], dtype=np.float64)
+        return ids, mat
+
+    def scan(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                aid, amat = unpack(row["pa"])
+                bid, bmat = unpack(row["pb"])
+                out = _neardup_pairs(aid, amat, bid, bmat, thresh, margin)
+                if out is not None:
+                    yield out
+
+    return joined.mapInPandas(scan, _NEARDUP_SCHEMA)
+
+
 @register(
     "embedding_neardup",
     oracle=f"""
@@ -229,64 +345,20 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A row-level ``a JOIN b ON vec_a < vec_b`` explodes to N²/2 rows before
     the filter (1.25 B at sf0.1) — quadratic in the *row machinery*, not
-    just the arithmetic, and 100× slower than it needs to be. Instead the
-    corpus is broadcast once as a dense matrix and a single ``mapInPandas``
-    scan computes each Arrow batch's similarities as one BLAS matmul
-    (batch × corpusᵀ), emitting only the surviving pairs:
+    just the arithmetic, and 100× slower than it needs to be. Both real
+    paths compute per-pair similarities as dense BLAS matmuls and emit
+    only surviving pairs; the corpus' on-disk size picks the plan:
 
-    - one scan, zero shuffle, zero pair-row explosion; cost is pure
-      flops (N²·dim), which BLAS does at memory bandwidth;
-    - BLAS accumulation order differs from the oracle's left-to-right
-      ``aggregate`` in the last ulp, so the matmul only *filters* with an
-      ε-margin; survivors (a tiny set) are re-scored with strict
-      left-to-right accumulation, bit-identical to DuckDB — exactness
-      does not depend on BLAS rounding;
-    - posture: broadcast of the corpus matrix caps out around ~10 M
-      vectors (2.5 GB). Past that, the same kernel runs as a block-pair
-      join (chunk the corpus, cross-join chunk pairs), or drop to the
-      SRP-LSH path above when approximate recall is acceptable.
+    - small corpus → ``_neardup_broadcast``: matrix broadcast once, one
+      scan, zero shuffle;
+    - large corpus → ``_neardup_blockpair``: range-blocked pair join, no
+      driver materialization, no broadcast ceiling.
     """
-    e = Catalog(spark, sf_dir).embeddings
-    src = e.select("vec_id", "embedding")
-    # Build side: same driver-side materialization a broadcast join does.
-    pdf_all = src.toPandas()
-    ids_all = pdf_all["vec_id"].to_numpy(dtype=np.int64)
-    mat_all = np.stack(pdf_all["embedding"].to_numpy()).astype(np.float64)
-    norms_all = np.sqrt((mat_all * mat_all).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids_all, mat_all, norms_all))
-    thresh, margin = NEARDUP_COS, 1e-6
-
-    def scan(batches):
-        ids_b, mat_b, norms_b = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            aid = pdf["vec_id"].to_numpy(dtype=np.int64)
-            amat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            anorm = np.sqrt((amat * amat).sum(axis=1))
-            sims = (amat @ mat_b.T) / np.outer(anorm, norms_b)
-            cand = (sims >= thresh - margin) & (aid[:, None] < ids_b[None, :])
-            ai, bi = np.nonzero(cand)
-            if not len(ai):
-                continue
-            # Exact re-score: left-to-right accumulation, matching the
-            # oracle's aggregate()/DuckDB semantics element for element.
-            va, vb = amat[ai], mat_b[bi]
-            dot = np.zeros(len(ai)); na = np.zeros(len(ai)); nb = np.zeros(len(ai))
-            for j in range(va.shape[1]):
-                dot += va[:, j] * vb[:, j]
-                na += va[:, j] * va[:, j]
-                nb += vb[:, j] * vb[:, j]
-            cos = dot / (np.sqrt(na) * np.sqrt(nb))
-            keep = cos >= thresh
-            yield pd.DataFrame({
-                "vec_a": aid[ai[keep]],
-                "vec_b": ids_b[bi[keep]],
-                # HALF_UP at 6 decimals (cos > 0 here), matching F.round/DuckDB.
-                "cosine": np.floor(cos[keep] * 1e6 + 0.5) / 1e6,
-            })
-
-    return src.mapInPandas(scan, "vec_a bigint, vec_b bigint, cosine double")
+    cat = Catalog(spark, sf_dir)
+    src = cat.embeddings.select("vec_id", "embedding")
+    if cat._size("embeddings") <= NEARDUP_BROADCAST_MAX_BYTES:
+        return _neardup_broadcast(spark, src)
+    return _neardup_blockpair(spark, src)
 
 
 @register(

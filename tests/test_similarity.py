@@ -41,6 +41,25 @@ def test_neardup_pairs_ordered_and_thresholded(spark):
     assert all(r.cosine >= 0.40 for r in rows)
 
 
+def test_neardup_blockpair_matches_broadcast(spark):
+    """The block-pair fallback (the past-broadcast-ceiling plan) must be
+    bit-identical to the broadcast path: same pairs, same rounded
+    cosines. Tiny block_rows forces a real multi-block pair join — with
+    ~50 vectors and block_rows=16 every kind of block pair (diagonal and
+    off-diagonal) is exercised."""
+    from pyspark.sql import functions as F
+    from full_stack_big_data_spark.engine.catalog import Catalog
+    from full_stack_big_data_spark.operators.similarity import (
+        _neardup_blockpair, _neardup_broadcast,
+    )
+    src = Catalog(spark, SF_SMOKE).embeddings.select("vec_id", "embedding")
+    want = {(r.vec_a, r.vec_b): r.cosine
+            for r in _neardup_broadcast(spark, src).collect()}
+    got = {(r.vec_a, r.vec_b): r.cosine
+           for r in _neardup_blockpair(spark, src, block_rows=16).collect()}
+    assert want and got == want
+
+
 def test_ivf_partial_scan_exactness_and_recall(spark):
     """IVF returns the exact top-k *within the probed cells* (scores match
     the brute-force scores for the same pairs), and recall stays at or

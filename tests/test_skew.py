@@ -33,6 +33,19 @@ def test_salted_agg_sum_min_max(spark):
     assert _rows(plain) == _rows(salted)
 
 
+def test_salted_join_rejects_outer(spark):
+    """Replicating the small side x salt emits unmatched small-side rows
+    salt times under right/full outer — must be refused, not silently
+    wrong."""
+    import pytest
+    cat = Catalog(spark, SF_SMOKE)
+    li = cat.lineitem.select("l_orderkey")
+    o = cat.orders.select(F.col("o_orderkey").alias("l_orderkey"))
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(li, o, ["l_orderkey"], how=how)
+
+
 def test_salted_join_equals_plain_join(spark):
     cat = Catalog(spark, SF_SMOKE)
     li = cat.lineitem.select("l_orderkey", "l_quantity")

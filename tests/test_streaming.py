@@ -50,6 +50,32 @@ def test_reference_word_fixture_final_state(spark, tmp_path):
     assert {(r.word, r.cnt) for r in out.collect()} == {("alice", 2), ("bob", 1), ("joe", 1)}
 
 
+def test_streaming_wordcount_per_batch_updates_a1(spark, tmp_path):
+    """A1's emission contract, per batch — not just final state. Storm
+    emits one updated (word, count) per input record
+    (integration/StormSpec.scala:100-108: alice,bob,joe,alice →
+    (alice,1),(bob,1),(joe,1),(alice,2)); update mode with one record
+    per micro-batch must reproduce that exact update sequence."""
+    src = str(tmp_path / "words_a1")
+    _write_words(src, ["alice", "bob", "joe", "alice"])
+    for i, fname in enumerate(sorted(os.listdir(src))):
+        os.utime(os.path.join(src, fname), (1_000_000_000 + i, 1_000_000_000 + i))
+    sdf = (spark.readStream.schema(WORDS_SCHEMA)
+           .option("maxFilesPerTrigger", 1).json(src)
+           .select(F.col("word").alias("text")))
+    emissions = []
+
+    def capture(batch_df, batch_id):
+        rows = sorted((r.word, r.cnt) for r in batch_df.collect())
+        if rows:
+            emissions.append(rows)
+
+    q = (streaming_word_counts(sdf).writeStream.outputMode("update")
+         .foreachBatch(capture).trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert emissions == [[("alice", 1)], [("bob", 1)], [("joe", 1)], [("alice", 2)]]
+
+
 def test_chained_aggregation_a3(spark, tmp_path):
     """A3 (StormSpec.scala:60-61): aggregate over the word-count update
     stream via foreachBatch — one drain of the 4-word fixture produces one
