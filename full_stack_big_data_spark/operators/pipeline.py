@@ -1,0 +1,374 @@
+"""Pipeline operators: sessionization, heavy hitters, quantization,
+dedup application, bucketed co-located joins.
+
+The reference stops at word counting and interval counts
+(``/root/reference/README.md:31-55``); a production training-data
+pipeline also needs the corpus-shaping steps around those queries. Each
+operator here is the Spark-first formulation of one such step, with the
+same differential-oracle discipline as the rest of the engine:
+
+- ``q_sessionize`` — gap-based session assignment over the events table
+  (the classic clickstream/telemetry primitive).
+- ``q_heavy_hitters`` — EXACT corpus-frequency heavy hitters via a
+  bounded-memory map-side candidate pass + exact recount: the two-pass
+  pattern that keeps the big shuffle proportional to the answer, not the
+  vocabulary.
+- ``emb_quantize`` — int8 symmetric quantization of the embedding
+  column (what you'd do before shipping vectors to an ANN index).
+- ``dedup_apply`` — turns ``dedup_clusters``' decisions into the
+  surviving corpus (the actual output of a dedup pipeline).
+- ``q_bucketed_join`` — co-located fact join from bucketed storage:
+  both sides pre-bucketed on the join key, so the join itself needs no
+  exchange at all.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..engine.catalog import Catalog
+from ..functions.text import tokens, tokens_sql
+from .dedup import dedup_clusters
+from .registry import REGISTRY, register
+
+# ---------------------------------------------------------------------------
+# Sessionization.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+@register(
+    "q_sessionize",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS DISTINCT FROM NULL
+               AND epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   <= {SESSION_GAP_US}
+              THEN 0 ELSE 1 END AS new_s
+  FROM events
+), labeled AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM seq
+)
+SELECT user_id, session_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+FROM labeled
+GROUP BY user_id, session_id
+""",
+    description=f"gap-based sessionization ({SESSION_GAP_US // 60_000_000} min) over events",
+    tags=("events", "sessionize", "window"),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign events to sessions: a new session starts when a user's gap
+    to their previous event exceeds 30 minutes.
+
+    Scale posture: ONE hash shuffle of events on ``user_id`` computes
+    both windows (lag and running sum share the partitioning and sort);
+    the per-session groupBy is a second, already-partially-aggregated
+    exchange of session-level rows. No self-join formulation — the
+    naive "events × events within gap" is quadratic per user.
+    """
+    e = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_s = F.when(gap.isNotNull() & (gap <= SESSION_GAP_US), 0).otherwise(1)
+    labeled = e.select(
+        "user_id", "ts", "value",
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0))
+         .alias("session_id"),
+    )
+    return (
+        labeled.groupBy("user_id", "session_id")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+             .cast("double").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters, two-pass.
+# ---------------------------------------------------------------------------
+
+HH_PER_MILLE = 5        # report tokens with ≥ 0.5% of all token occurrences
+HH_MG_COUNTERS = 8192   # bounded map-side state per partition
+
+
+def _mg_candidates(toks: DataFrame) -> DataFrame:
+    """Map-side Misra-Gries/space-saving candidate pass: each partition
+    keeps at most ``HH_MG_COUNTERS`` weighted counters and emits their
+    keys. Bounded memory, ZERO shuffle — the one thing partial
+    aggregation cannot do (its map output is the whole per-partition
+    vocabulary; this is ≤ K rows per partition).
+
+    No-false-negative bound: a counter survives pruning whenever its
+    true in-partition count exceeds N_p / K (N_p = partition size). A
+    globally heavy token (≥ N·s) has, by pigeonhole, ≥ N·s/P occurrences
+    in some partition, so it survives there whenever K > P·(N_p/N)/s —
+    with balanced partitions that is K > P·(1/P)/s = 1/s = 200 at the
+    default support; K = 8192 leaves ~40× headroom for skewed layouts.
+    The exact recount below then makes the final answer exact.
+    """
+    def mg(batches):
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for tok, c in pdf["tok"].value_counts().items():
+                counts[tok] = counts.get(tok, 0) + int(c)
+            if len(counts) > HH_MG_COUNTERS:
+                # subtract the (size-K)-th smallest value from everyone,
+                # drop the non-positive: ≤ K survive, undercount bounded.
+                cut = sorted(counts.values())[len(counts) - HH_MG_COUNTERS - 1]
+                counts = {t: c - cut for t, c in counts.items() if c > cut}
+        if counts:
+            yield pd.DataFrame({"tok": list(counts.keys())})
+
+    return toks.mapInPandas(mg, "tok string").distinct()
+
+
+@register(
+    "q_heavy_hitters",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({tokens_sql('text')}) AS tok FROM documents
+), tot AS (
+  SELECT COUNT(*) AS n_total FROM toks
+), cnts AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+)
+SELECT tok, cnt, n_total,
+       ROUND(cnt * 1000.0 / n_total, 6) AS per_mille
+FROM cnts CROSS JOIN tot
+WHERE cnt * 1000 >= n_total * {HH_PER_MILLE}
+""",
+    description=f"exact heavy hitters ≥ {HH_PER_MILLE}‰ of token mass, two-pass MG + recount",
+    tags=("text", "heavy-hitters", "custom"),
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens holding ≥ 5‰ of all token occurrences — EXACT, in two
+    passes whose shuffles are both tiny:
+
+    1. candidate pass (:func:`_mg_candidates`): bounded-memory map-side
+       counters, emits ≤ K tokens per partition, no shuffle of the
+       vocabulary;
+    2. exact pass: broadcast-semi-join the candidate set back onto the
+       token stream (map-side filter), then recount ONLY candidates —
+       the groupBy shuffle carries candidate tokens, not the corpus
+       vocabulary.
+
+    A single ``groupBy(tok)`` is exact too, but its shuffle is the whole
+    vocabulary; at 100 TB that is the difference between shuffling the
+    answer and shuffling a term dictionary.
+    """
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select(F.explode(tokens("text")).alias("tok"))
+    cand = _mg_candidates(toks)
+    total = d.agg(F.sum(F.size(tokens("text"))).alias("n_total"))
+    return (
+        toks.join(F.broadcast(cand), "tok", "left_semi")
+        .groupBy("tok").agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * 1000 >= F.col("n_total") * HH_PER_MILLE)
+        .select("tok", "cnt", "n_total",
+                F.round(F.col("cnt") * 1000.0 / F.col("n_total"), 6).alias("per_mille"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding quantization.
+# ---------------------------------------------------------------------------
+
+@register(
+    "emb_quantize",
+    oracle="""
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mxabs
+  FROM embeddings
+), s AS (
+  SELECT vec_id, embedding,
+         CASE WHEN mxabs > 0 THEN 127.0 / mxabs ELSE 0.0 END AS scale
+  FROM m
+), q AS (
+  SELECT vec_id, scale,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)) AS qv
+  FROM s
+)
+SELECT vec_id,
+       ROUND(scale, 6) AS scale_r,
+       CAST(COALESCE(list_aggregate(qv, 'sum'), 0) AS BIGINT) AS q_sum,
+       md5(array_to_string(qv, ',')) AS q_md5
+FROM q
+""",
+    description="int8 symmetric quantization of embeddings (scale + checksums oracle-checked)",
+    tags=("embeddings", "quantize", "map-only"),
+)
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization: scale = 127/max|x|, q = ⌊x·scale+½⌋.
+
+    Map-only Catalyst array math — no shuffle, no Python. Rounding is
+    the explicit ``floor(x+0.5)`` so both engines agree bit-for-bit
+    (library round() differs on halves between engines). Each derived
+    value (mxabs, scale) is projected into its own attribute column
+    before use inside a transform lambda: lambda bodies re-evaluate
+    non-attribute expressions per ELEMENT, which would turn the per-row
+    max into O(dim²) work (same CollapseProject discipline as the
+    dedup shingle path).
+    """
+    e = Catalog(spark, sf_dir).embeddings
+    m = e.select(
+        "vec_id", "embedding",
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+         .alias("mxabs"),
+    )
+    s = m.select(
+        "vec_id", "embedding",
+        F.when(F.col("mxabs") > 0, F.lit(127.0) / F.col("mxabs"))
+         .otherwise(F.lit(0.0)).alias("scale"),
+    )
+    q = s.select(
+        "vec_id", "scale",
+        F.transform("embedding",
+                    lambda x: F.floor(x.cast("double") * F.col("scale") + F.lit(0.5))
+                               .cast("bigint")).alias("qv"),
+    )
+    return q.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale_r"),
+        F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.md5(F.concat_ws(",", F.transform("qv", lambda x: x.cast("string"))))
+         .alias("q_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup application: the surviving corpus.
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_apply",
+    oracle="""
+WITH cl AS ({clusters}),
+drops AS (
+  SELECT doc_id FROM cl WHERE is_canonical = 0
+), surv AS (
+  SELECT d.doc_id, d.n_chars FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+)
+SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_input,
+       CAST(COUNT(*) AS BIGINT) AS n_survivors,
+       CAST((SELECT COUNT(*) FROM documents) - COUNT(*) AS BIGINT) AS n_dropped,
+       CAST(SUM(doc_id) AS BIGINT) AS survivor_id_sum,
+       CAST(SUM(n_chars) AS BIGINT) AS survivor_chars
+FROM surv
+""".format(clusters=REGISTRY["dedup_clusters"].oracle),
+    description="apply cluster dedup: drop non-canonical members, emit surviving-corpus stats",
+    tags=("dedup", "custom"),
+)
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end product of the dedup pipeline: anti-join the corpus
+    against non-canonical cluster members and summarize the survivors
+    (counts + order-independent checksums, so the whole decision set is
+    oracle-hashed in one row).
+
+    Scale posture: the drop list is pairs-derived and tiny relative to
+    the corpus — the anti-join broadcasts it; the corpus is scanned
+    once, never shuffled.
+    """
+    d = Catalog(spark, sf_dir).documents
+    drops = (dedup_clusters(spark, sf_dir)
+             .where(F.col("is_canonical") == 0).select("doc_id"))
+    surv = d.join(F.broadcast(drops), "doc_id", "left_anti")
+    stats = surv.agg(
+        F.count("*").alias("n_survivors"),
+        F.sum("doc_id").alias("survivor_id_sum"),
+        F.sum("n_chars").alias("survivor_chars"),
+    )
+    n_input = d.agg(F.count("*").alias("n_input"))
+    return (
+        stats.crossJoin(F.broadcast(n_input))
+        .select(
+            "n_input", "n_survivors",
+            (F.col("n_input") - F.col("n_survivors")).alias("n_dropped"),
+            "survivor_id_sum", "survivor_chars",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join.
+# ---------------------------------------------------------------------------
+
+BUCKETS = 8
+
+
+@register(
+    "q_bucketed_join",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+    description=f"fact-fact join from storage bucketed {BUCKETS} ways on the join key — no join exchange",
+    tags=("join", "bucketing", "storage"),
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact join: both sides are first written bucketed (and
+    sorted) on the join key, then joined straight from storage — the
+    sort-merge join consumes bucketed scans with NO exchange on either
+    side (pinned in tests/test_plans.py).
+
+    This is the storage-layout answer to the brief's "co-locate joins
+    via bucketing": at 100 TB a fact-fact shuffle is the single biggest
+    line item in the query, and bucketing both tables on the join key at
+    write time deletes it from EVERY subsequent join. Values are
+    oracle-identical to the plain join, proving layout never leaks into
+    results. Table names are uniqued per call so the lazily-evaluated
+    result can never read another invocation's overwrite.
+    """
+    cat = Catalog(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="fsbd_bucketed_")
+    tag = uuid.uuid4().hex[:8]
+    sides = {
+        "orders": (cat.orders.select("o_orderkey", "o_orderpriority"), "o_orderkey"),
+        "lineitem": (cat.lineitem.select("l_orderkey", "l_extendedprice"), "l_orderkey"),
+    }
+    names = {}
+    for t, (df, key) in sides.items():
+        names[t] = f"fsbd_bucketed_{t}_{tag}"
+        (df.write.format("parquet")
+           .bucketBy(BUCKETS, key).sortBy(key)
+           .option("path", os.path.join(base, t))
+           .mode("overwrite").saveAsTable(names[t]))
+    o = spark.table(names["orders"])
+    li = spark.table(names["lineitem"])
+    return (
+        o.hint("merge").join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+             .cast("double").alias("revenue"),
+        )
+    )

@@ -13,6 +13,11 @@ Determinism rules every registered query follows:
 - alias every computed column identically in Spark and SQL;
 - money aggregates go through DECIMAL(18,4) (exact, order-independent)
   and are rounded before the final cast to double;
+- integer SUMs in oracles are wrapped ``CAST(SUM(...) AS BIGINT)``:
+  DuckDB widens SUM(BIGINT) to HUGEINT, which Arrow surfaces as
+  decimal128 and the driver's value-hash then mismatches against
+  Spark's int64 even when values are identical (round-1 q_json_extract
+  failure). COUNT stays BIGINT; MIN/MAX don't widen;
 - temporal outputs are formatted to strings (engine-neutral);
 - result-affecting hashing uses the md5-portable helpers.
 """
@@ -59,7 +64,7 @@ def load_all() -> dict[str, QuerySpec]:
     relational corpus unverified). The relational queries — all driver-
     green in round 1 — re-verify last.
     """
-    from . import textanalysis, dedup, similarity, multimodal, wire  # noqa: F401
+    from . import textanalysis, dedup, pipeline, similarity, multimodal, wire  # noqa: F401
     from . import sampling, asof, sketches  # noqa: F401
     from ..streaming import queries as _streaming_queries  # noqa: F401
     from ..streaming import stateful as _streaming_stateful  # noqa: F401

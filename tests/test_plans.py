@@ -85,3 +85,14 @@ def test_q3_takeordered(spark, reg):
     """Top-k compiles to TakeOrderedAndProject, not global sort."""
     plan = plan_string(reg["q3_shipping_priority"].builder(spark, SF))
     assert "TakeOrderedAndProject" in plan, plan[:3000]
+
+
+def test_bucketed_join_no_exchange(spark, reg):
+    """q_bucketed_join: the fact-fact join consumes bucketed scans with
+    ZERO exchanges — the only shuffle in the whole plan is the final
+    groupBy. This is the pin for "bucketing deletes the join shuffle"."""
+    df = reg["q_bucketed_join"].builder(spark, SF)
+    plan = plan_string(df, "simple")
+    assert "SortMergeJoin" in plan, plan[:3000]
+    assert plan.count("Bucketed: true") == 2, plan[:3000]
+    assert plan.count("Exchange") == 1, plan[:3000]
