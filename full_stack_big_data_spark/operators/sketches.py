@@ -94,3 +94,52 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_events").alias("n_events"),
              F.round(F.sum("sum_value"), 2).cast("double").alias("sum_value"))
     )
+
+
+@register(
+    "q_sketch_kmv_merge",
+    oracle=f"""
+WITH ex AS (
+  SELECT DISTINCT unnest({_SHINGLES_SQL}) AS g FROM documents
+), hs AS (
+  SELECT DISTINCT {hex64_sql('g')} AS h FROM ex
+), kth AS (
+  SELECT MAX(h) AS hk FROM (SELECT h FROM hs ORDER BY h LIMIT {KMV_K})
+)
+SELECT ROUND({KMV_K - 1}.0 * {_TWO60} / CAST(hk AS DOUBLE), 2) AS kmv_estimate,
+       (SELECT COUNT(DISTINCT source) FROM documents) AS n_sources
+FROM kth
+""",
+    description=f"KMV({KMV_K}) mergeability: per-source sketches merged == direct global sketch",
+    tags=("sketch", "distinct", "merge", "custom"),
+)
+def q_sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-sketch mergeability, oracle-proved.
+
+    Each document source keeps its own KMV sketch (k smallest distinct
+    shingle hashes); the global sketch is the k smallest of the UNION of
+    the per-source sketches. This is lossless: any of the k smallest
+    global hashes lives in at least one source, where fewer than k
+    hashes are smaller — so it is inside that source's sketch. The
+    oracle computes the k-min DIRECTLY over all hashes; a hash match
+    proves merged == direct, the invariant that lets 1000 executors keep
+    k values each instead of shuffling a distinct set.
+    """
+    from pyspark.sql import Window
+    d = Catalog(spark, sf_dir).documents
+    src = d.select("doc_id", "source")
+    ex = (_shingled(spark, sf_dir)
+          .join(F.broadcast(src), "doc_id")
+          .select("source", hex64(F.col("g")).alias("h"))
+          .distinct())
+    w = Window.partitionBy("source").orderBy("h")
+    per_source = (ex.withColumn("rn", F.row_number().over(w))
+                  .where(F.col("rn") <= KMV_K).select("source", "h"))
+    merged_kth = (per_source.select("h").distinct()
+                  .orderBy("h").limit(KMV_K)
+                  .agg(F.max("h").alias("hk")))
+    n_sources = d.agg(F.countDistinct("source").alias("n_sources"))
+    return (merged_kth.crossJoin(F.broadcast(n_sources))
+            .select(F.round(F.lit(float(KMV_K - 1)) * _TWO60
+                            / F.col("hk").cast("double"), 2).alias("kmv_estimate"),
+                    "n_sources"))

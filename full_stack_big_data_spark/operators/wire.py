@@ -105,3 +105,62 @@ def json_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("pojo").isNull() | F.col("pojo.username").isNull(), "dead")
         .otherwise("ok").alias("channel"))
     return routed.groupBy("channel").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Columnar/text file-format round-trips: the engine reads and writes more
+# than parquet. Each query writes the documents table out in the format
+# under test, reads it back, and aggregates — the oracle aggregates the
+# original table directly, so any serde asymmetry (type widening, quote/
+# escape handling, null round-trip) breaks the hash match.
+# ---------------------------------------------------------------------------
+
+_FMT_ORACLE = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(('0x' || substring(md5(text), 1, 15))::BIGINT % 1000000007) AS BIGINT)
+         AS text_checksum
+FROM documents
+GROUP BY lang
+"""
+
+
+def _format_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    import tempfile
+    from ..functions.hashing import hex64
+    d = Catalog(spark, sf_dir).documents.select(
+        "doc_id", "text", "lang", "source", "n_chars")
+    path = tempfile.mkdtemp(prefix=f"fsbd_{fmt}_rt_")
+    writer = d.write.mode("overwrite")
+    reader = spark.read
+    if fmt == "csv":
+        # quote/escape must survive arbitrary text payloads.
+        writer = writer.option("header", True).option("escape", '"')
+        reader = reader.option("header", True).option("escape", '"')
+    getattr(writer, fmt)(path)
+    back = getattr(reader.schema(d.schema), fmt)(path)
+    return (back.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.sum(hex64(F.col("text")) % 1000000007).alias("text_checksum")))
+
+
+@register(
+    "q_csv_roundtrip",
+    oracle=_FMT_ORACLE,
+    description="CSV write→read identity (header, quoting/escaping) over documents",
+    tags=("source", "format", "csv"),
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _format_roundtrip(spark, sf_dir, "csv")
+
+
+@register(
+    "q_orc_roundtrip",
+    oracle=_FMT_ORACLE,
+    description="ORC write→read identity over documents",
+    tags=("source", "format", "orc"),
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _format_roundtrip(spark, sf_dir, "orc")
