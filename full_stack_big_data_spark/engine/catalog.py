@@ -60,14 +60,18 @@ class Catalog:
     def path(self, name: str) -> str:
         return f"{self.sf_dir}/{name}.parquet"
 
-    def load(self, name: str) -> DataFrame:
+    def load(self, name: str, spread: bool = True) -> DataFrame:
+        """Load one table. ``spread=False`` skips the layout-adaptive
+        repartition — for consumers that immediately collect the table
+        driver-side (a broadcast build), where the exchange would be a
+        pure cost."""
         if name not in TABLES:
             raise KeyError(f"unknown table {name!r}; have {TABLES}")
         df = self.spark.read.parquet(self.path(name))
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":
             # nanos → micros, truncating (matches DuckDB/Arrow).
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        if name in SPREAD_TABLES and self._size(name) >= SPREAD_MIN_BYTES:
+        if spread and name in SPREAD_TABLES and self._size(name) >= SPREAD_MIN_BYTES:
             par = self.spark.sparkContext.defaultParallelism
             if self._est_splits(name) < max(2, par // 2):
                 # Filters still reach the scan: Catalyst pushes predicates

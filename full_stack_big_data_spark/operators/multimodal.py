@@ -160,3 +160,61 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     return src.mapInPandas(decode, _DECODE_SCHEMA)
+
+
+THUMB_BYTES = 64  # target "thumbnail" size for the stub resize
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+SELECT doc_id,
+       CAST(greatest(ceil(length(text) / {THUMB_BYTES}.0), 1) AS INTEGER) AS stride,
+       CAST(ceil(length(text) / greatest(ceil(length(text) / {THUMB_BYTES}.0), 1))
+            AS INTEGER) AS thumb_bytes,
+       CAST(COALESCE(list_aggregate(list_transform(
+              range(0, CAST(ceil(length(text) / greatest(ceil(length(text) / {THUMB_BYTES}.0), 1)) AS BIGINT)),
+              i -> ord(substring(text,
+                                 CAST(1 + i * greatest(ceil(length(text) / {THUMB_BYTES}.0), 1) AS BIGINT),
+                                 1))), 'sum'), 0) % 997 AS INTEGER) AS thumb_sum_mod
+FROM documents
+""",
+    description=f"stub resize: stride-downsample payload to ≤{THUMB_BYTES} bytes (real path = PIL resize)",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize step of the media pipeline, stubbed deterministically: the
+    payload is stride-downsampled to at most THUMB_BYTES samples (the
+    1-D analog of nearest-neighbor image downscaling; swap the sampling
+    line for ``PIL.Image.resize`` when a decoder is present). The
+    Spark-side shape is the real one: binary in, Arrow batch per task,
+    small typed summary out. Byte sampling has an exact SQL oracle
+    because payloads are ASCII (module docstring)."""
+    src = with_payload(Catalog(spark, sf_dir).documents)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            out = {"doc_id": pdf["doc_id"], "stride": [], "thumb_bytes": [],
+                   "thumb_sum_mod": []}
+            for buf in payloads:
+                n = len(buf)
+                k = max(-(-n // THUMB_BYTES), 1)  # ceil(n / THUMB), ≥ 1
+                thumb = buf[::k]
+                out["stride"].append(k)
+                out["thumb_bytes"].append(len(thumb))
+                out["thumb_sum_mod"].append(sum(thumb) % 997)
+            yield pd.DataFrame({
+                "doc_id": out["doc_id"],
+                "stride": pd.Series(out["stride"], dtype="int32"),
+                "thumb_bytes": pd.Series(out["thumb_bytes"], dtype="int32"),
+                "thumb_sum_mod": pd.Series(out["thumb_sum_mod"], dtype="int32"),
+            })
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("stride", IntegerType()),
+        StructField("thumb_bytes", IntegerType()),
+        StructField("thumb_sum_mod", IntegerType()),
+    ])
+    return src.mapInPandas(resize, schema)

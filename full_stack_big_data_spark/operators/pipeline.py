@@ -372,3 +372,48 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              .cast("double").alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition-pruned interval query over day-partitioned storage.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_partitioned_interval",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY event_type
+""",
+    description="interval query answered from day-partitioned storage with partition pruning",
+    tags=("events", "interval", "storage", "pruning"),
+)
+def q_partitioned_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's interval query (README.md:45-55) the way it must
+    run at 100 TB: events live hive-partitioned by day
+    (``sources/sinks.py``), the interval carries a redundant predicate on
+    the partition column, and the days outside the interval never reach
+    the scanner (PartitionFilters — pinned in tests/test_plans.py). The
+    ``ts`` predicate still applies row-exactly inside the boundary days;
+    values are oracle-identical to scanning the unpartitioned table, so
+    layout never leaks into results.
+    """
+    from ..sources.sinks import read_partitioned, write_partitioned_by_day
+    ev = Catalog(spark, sf_dir).events
+    path = tempfile.mkdtemp(prefix="fsbd_events_day_")
+    write_partitioned_by_day(ev, path)
+    lo, hi = "2024-01-05", "2024-01-15"
+    back = read_partitioned(spark, path)
+    return (
+        back
+        .where((F.col("event_date") >= lo) & (F.col("event_date") < hi))
+        .where((F.col("ts") >= F.lit(f"{lo} 00:00:00").cast("timestamp"))
+               & (F.col("ts") < F.lit(f"{hi} 00:00:00").cast("timestamp")))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("events"),
+             F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+              .cast("double").alias("total_value"))
+    )

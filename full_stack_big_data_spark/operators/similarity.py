@@ -256,11 +256,15 @@ def _neardup_pairs(aid, amat, bid, bmat, thresh, margin):
     })
 
 
-def _neardup_broadcast(spark: SparkSession, src: DataFrame) -> DataFrame:
+def _neardup_broadcast(spark: SparkSession, src: DataFrame,
+                       build: DataFrame | None = None) -> DataFrame:
     """Corpus broadcast as one dense matrix; a single ``mapInPandas`` scan
     computes each Arrow batch's similarities as one BLAS matmul — one
-    scan, zero shuffle, zero pair-row explosion."""
-    pdf_all = src.toPandas()  # build side: same materialization a broadcast join does
+    scan, zero shuffle, zero pair-row explosion. ``build`` (default:
+    ``src``) is the frame collected for the broadcast matrix — callers
+    pass an exchange-free scan of the same rows."""
+    # build side: same materialization a broadcast join does
+    pdf_all = (build if build is not None else src).toPandas()
     ids_all = pdf_all["vec_id"].to_numpy(dtype=np.int64)
     mat_all = np.stack(pdf_all["embedding"].to_numpy()).astype(np.float64)
     bc = spark.sparkContext.broadcast((ids_all, mat_all))
@@ -357,7 +361,11 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     src = cat.embeddings.select("vec_id", "embedding")
     if cat._size("embeddings") <= NEARDUP_BROADCAST_MAX_BYTES:
-        return _neardup_broadcast(spark, src)
+        # Build side collects driver-side immediately — read it without
+        # the catalog's layout spread, or the collect pays a full
+        # corpus exchange for parallelism it never uses.
+        build = cat.load("embeddings", spread=False).select("vec_id", "embedding")
+        return _neardup_broadcast(spark, src, build)
     return _neardup_blockpair(spark, src)
 
 

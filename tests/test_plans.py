@@ -96,3 +96,13 @@ def test_bucketed_join_no_exchange(spark, reg):
     assert "SortMergeJoin" in plan, plan[:3000]
     assert plan.count("Bucketed: true") == 2, plan[:3000]
     assert plan.count("Exchange") == 1, plan[:3000]
+
+
+def test_partitioned_interval_prunes(spark, reg):
+    """q_partitioned_interval: the interval reaches the scan as a
+    PARTITION filter on event_date (directories skipped), not only as a
+    row predicate."""
+    df = reg["q_partitioned_interval"].builder(spark, SF)
+    plan = plan_string(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("event_date" in ln for ln in pf), plan[:3000]

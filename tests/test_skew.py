@@ -54,3 +54,58 @@ def test_salted_join_equals_plain_join(spark):
     salted = salted_join(li, o, ["l_orderkey"], salt=8).select(
         "l_orderkey", "l_quantity", "o_orderpriority")
     assert _rows(plain) == _rows(salted)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's skew-join handling must fire in this engine's session
+    config: a join where one key holds most of the rows gets its hot
+    partition split at runtime (skew=true on the SortMergeJoin in the
+    final adaptive plan). This is the runtime half of the skew story —
+    functions/skew.py salting is the planned half."""
+    from conftest import SF_T2
+    from full_stack_big_data_spark.plans.checks import plan_string
+    confs = {
+        # Local-scale thresholds: partition sizes are COMPRESSED shuffle
+        # bytes, and a constant-key partition compresses hard — the hot
+        # side must be grown well past the threshold (explode ×20 below)
+        # for the stats to cross it.
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        # Multi-mapper input (skew splitting works at map-output
+        # granularity — a single-mapper shuffle cannot be split), with
+        # ~80% of rows exploded onto key 0: one ~1M-row hot partition.
+        li = (Catalog(spark, SF_T2).lineitem
+              .select("l_orderkey", "l_quantity", "l_extendedprice")
+              .repartition(16)
+              .withColumn("dup", F.explode(F.sequence(F.lit(1), F.lit(20)))))
+        skewed = li.withColumn(
+            "k", F.when(F.col("l_orderkey") % 10 < 8, F.lit(0))
+                  .otherwise(F.col("l_orderkey")))
+        dim = spark.range(0, 200_000).select(F.col("id").alias("k"),
+                                             (F.col("id") % 7).alias("grp"))
+        j = skewed.join(dim, "k").groupBy("grp").agg(F.count("*").alias("n"))
+        # Execute through the DataFrame's own query execution so the
+        # adaptive plan finalizes on THIS object (a write would execute
+        # a separate QueryExecution and leave this one unplanned).
+        assert len(j.collect()) > 0
+        plan = plan_string(j, "simple")
+        assert "isFinalPlan=true" in plan, plan[:2000]
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
