@@ -216,3 +216,121 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TFIDF_TOP)
         .select("doc_id", "tok", "tfidf", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (scrubbing step of a training-data pipeline).
+# ---------------------------------------------------------------------------
+
+# Portable across Java regex (Spark) and RE2 (DuckDB): character classes
+# and bounded repetition only.
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "555-[0-9]{4}"
+
+# The synthetic corpus contains no PII, so the fixture INJECTS it
+# deterministically (same trick as json_deadletter's corruption): every
+# doc_id % 3 == 0 gains an email + phone, % 3 == 1 an email only. The
+# oracle injects identically, so redaction counts and the md5 of the
+# scrubbed text are exact.
+_INJECT_SQL = """
+CASE WHEN doc_id % 3 = 0
+       THEN text || ' contact user' || doc_id || '@mail.example.com call 555-'
+                 || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+     WHEN doc_id % 3 = 1
+       THEN text || ' mail to user' || doc_id || '@example.org'
+     ELSE text END
+"""
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+WITH injected AS (
+  SELECT doc_id, {_INJECT_SQL} AS t FROM documents
+), redacted AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones,
+         regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_PHONE_RE}', '<PHONE>', 'g') AS clean
+  FROM injected
+)
+SELECT doc_id, n_emails, n_phones, md5(clean) AS clean_md5 FROM redacted
+""",
+    description="PII scrub: email/phone redaction with exact counts (deterministic injection fixture)",
+    tags=("text", "pii", "map-only"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails and phone numbers, counting what was removed.
+
+    Map-only Catalyst regex — no shuffle, no Python. Patterns stick to
+    character classes + bounded repetition, the regex subset with
+    identical semantics in Java regex and RE2 (anything fancier —
+    backreferences, lookahead — is non-portable AND non-vectorizable).
+    The md5 of the scrubbed text makes the oracle sensitive to every
+    byte of the replacement, not just the counts.
+    """
+    d = Catalog(spark, sf_dir).documents
+    injected = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+                        F.lit("@mail.example.com call 555-"),
+                        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"),
+                               4, "0")))
+         .when(F.col("doc_id") % 3 == 1,
+               F.concat(F.col("text"), F.lit(" mail to user"), F.col("doc_id"),
+                        F.lit("@example.org")))
+         .otherwise(F.col("text")).alias("t"),
+    )
+    return injected.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("t", F.lit(_PHONE_RE)).alias("n_phones"),
+        F.md5(F.regexp_replace(
+            F.regexp_replace("t", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE, "<PHONE>")).alias("clean_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Column profiling (the data-quality pass before any training run).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_profile_documents",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT lang) AS langs,
+       COUNT(DISTINCT source) AS sources,
+       CAST(SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT) AS empty_texts,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(ROUND(AVG(CAST(n_chars AS DECIMAL(18,6))), 4) AS DOUBLE) AS avg_chars,
+       CAST(SUM(CASE WHEN len({tokens_sql('text')}) < 3 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs
+FROM documents
+""",
+    description="corpus profile: cardinalities, null/empty rates, length stats in one pass",
+    tags=("text", "profile", "agg"),
+)
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass corpus profile (the pre-training data-quality report).
+    All measures are partial-aggregatable, so the plan is a single scan
+    + one tiny exchange regardless of corpus size; exact distincts here
+    are low-cardinality metadata columns (use approx_count_distinct for
+    high-cardinality profiling — `q_approx_distinct` shows that path).
+    """
+    d = Catalog(spark, sf_dir).documents
+    tok = tokens("text")
+    return d.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("lang").alias("langs"),
+        F.countDistinct("source").alias("sources"),
+        F.sum(F.when(F.col("text").isNull() | (F.col("text") == ""), 1)
+               .otherwise(0)).alias("empty_texts"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg(F.col("n_chars").cast("decimal(18,6)")), 4)
+         .cast("double").alias("avg_chars"),
+        F.sum(F.when(F.size(tok) < 3, 1).otherwise(0)).alias("short_docs"),
+    )

@@ -121,3 +121,60 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     rows = spark.read.parquet(out_dir).collect()
     assert len(rows) == 4  # no reprocessing of the first two files
     assert sorted(r.seq for r in rows) == [0, 1, 2, 3]
+
+
+def test_streaming_rollup_matches_batch_and_is_idempotent(spark, tmp_path):
+    """Continuous-aggregate maintenance (streaming/rollup.py): the
+    incrementally-maintained hourly rollup equals the batch recompute
+    exactly, and replaying a micro-batch (foreachBatch's at-least-once
+    contract) leaves the served table unchanged."""
+    from full_stack_big_data_spark.engine.catalog import Catalog
+    from full_stack_big_data_spark.streaming.rollup import (
+        hourly_partials, maintain_hourly_rollup, serve_hourly,
+        write_batch_partials,
+    )
+    ev = Catalog(spark, SF_SMOKE).events
+    src = str(tmp_path / "events_files")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+
+    sdf = (spark.readStream.schema(ev.schema)
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    rollup = str(tmp_path / "rollup")
+    maintain_hourly_rollup(sdf, rollup, str(tmp_path / "ckpt"))
+
+    def rows(df):
+        return sorted((str(r.hour), r.event_type, r.n_events, str(r.sum_value))
+                      for r in df.collect())
+
+    served = rows(serve_hourly(spark, rollup))
+    batch = rows(hourly_partials(spark.read.parquet(src)))
+    assert served == batch and len(served) > 0
+
+    # Replay: foreachBatch is at-least-once — a recovered query re-runs a
+    # batch with the SAME batch_id and input. Find which source file each
+    # batch processed by matching partial content, then re-run its write.
+    # The overwrite-by-batch-id layout must leave the served table
+    # byte-identical (no double counting).
+    import os
+
+    def partial_rows(df):
+        return sorted((str(r.hour), r.event_type, r.n_events, str(r.sum_value))
+                      for r in df.collect())
+
+    bdirs = sorted(d for d in os.listdir(rollup) if d.startswith("batch_id="))
+    assert len(bdirs) == 3  # one per input file / micro-batch
+    files = sorted(p for p in os.listdir(src) if p.endswith(".parquet"))
+    by_batch = {d: partial_rows(spark.read.parquet(f"{rollup}/{d}"))
+                for d in bdirs}
+    replayed = 0
+    for fname in files:
+        fdf = spark.read.parquet(f"{src}/{fname}")
+        want = partial_rows(hourly_partials(fdf))
+        matches = [d for d, got in by_batch.items() if got == want]
+        assert matches, f"no batch dir matches partials of {fname}"
+        write_batch_partials(fdf, int(matches[0].split("=")[1]), rollup)
+        replayed += 1
+    assert replayed == 3
+    assert rows(serve_hourly(spark, rollup)) == batch
+    total = serve_hourly(spark, rollup).agg(F.sum("n_events")).first()[0]
+    assert total == ev.count()
