@@ -33,6 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..engine.catalog import Catalog
+from ..functions.hashing import hex64, hex64_sql
 from ..functions.text import tokens, tokens_sql
 from .dedup import dedup_clusters
 from .registry import REGISTRY, register
@@ -416,4 +417,128 @@ def q_partitioned_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("events"),
              F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
               .cast("double").alias("total_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (fixed token windows with overlap).
+# ---------------------------------------------------------------------------
+
+CHUNK_W = 32   # window length in tokens
+CHUNK_S = 24   # stride (8-token overlap between consecutive chunks)
+
+_STARTS_SQL = (f"range(1, greatest(len(toks) - {CHUNK_W}, 0) + 2, {CHUNK_S})")
+
+
+@register(
+    "doc_chunk_windows",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks, unnest({_STARTS_SQL}) AS start FROM t
+)
+SELECT doc_id,
+       CAST((start - 1) // {CHUNK_S} AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(toks, start, start + {CHUNK_W} - 1)) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(list_slice(toks, start, start + {CHUNK_W} - 1), ' ')) AS chunk_md5
+FROM s
+""",
+    description=f"fixed {CHUNK_W}-token chunk windows, stride {CHUNK_S} (context-window prep)",
+    tags=("pipeline", "chunking", "map-only"),
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into fixed-length token windows with overlap
+    — the step that turns variable-length documents into model-sized
+    training contexts.
+
+    Pure map-side: the start offsets are a per-row ``sequence`` (with
+    stride), exploded and sliced against the token-array attribute, so
+    the operator is a single scan with zero shuffle at any corpus size
+    and output rows ∝ input tokens / stride. The chunk md5 pins content,
+    not just shape, in the differential oracle. A doc shorter than one
+    window yields exactly one (short) chunk — same guard arithmetic on
+    both engines (``greatest(n - W, 0)``).
+    """
+    d = Catalog(spark, sf_dir).documents
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    s = t.select(
+        "doc_id", "toks",
+        F.explode(F.sequence(F.lit(1),
+                             F.greatest(F.size("toks") - CHUNK_W, F.lit(0)) + 1,
+                             F.lit(CHUNK_S))).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), CHUNK_W)
+    return s.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_S).cast("bigint").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (GPT-style concatenate-and-cut, parallel by bucket).
+# ---------------------------------------------------------------------------
+
+PACK_T = 128   # training sequence length in tokens
+PACK_B = 8     # independent packing streams (scales with the cluster)
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, len({tokens_sql('text')}) AS n_tokens,
+         {hex64_sql("'pack|' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tokens, h % {PACK_B} AS bucket,
+         SUM(n_tokens) OVER (PARTITION BY h % {PACK_B} ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+  FROM t
+)
+SELECT doc_id, bucket,
+       CAST(start_off // {PACK_T} AS BIGINT) AS seq_id,
+       CAST(start_off % {PACK_T} AS BIGINT) AS offset_in_seq,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN start_off % {PACK_T} + n_tokens > {PACK_T} THEN 1 ELSE 0 END AS INT)
+         AS spans_boundary
+FROM o
+""",
+    description=f"deterministic sequence packing into {PACK_T}-token streams, {PACK_B}-way parallel",
+    tags=("pipeline", "packing", "window"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each document its position in a packed training stream:
+    documents are concatenated in a deterministic hash order and cut
+    into fixed {T}-token sequences (the standard concatenate-and-cut
+    packing), so every doc gets (sequence id, offset) and a flag for
+    spanning a cut boundary.
+
+    A single global concatenation order would serialize the prefix-sum
+    into one partition — the classic window-function scale trap.
+    Instead the corpus is split into ``PACK_B`` independent packing
+    streams by content hash (layout-independent, like every sampling
+    operator), and the running offset is a per-bucket window prefix-sum:
+    each bucket packs in parallel, and B scales with the cluster while
+    per-bucket packing quality is unchanged (waste stays < one doc per
+    {T}-token sequence on average).
+    """
+    d = Catalog(spark, sf_dir).documents
+    t = d.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_tokens"),
+        hex64(F.concat(F.lit("pack|"), F.col("doc_id").cast("string"))).alias("h"),
+    ).withColumn("bucket", F.col("h") % PACK_B)
+    w = (Window.partitionBy("bucket").orderBy("h", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    o = t.withColumn("start_off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return o.select(
+        "doc_id", "bucket",
+        F.floor(F.col("start_off") / PACK_T).cast("bigint").alias("seq_id"),
+        (F.col("start_off") % PACK_T).cast("bigint").alias("offset_in_seq"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.when(F.col("start_off") % PACK_T + F.col("n_tokens") > PACK_T, 1)
+         .otherwise(0).cast("int").alias("spans_boundary"),
     )
