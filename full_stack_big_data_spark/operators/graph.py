@@ -1,0 +1,132 @@
+"""Iterative graph analytics: fixed-point PageRank over the event graph.
+
+``dedup_clusters`` (operators/dedup.py) already proves the engine runs
+iterative label propagation; this module adds the other canonical
+iterative workload — PageRank — with the loop UNROLLED into the logical
+plan (3 iterations), so even an "iterative algorithm" stays inside the
+declarative DataFrame surface and gets a full differential oracle
+(3 chained CTE blocks in DuckDB) instead of the weaker rows-only check.
+
+Determinism discipline: PageRank over doubles is NOT portable — float
+addition is order-dependent, and a 1000-executor shuffle sums in a
+different order every run. All rank arithmetic here is fixed-point
+BIGINT (scale 1e12) with explicit floor division at the two division
+sites; integer SUM is exactly associative, so the result is bit-identical
+on any partitioning, any engine. That is the same order-independence
+rule the money aggregates follow (DECIMAL there, fixed-point here
+because PageRank also needs division by degree).
+
+Scale posture: the edge list is built with one window shuffle and
+persisted with its out-degree pre-joined (reused by every iteration);
+each iteration is one partial-aggregated shuffle of edge contributions
+keyed by dst plus a broadcast of the 1-row dangling-mass aggregate. Node
+count enters as a driver-side scalar — catalog metadata, the one scalar
+every PageRank needs — not a data collect. For deep iteration counts,
+persist-per-iteration truncates plan growth (done here); at real cluster
+scale you would also checkpoint every ~10 rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..engine.catalog import Catalog
+from .registry import register
+
+PR_SCALE = 1_000_000_000_000  # fixed-point scale (1e12)
+PR_ITERS = 3
+PR_D_NUM, PR_D_DEN = 85, 100  # damping 0.85 as an exact rational
+
+
+def _oracle_sql() -> str:
+    """Unrolled 3-iteration fixed-point PageRank in DuckDB SQL."""
+    head = f"""
+WITH edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT user_id AS src,
+           lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+    FROM events)
+  WHERE dst IS NOT NULL AND dst <> src
+), deg AS (
+  SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+), nodes AS (
+  SELECT DISTINCT u FROM (SELECT src AS u FROM edges UNION ALL SELECT dst FROM edges)
+), n AS (
+  SELECT COUNT(*) AS nn FROM nodes
+), r0 AS (
+  SELECT u, CAST({PR_SCALE} // nn AS BIGINT) AS r FROM nodes CROSS JOIN n
+)"""
+    blocks = []
+    for k in range(PR_ITERS):
+        prev, cur = f"r{k}", f"r{k + 1}"
+        blocks.append(f""", c{k} AS (
+  SELECT e.dst AS u,
+         CAST(SUM(({PR_D_NUM} * p.r) // ({PR_D_DEN} * d.deg)) AS BIGINT) AS inc
+  FROM edges e JOIN {prev} p ON e.src = p.u JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+), m{k} AS (
+  SELECT CAST(COALESCE(SUM(p.r), 0) AS BIGINT) AS m
+  FROM {prev} p LEFT JOIN deg ON p.u = deg.src WHERE deg.src IS NULL
+), {cur} AS (
+  SELECT nodes.u,
+         CAST(({PR_D_DEN - PR_D_NUM} * {PR_SCALE}) // ({PR_D_DEN} * nn)
+              + COALESCE(inc, 0)
+              + ({PR_D_NUM} * m) // ({PR_D_DEN} * nn) AS BIGINT) AS r
+  FROM nodes CROSS JOIN n CROSS JOIN m{k} LEFT JOIN c{k} ON nodes.u = c{k}.u
+)""")
+    return (head + "".join(blocks)
+            + f"\nSELECT u AS user_id, r AS rank_fp FROM r{PR_ITERS}")
+
+
+@register(
+    "q_pagerank",
+    oracle=_oracle_sql(),
+    description=f"fixed-point PageRank, {PR_ITERS} unrolled iterations over the event succession graph",
+    tags=("graph", "iterative", "custom"),
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-succession graph (edge u→v when v's event
+    directly follows u's within an event_type stream).
+
+    The loop below unrolls into one DAG; each round is
+    ``edges ⋈ ranks → partial-agg by dst`` plus a broadcast 1-row
+    dangling-mass aggregate, i.e. exactly one rank-sized shuffle per
+    iteration. ``edges_deg`` is persisted once and reused by all
+    iterations — at scale this is the difference between scanning the
+    fact table once vs. per-round.
+    """
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    edges = (
+        ev.select(F.col("user_id").alias("src"),
+                  F.lead("user_id").over(w).alias("dst"))
+        .where(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edges_deg = edges.join(deg, "src").persist()
+    nodes = (edges_deg.select(F.col("src").alias("u"))
+             .union(edges_deg.select(F.col("dst").alias("u")))
+             .distinct().persist())
+    nn = nodes.count()  # catalog scalar: |V|, needed in the rank constants
+
+    base = (PR_D_DEN - PR_D_NUM) * PR_SCALE // (PR_D_DEN * nn)
+    r = nodes.withColumn("r", F.lit(PR_SCALE // nn).cast("bigint"))
+    dangling = nodes.join(deg, nodes.u == deg.src, "left_anti")
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges_deg.join(r, edges_deg.src == r.u)
+            .select(F.col("dst").alias("u"),
+                    F.expr(f"({PR_D_NUM} * r) div ({PR_D_DEN} * deg)").alias("c"))
+            .groupBy("u").agg(F.sum("c").cast("bigint").alias("inc"))
+        )
+        m = (dangling.join(r, "u")
+             .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("bigint").alias("m")))
+        r = (
+            nodes.join(contrib, "u", "left").crossJoin(F.broadcast(m))
+            .select("u",
+                    (F.lit(base) + F.coalesce(F.col("inc"), F.lit(0))
+                     + F.expr(f"({PR_D_NUM} * m) div ({PR_D_DEN} * {nn})"))
+                    .cast("bigint").alias("r"))
+        ).persist()
+    return r.select(F.col("u").alias("user_id"), F.col("r").alias("rank_fp"))
