@@ -869,3 +869,69 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir).events
     return (ev.groupBy(F.floor(F.col("value") / 10).cast("bigint").alias("bucket"))
             .agg(F.count("*").alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# Statistical moments, portably.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_stats_moments",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS sx,
+         SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS sxx,
+         SUM(CAST(user_id AS DECIMAL(18,6))) AS sy,
+         SUM(CAST(user_id AS DECIMAL(18,6)) * CAST(user_id AS DECIMAL(18,6))) AS syy,
+         SUM(CAST(value AS DECIMAL(18,6)) * CAST(user_id AS DECIMAL(18,6))) AS sxy
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(ROUND(CAST(sx AS DOUBLE) / n, 6) AS DOUBLE) AS mean_value,
+       CAST(ROUND(CAST(sxx AS DOUBLE) / n
+                  - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n), 6) AS DOUBLE)
+         AS var_value,
+       CAST(ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / SQRT((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                  6) AS DOUBLE) AS corr_value_user
+FROM s
+""",
+    description="mean/variance/correlation from decimal-exact sums (partitioning-invariant moments)",
+    tags=("events", "statistics", "agg"),
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moments WITHOUT the native stddev/corr aggregates.
+
+    Spark's ``stddev``/``corr`` accumulate in floating point, so their
+    low-order digits depend on partition merge order — fine for one run,
+    unacceptable for a differential oracle or a reproducible 1000-executor
+    pipeline. Here every sufficient statistic (Σx, Σx², Σy, Σy², Σxy) is
+    an exact DECIMAL partial aggregate (order-independent), and the
+    moments are derived from those sums in one deterministic double
+    expression per group. Same single-shuffle plan shape as any groupBy;
+    exactness costs nothing.
+    """
+    ev = Catalog(spark, sf_dir).events
+    x = F.col("value").cast("decimal(18,6)")
+    y = F.col("user_id").cast("decimal(18,6)")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"), F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"), F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    sy, syy = F.col("sy").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return s.select(
+        "event_type", "n",
+        F.round(sx / n, 6).cast("double").alias("mean_value"),
+        F.round(sxx / n - (sx / n) * (sx / n), 6).cast("double").alias("var_value"),
+        F.round((n * sxy - sx * sy)
+                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         .cast("double").alias("corr_value_user"),
+    )

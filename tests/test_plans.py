@@ -106,3 +106,27 @@ def test_partitioned_interval_prunes(spark, reg):
     plan = plan_string(df)
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and any("event_date" in ln for ln in pf), plan[:3000]
+
+
+def test_map_only_operators_have_no_exchange(spark, reg):
+    """text_repetition and doc_chunk_windows are pure map-side: their
+    plans must contain ZERO exchanges at any corpus size — the property
+    that makes them free at 100 TB."""
+    for name in ("text_repetition", "doc_chunk_windows"):
+        plan = plan_string(reg[name].builder(spark, SF))
+        assert plan.count("Exchange") == 0, f"{name}:\n{plan[:3000]}"
+
+
+def test_decontam_broadcasts_eval_grams(spark, reg):
+    """The eval n-gram set joins the train side as a broadcast — the
+    train corpus must never shuffle on gram."""
+    assert_broadcast_join(reg["decontam_overlap"].builder(spark, SF))
+
+
+def test_pack_sequences_single_shuffle(spark, reg):
+    """Sequence packing shuffles exactly once (hash by packing bucket);
+    a global-order formulation would both add an exchange and serialize
+    the prefix-sum into one partition."""
+    plan = plan_string(reg["pack_sequences"].builder(spark, SF), "simple")
+    assert plan.count("Exchange") == 1, plan[:3000]
+    assert "SinglePartition" not in plan, plan[:3000]
