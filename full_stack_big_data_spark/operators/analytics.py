@@ -1,0 +1,169 @@
+"""Product-analytics operators over the event stream: funnel, retention,
+anomaly detection.
+
+The reference's query surface stops at interval counts over the event
+stream (``/root/reference/README.md:45-55``); these are the three queries
+every team actually runs on that same stream once the counts exist. All
+three follow the engine's determinism rules (decimal-exact sufficient
+statistics, date formatting to strings) so each carries a full
+differential oracle.
+
+Scale posture: funnel stages and retention cohorts are user-keyed
+aggregates — every shuffle is user- or (cohort, day)-cardinality, never
+event-cardinality; anomaly detection broadcasts a per-type stats table
+(5 rows) back onto the stream so the outlier filter is map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..engine.catalog import Catalog
+from .registry import register
+
+Z_THRESHOLD = 3.0
+
+
+@register(
+    "q_funnel",
+    oracle="""
+WITH u AS (
+  SELECT DISTINCT user_id FROM events
+), t1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id
+)
+SELECT CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage,
+       COUNT(*) AS n_users
+FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+       LEFT JOIN t3 USING (user_id)
+GROUP BY funnel_stage
+""",
+    description="ordered view→click→purchase funnel: users per deepest stage reached",
+    tags=("events", "funnel", "analytics"),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: a click only counts after the user's
+    first view, a purchase only after that click (strict event-time
+    order, not mere type presence).
+
+    The correlated "first X after Y" steps are expressed as three
+    cascaded min-aggregates, each joining the previous stage's per-user
+    timestamp — every intermediate is user-cardinality, so at 100 TB the
+    event table is scanned once per stage (filtered map-side on
+    event_type, pushed to parquet) and nothing event-sized ever
+    shuffles.
+    """
+    ev = Catalog(spark, sf_dir).events.select("user_id", "event_type", "ts")
+    users = ev.select("user_id").distinct()
+    t1 = (ev.where(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    t2 = (ev.where(F.col("event_type") == "click").join(t1, "user_id")
+          .where(F.col("ts") > F.col("t1"))
+          .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    t3 = (ev.where(F.col("event_type") == "purchase").join(t2, "user_id")
+          .where(F.col("ts") > F.col("t2"))
+          .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    stage = (F.when(F.col("t3").isNotNull(), 3)
+             .when(F.col("t2").isNotNull(), 2)
+             .when(F.col("t1").isNotNull(), 1).otherwise(0))
+    return (
+        users.join(t1, "user_id", "left").join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(stage.alias("funnel_stage"))
+        .groupBy("funnel_stage").agg(F.count("*").alias("n_users"))
+    )
+
+
+@register(
+    "q_retention_cohorts",
+    oracle="""
+WITH first AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', cohort_day, d) AS BIGINT) AS day_offset,
+       COUNT(*) AS n_users
+FROM act JOIN first USING (user_id)
+GROUP BY 1, 2
+""",
+    description="cohort retention: users active N days after their first-seen day",
+    tags=("events", "retention", "analytics"),
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: cohort = first-seen day, cell =
+    distinct users active ``day_offset`` days later.
+
+    Two user-keyed shuffles (first-seen min, distinct active days) and a
+    (cohort, offset)-keyed count — the distinct collapses the event
+    table to ≤ users × days rows before anything joins, so the join
+    sides are both user-scale. Dates format to strings at the edge
+    (engine-neutral temporal rule).
+    """
+    ev = Catalog(spark, sf_dir).events
+    first = (ev.groupBy("user_id")
+             .agg(F.min(F.to_date("ts")).alias("cohort_day")))
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        act.join(first, "user_id")
+        .select(F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+                F.datediff("d", "cohort_day").cast("bigint").alias("day_offset"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@register(
+    "q_anomaly_zscore",
+    oracle=f"""
+WITH s AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS sx,
+         SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS sxx
+  FROM events GROUP BY event_type
+), st AS (
+  SELECT event_type,
+         CAST(sx AS DOUBLE) / n AS mean,
+         SQRT(CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) AS std
+  FROM s
+)
+SELECT event_id, e.event_type, value,
+       CAST(ROUND((value - mean) / std, 6) AS DOUBLE) AS z
+FROM events e JOIN st ON e.event_type = st.event_type
+WHERE (value - mean) / std > {Z_THRESHOLD}
+""",
+    description=f"per-type z-score outliers (z > {Z_THRESHOLD}) from decimal-exact moments, broadcast stats",
+    tags=("events", "anomaly", "broadcast-join"),
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag events whose value is > {Z}σ above their type's mean.
+
+    The stats table is one row per event_type, derived from decimal-exact
+    sums (same portability rule as ``q_stats_moments`` — native stddev is
+    merge-order-dependent) and explicitly broadcast, so the outlier pass
+    is a map-side filter over the stream: one event-table scan, zero
+    event-sized shuffle, output ∝ anomalies.
+    """
+    ev = Catalog(spark, sf_dir).events
+    x = F.col("value").cast("decimal(18,6)")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum(x).alias("sx"), F.sum(x * x).alias("sxx"))
+    mean = F.col("sx").cast("double") / F.col("n")
+    st = s.select(
+        "event_type", mean.alias("mean"),
+        F.sqrt(F.col("sxx").cast("double") / F.col("n") - mean * mean).alias("std"))
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        ev.join(F.broadcast(st), "event_type")
+        .where(z > Z_THRESHOLD)
+        .select("event_id", "event_type", "value",
+                F.round(z, 6).cast("double").alias("z"))
+    )
