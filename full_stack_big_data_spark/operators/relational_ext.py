@@ -935,3 +935,43 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
          .cast("double").alias("corr_value_user"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame window (value-based frame, the one frame type ROWS can't do).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_window_range_frame",
+    oracle="""
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_last_hour,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER w, 4) AS DOUBLE)
+         AS sum_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+    description="per-user trailing-hour RANGE frame: count and decimal-exact sum of the last 3600 s",
+    tags=("events", "window", "range-frame"),
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-one-hour aggregate per event — a RANGE (value-based)
+    frame over event time, which a ROWS frame cannot express when event
+    spacing is irregular.
+
+    Ordering is ``unix_micros(ts)`` (unique enough in the fixture;
+    RANGE peers at equal timestamps enter the frame together in both
+    engines, so ties are deterministic by definition). Same single
+    user-keyed shuffle as any per-user window; the frame sum
+    accumulates in DECIMAL so the result is partition-order-invariant.
+    """
+    ev = Catalog(spark, sf_dir).events
+    w = (Window.partitionBy("user_id").orderBy(F.unix_micros(F.col("ts")))
+         .rangeBetween(-3_600_000_000, 0))
+    return ev.select(
+        "event_id", "user_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w), 4)
+         .cast("double").alias("sum_last_hour"),
+    )

@@ -87,3 +87,34 @@ def test_hex64_agrees(con, gdf):
     s = _spark_rows(gdf.select("id", hex64("s")))
     d = _duck_rows(con, hex64_sql("s"))
     assert s == d
+
+
+# ---------------------------------------------------------------------------
+# Property-based extension: the gauntlet above is fixed cases; Hypothesis
+# searches the input space. Batched (one DataFrame per example set, not
+# one Spark job per string) and derandomized so CI time is bounded and
+# failures replay exactly.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),  # no lone surrogates
+        max_size=40),
+    min_size=1, max_size=24)
+
+
+@settings(max_examples=12, deadline=None, derandomize=True)
+@given(_texts)
+def test_tokenizer_and_hex64_agree_on_random_strings(spark, strings):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE g (id INTEGER, s VARCHAR)")
+    con.executemany("INSERT INTO g VALUES (?, ?)", list(enumerate(strings)))
+    gdf = spark.createDataFrame(list(enumerate(strings)), ["id", "s"])
+    for spark_col, duck_expr in (
+        (tokens("s"), tokens_sql("s")),
+        (token_ngrams(tokens("s"), 3), token_ngrams_sql(tokens_sql("s"), 3)),
+        (hex64("s"), hex64_sql("s")),
+    ):
+        assert _spark_rows(gdf.select("id", spark_col)) == _duck_rows(con, duck_expr)
