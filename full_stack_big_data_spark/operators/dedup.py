@@ -117,7 +117,8 @@ for _ in range(N_HASHES):
     _MH_B.append(_seed_lcg)
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(cand_pred: str = "a.doc_id < b.doc_id",
+                    head_cols: str = "doc_a, doc_b") -> str:
     mh_cols = ",\n         ".join(
         f"min(({_MH_A[i]} * h + {_MH_B[i]}) % {MH_P}) AS mh{i}"
         for i in range(N_HASHES)
@@ -142,7 +143,7 @@ WITH sh AS (
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ON a.band = b.band AND a.bucket = b.bucket AND {cand_pred}
 ), sizes AS (
   SELECT doc_id, len(s) AS n FROM sh
 ), inter AS (
@@ -152,13 +153,37 @@ WITH sh AS (
   JOIN ex eb ON eb.doc_id = c.doc_b AND eb.g = ea.g
   GROUP BY c.doc_a, c.doc_b
 )
-SELECT doc_a, doc_b,
+SELECT {head_cols},
        ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
 """
+
+
+def _band_rows(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) LSH rows from the compact shingle table —
+    signatures map-side (one md5 per shingle, affine family over it),
+    bands as an 8-row explode. Bucket joins downstream are equi-joins on
+    (band, bucket): shuffle bounded by signature size, never all-pairs."""
+    hashed = sh.select("doc_id", "s",
+                       F.transform("s", lambda g: hex64(g) % MH_P).alias("h"))
+    mh = hashed.select("doc_id", *[
+        F.array_min(F.transform("h", lambda h: (h * _MH_A[i] + _MH_B[i]) % MH_P))
+        .alias(f"mh{i}")
+        for i in range(N_HASHES)
+    ])
+    return mh.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", F.col(f"mh{2*b}").cast("string"),
+                                  F.col(f"mh{2*b+1}").cast("string"))).alias("bucket"),
+            ) for b in range(BANDS)
+        ])).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
 
 
 @register(
@@ -173,35 +198,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster scale this is the "shingle table" you'd checkpoint anyway.
     sh = _shingle_sets(spark, sf_dir).persist()
 
-    # Signatures: computed entirely map-side. Each doc's shingle array is
-    # md5'd once into a bigint array (its own projection — an attribute
-    # reference, so the 16 consumers below don't re-inline the md5 work;
-    # see the CollapseProject note in _shingle_sets), then every family
-    # member is array_min over an affine transform of that array. Zero
-    # shuffle: the old explode → groupBy(doc_id) formulation shuffled the
-    # entire exploded shingle table (the engine's largest exchange) just
-    # to bring each doc's shingles back together — rows that start
-    # co-located, since a doc's shingles live in its own array.
-    hashed = sh.select("doc_id", "s",
-                       F.transform("s", lambda g: hex64(g) % MH_P).alias("h"))
-    mh = hashed.select("doc_id", *[
-        F.array_min(F.transform("h", lambda h: (h * _MH_A[i] + _MH_B[i]) % MH_P))
-        .alias(f"mh{i}")
-        for i in range(N_HASHES)
-    ])
-
-    # Bands: 8 (band, bucket) rows per doc; bucket joins are equi-joins on
-    # (band, bucket) — shuffle bounded by signature size, never all-pairs.
-    bands = mh.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", F.col(f"mh{2*b}").cast("string"),
-                                  F.col(f"mh{2*b+1}").cast("string"))).alias("bucket"),
-            ) for b in range(BANDS)
-        ])).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    # Signatures/bands map-side (see _band_rows): zero shuffle — the old
+    # explode → groupBy(doc_id) formulation shuffled the entire exploded
+    # shingle table (the engine's largest exchange) just to bring each
+    # doc's shingles back together.
+    bands = _band_rows(sh)
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -225,6 +226,62 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.size("sa").alias("na"), F.size("sb").alias("nb"))
         .where(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus index.
+# ---------------------------------------------------------------------------
+
+INCR_MOD, INCR_REM = 4, 3  # doc_id % 4 == 3 → the "newly arrived" batch
+
+
+@register(
+    "dedup_incremental",
+    oracle=_minhash_oracle(
+        cand_pred=(f"a.doc_id % {INCR_MOD} <> {INCR_REM} "
+                   f"AND b.doc_id % {INCR_MOD} = {INCR_REM}"),
+        head_cols="doc_a AS old_doc, doc_b AS new_doc",
+    ),
+    description="incremental dedup: 75% corpus index vs 25% new batch, bipartite LSH bucket join",
+    tags=("dedup", "lsh", "incremental"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup a NEWLY ARRIVED batch against the existing corpus — the
+    production workflow (dumps arrive periodically; you never re-pair
+    the whole corpus). The fixture carves the batch out of the documents
+    table by ``doc_id % 4 == 3``.
+
+    Same signature family and band layout as ``dedup_minhash_lsh``
+    (shared :func:`_band_rows`), so the corpus side IS a reusable index:
+    at scale its (band, bucket) rows are computed once per dump and
+    persisted, and each new batch joins its own (tiny) band rows against
+    the index — candidate generation cost ∝ new-batch size, never
+    corpus², and verification joins touch only candidate pairs.
+    """
+    sh = _shingle_sets(spark, sf_dir).persist()
+    is_new = F.col("doc_id") % INCR_MOD == INCR_REM
+    bands_old = _band_rows(sh.where(~is_new))
+    bands_new = _band_rows(sh.where(is_new))
+    cand = (
+        bands_old.alias("a").join(
+            bands_new.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    i = F.size(F.array_intersect("sa", "sb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", i.alias("i"),
+                F.size("sa").alias("na"), F.size("sb").alias("nb"))
+        .where(jac >= JACCARD_THRESHOLD)
+        .select(F.col("doc_a").alias("old_doc"), F.col("doc_b").alias("new_doc"),
+                F.round(jac, 6).alias("jaccard"))
     )
 
 
