@@ -109,6 +109,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
              .union(edges_deg.select(F.col("dst").alias("u")))
              .distinct().persist())
     nn = nodes.count()  # catalog scalar: |V|, needed in the rank constants
+    if nn == 0:  # empty graph: no nodes, no ranks (guards the // nn below)
+        return nodes.select(F.col("u").alias("user_id"),
+                            F.lit(0).cast("bigint").alias("rank_fp"))
 
     base = (PR_D_DEN - PR_D_NUM) * PR_SCALE // (PR_D_DEN * nn)
     r = nodes.withColumn("r", F.lit(PR_SCALE // nn).cast("bigint"))

@@ -266,6 +266,8 @@ def _neardup_broadcast(spark: SparkSession, src: DataFrame,
     # build side: same materialization a broadcast join does
     pdf_all = (build if build is not None else src).toPandas()
     ids_all = pdf_all["vec_id"].to_numpy(dtype=np.int64)
+    if not len(ids_all):  # empty corpus: no pairs (np.stack rejects [])
+        return spark.createDataFrame([], _NEARDUP_SCHEMA)
     mat_all = np.stack(pdf_all["embedding"].to_numpy()).astype(np.float64)
     bc = spark.sparkContext.broadcast((ids_all, mat_all))
     thresh, margin = NEARDUP_COS, 1e-6
