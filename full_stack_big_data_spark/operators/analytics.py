@@ -167,3 +167,133 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value",
                 F.round(z, 6).cast("double").alias("z"))
     )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, metric,
+       CAST(val AS DOUBLE) AS val
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS DOUBLE) AS quantity,
+         CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+         CAST(l_discount AS DOUBLE) AS discount,
+         CAST(l_tax AS DOUBLE) AS tax
+  FROM lineitem WHERE l_orderkey % 500 = 0
+) UNPIVOT (val FOR metric IN (quantity, extendedprice, discount, tax))
+""",
+    description="wide→long unpivot (melt) of the four lineitem measures",
+    tags=("relational", "unpivot", "map-only"),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt — the inverse of pivot (``q_pivot_status_priority``),
+    completing the reshape pair. Map-only: unpivot is a per-row expand
+    (rows ×4 here), no shuffle at any scale. Both engines drop NULL
+    measure values by default; measures are pre-cast to one type because
+    an unpivot value column must be homogeneous.
+    """
+    li = Catalog(spark, sf_dir).lineitem
+    w = (li.where(F.col("l_orderkey") % 500 == 0)
+         .select("l_orderkey", "l_linenumber",
+                 F.col("l_quantity").cast("double").alias("quantity"),
+                 F.col("l_extendedprice").cast("double").alias("extendedprice"),
+                 F.col("l_discount").cast("double").alias("discount"),
+                 F.col("l_tax").cast("double").alias("tax")))
+    return w.unpivot(["l_orderkey", "l_linenumber"],
+                     ["quantity", "extendedprice", "discount", "tax"],
+                     "metric", "val")
+
+
+@register(
+    "q_gapfill_hours",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), actual AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(spine.hour, '%Y-%m-%d %H:%M:%S') AS hour, types.event_type,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n_events
+FROM spine CROSS JOIN types
+LEFT JOIN actual ON actual.hour = spine.hour AND actual.event_type = types.event_type
+""",
+    description="dense hourly series per event type: calendar spine × types, zero-filled gaps",
+    tags=("events", "gapfill", "timeseries"),
+)
+def q_gapfill_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-fill the hourly series — downstream time-series models need
+    DENSE series, and "no rows that hour" must become an explicit 0.
+
+    The hour spine is generated (``sequence`` over the min/max bounds —
+    a 1-row broadcast), crossed with the distinct type dimension (tiny),
+    and the actual hourly counts left-join onto it. Spine × types is
+    hours × |types| rows — calendar-sized, never event-sized — so the
+    only event-cardinality work is the one partial-agg groupBy.
+    """
+    ev = Catalog(spark, sf_dir).events
+    bounds = ev.agg(F.date_trunc("hour", F.min("ts")).alias("lo"),
+                    F.date_trunc("hour", F.max("ts")).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"))
+    types = ev.select("event_type").distinct()
+    actual = (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+              .agg(F.count("*").alias("n")))
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(actual, ["hour", "event_type"], "left")
+        .select(F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                "event_type",
+                F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"))
+    )
+
+
+@register(
+    "q_cumulative_users",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+), new_by_day AS (
+  SELECT d0 AS d, COUNT(*) AS n_new FROM first_seen GROUP BY d0
+), days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new_users,
+       CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cumulative_users
+FROM days LEFT JOIN new_by_day USING (d)
+""",
+    description="running distinct-user count via the first-seen decomposition (no windowed COUNT DISTINCT)",
+    tags=("events", "window", "analytics"),
+)
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the metric behind every
+    "total signups" chart.
+
+    Windowed COUNT(DISTINCT) doesn't exist in Spark (and would hold
+    O(users) state per frame anywhere): the standard decomposition is
+    first-seen day per user → new-users per day → running SUM. Every
+    shuffle is user- or day-cardinality. The final window is ordered
+    over days — day-cardinality rows, so the single-partition window is
+    calendar-sized (fine at any event volume; years fit in one task).
+    """
+    ev = Catalog(spark, sf_dir).events
+    from pyspark.sql import Window
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    new_by_day = first.groupBy(F.col("d0").alias("d")).agg(F.count("*").alias("n_new"))
+    days = ev.select(F.to_date("ts").alias("d")).distinct()
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    filled = (days.join(new_by_day, "d", "left")
+              .select("d", F.coalesce("n_new", F.lit(0)).alias("n_new")))
+    return filled.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n_new").cast("bigint").alias("n_new_users"),
+        F.sum("n_new").over(w).cast("bigint").alias("cumulative_users"),
+    )
