@@ -31,6 +31,31 @@ def entry(spark: SparkSession) -> DataFrame:
     return reg["q3_shipping_priority"].builder(spark, "/root/testdata/sf0.001")
 
 
+def _verified_names() -> set[str]:
+    """Query names that already hold a clean driver CORRECTNESS row from
+    a previous round. The driver sweeps ``queries()`` in dict order under
+    a wall-clock budget (round 1 truncated at entry 50), so never-yet-
+    verified queries are emitted FIRST and re-verification of known-green
+    rows runs last."""
+    import json
+    import os
+
+    names: set[str] = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for fname in sorted(os.listdir(here)):
+        if fname.startswith("CORRECTNESS_r") and fname.endswith(".json"):
+            try:
+                with open(os.path.join(here, fname)) as f:
+                    rows = json.load(f)
+            except (OSError, ValueError):
+                continue
+            for name, row in rows.items():
+                if isinstance(row, dict) and row.get("rows_match") \
+                        and row.get("hash_match", True):
+                    names.add(name)
+    return names
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     def wrap(spec):
@@ -41,7 +66,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         run.__doc__ = spec.description
         return run
 
-    return {name: wrap(spec) for name, spec in load_all().items()}
+    reg = load_all()
+    seen = _verified_names()
+    ordered = ([n for n in reg if n not in seen] +
+               [n for n in reg if n in seen])
+    return {name: wrap(reg[name]) for name in ordered}
 
 
 def oracle_sql() -> dict[str, str]:
