@@ -34,3 +34,47 @@ def test_interval_query_prunes_partitions(spark, tmp_path):
     n_one = read_partitioned(spark, out).where(
         F.col("event_date") == some_day).count()
     assert n_one == src_counts[some_day]
+
+
+def test_compaction_preserves_content_and_reduces_files(spark, tmp_path):
+    """sources/sinks.py::compact — the small-files fix: 32 tiny files
+    compact into 1 target-sized file, byte-identical content, no shuffle
+    (coalesce keeps it a layout-only rewrite)."""
+    import os
+    from full_stack_big_data_spark.engine.catalog import Catalog
+    from full_stack_big_data_spark.sources.sinks import compact
+
+    ev = Catalog(spark, SF_SMOKE).events
+    small = str(tmp_path / "small")
+    ev.repartition(32).write.parquet(small)  # simulate per-batch dribble
+    n_small = sum(1 for f in os.listdir(small) if f.endswith(".parquet"))
+    assert n_small == 32
+
+    out = str(tmp_path / "compacted")
+    n_out = compact(spark, small, out)
+    assert n_out == 1  # sf0.001 events ≪ 128 MiB target
+
+    a = spark.read.parquet(small)
+    b = spark.read.parquet(out)
+    assert b.count() == a.count()
+    assert sorted(r.event_id for r in b.collect()) == \
+           sorted(r.event_id for r in a.collect())
+
+
+def test_merged_schema_reads_evolved_table(spark, tmp_path):
+    """sources/sinks.py::read_merged_schema — files written before a
+    column existed surface NULL for it; later files keep their values."""
+    from pyspark.sql import functions as F
+    from full_stack_big_data_spark.sources.sinks import read_merged_schema
+
+    path = str(tmp_path / "evolved")
+    old = spark.range(3).select(F.col("id").alias("k"))
+    new = spark.range(3, 6).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    old.write.parquet(path)
+    new.write.mode("append").parquet(path)  # schema evolved between writes
+
+    df = read_merged_schema(spark, path)
+    assert set(df.columns) == {"k", "v"}
+    rows = {r.k: r.v for r in df.collect()}
+    assert rows == {0: None, 1: None, 2: None, 3: 30, 4: 40, 5: 50}
