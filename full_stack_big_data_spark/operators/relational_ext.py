@@ -975,3 +975,75 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w), 4)
          .cast("double").alias("sum_last_hour"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension maintenance (CDC apply).
+# ---------------------------------------------------------------------------
+
+SCD2_D0 = "2024-01-01"      # dimension load date
+SCD2_CHG = "2024-06-01"     # change-batch effective date
+
+
+@register(
+    "q_scd2_apply",
+    oracle=f"""
+WITH changes AS (
+  SELECT c_custkey, c_mktsegment || '_v2' AS new_segment
+  FROM customer WHERE c_custkey % 7 = 0
+)
+SELECT c.c_custkey, c.c_mktsegment AS segment,
+       '{SCD2_D0}' AS effective_from,
+       CASE WHEN ch.c_custkey IS NOT NULL THEN '{SCD2_CHG}' END AS effective_to,
+       CAST(CASE WHEN ch.c_custkey IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+FROM customer c LEFT JOIN changes ch USING (c_custkey)
+UNION ALL
+SELECT c_custkey, new_segment AS segment,
+       '{SCD2_CHG}' AS effective_from,
+       CAST(NULL AS VARCHAR) AS effective_to,
+       CAST(1 AS INT) AS is_current
+FROM changes
+""",
+    description="SCD type-2 apply: change batch closes old dimension rows and opens versioned ones",
+    tags=("relational", "cdc", "scd2"),
+)
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) maintenance: apply a change
+    batch to a dimension, closing each changed key's current row at the
+    change date and opening a new versioned row — history preserved with
+    validity intervals, the standard warehouse pattern for "what did
+    this customer look like when the order shipped".
+
+    The change batch is a deterministic fixture (segment rename for
+    ``c_custkey % 7 == 0``). Formulation: LEFT-join the dimension to the
+    (broadcast) change batch, emit 1 or 2 rows per key via a per-row
+    array explode — no second scan of the dimension and no shuffle
+    beyond the broadcast, so the apply is map-side at any dimension
+    size; at 100 TB the change batch is the small side by construction
+    (a day's CDC vs the full dimension).
+    """
+    c = Catalog(spark, sf_dir).customer
+    changes = (c.where(F.col("c_custkey") % 7 == 0)
+               .select("c_custkey",
+                       F.concat(F.col("c_mktsegment"), F.lit("_v2"))
+                        .alias("new_segment")))
+    joined = c.join(F.broadcast(changes), "c_custkey", "left")
+    changed = F.col("new_segment").isNotNull()
+    rows = F.when(changed, F.array(
+        F.struct(F.col("c_mktsegment").alias("segment"),
+                 F.lit(SCD2_D0).alias("effective_from"),
+                 F.lit(SCD2_CHG).alias("effective_to"),
+                 F.lit(0).alias("is_current")),
+        F.struct(F.col("new_segment").alias("segment"),
+                 F.lit(SCD2_CHG).alias("effective_from"),
+                 F.lit(None).cast("string").alias("effective_to"),
+                 F.lit(1).alias("is_current")),
+    )).otherwise(F.array(
+        F.struct(F.col("c_mktsegment").alias("segment"),
+                 F.lit(SCD2_D0).alias("effective_from"),
+                 F.lit(None).cast("string").alias("effective_to"),
+                 F.lit(1).alias("is_current")),
+    ))
+    return (joined.select("c_custkey", F.explode(rows).alias("r"))
+            .select("c_custkey", "r.segment", "r.effective_from",
+                    "r.effective_to", F.col("r.is_current").cast("int").alias("is_current")))
