@@ -130,3 +130,23 @@ def test_pack_sequences_single_shuffle(spark, reg):
     plan = plan_string(reg["pack_sequences"].builder(spark, SF), "simple")
     assert plan.count("Exchange") == 1, plan[:3000]
     assert "SinglePartition" not in plan, plan[:3000]
+
+
+def test_funnel_pushes_event_type_filters(spark, reg):
+    """Each funnel stage's event_type predicate reaches its parquet scan."""
+    assert_pushed_filters(reg["q_funnel"].builder(spark, SF), "event_type")
+
+
+def test_anomaly_broadcasts_stats(spark, reg):
+    """The 5-row per-type stats table joins back as a broadcast; the
+    outlier pass must stay a map-side filter over the event scan."""
+    assert_broadcast_join(reg["q_anomaly_zscore"].builder(spark, SF))
+
+
+def test_scd2_apply_no_shuffle(spark, reg):
+    """SCD2 apply = broadcast CDC join + per-row explode: the plan may
+    contain broadcast exchanges but NO hash-partitioned shuffle of the
+    dimension."""
+    plan = plan_string(reg["q_scd2_apply"].builder(spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "Exchange hashpartitioning" not in plan, plan[:3000]
