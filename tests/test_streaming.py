@@ -178,3 +178,61 @@ def test_streaming_rollup_matches_batch_and_is_idempotent(spark, tmp_path):
     assert rows(serve_hourly(spark, rollup)) == batch
     total = serve_hourly(spark, rollup).agg(F.sum("n_events")).first()[0]
     assert total == ev.count()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """The watermark actually DROPS late data in append mode — the
+    property that bounds state at 100 TB/day. Batch 1 advances event
+    time to 13:00 (watermark 12:50 with a 10-min delay); batch 2 then
+    delivers a row for the long-closed 10:00 window, which must NOT
+    appear in the emitted counts, while batch 1's on-time rows do."""
+    import os
+    from datetime import datetime
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampType,
+    )
+    from full_stack_big_data_spark.streaming.windows import TS_FMT
+
+    schema = StructType([
+        StructField("ts", TimestampType()),
+        StructField("event_type", StringType()),
+        StructField("n", LongType()),
+    ])
+    src = str(tmp_path / "late_src")
+    t = lambda x: datetime.fromisoformat(x)  # noqa: E731
+    # Late-event filtering uses the PREVIOUS batch's watermark (Spark
+    # lags it one batch so merge beats drop while state still exists),
+    # so the drop needs: batch 1 advances event time, batch 2 lets the
+    # watermark evict the 10:00 window, batch 3 delivers the late row.
+    batch1 = [(t("2024-01-01 10:00:30"), "click", 1),
+              (t("2024-01-01 10:01:30"), "click", 1),
+              (t("2024-01-01 13:00:00"), "click", 1)]  # advances watermark
+    batch2 = [(t("2024-01-01 13:10:00"), "click", 1)]  # eviction batch
+    batch3 = [(t("2024-01-01 10:02:00"), "click", 1),  # LATE: must drop
+              (t("2024-01-01 13:30:00"), "click", 1)]
+    for i, b in enumerate((batch1, batch2, batch3), start=1):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(f"{src}/b={i}")
+        # Pin source ordering: FileStreamSource takes oldest-mtime first.
+        for f in os.listdir(f"{src}/b={i}"):
+            os.utime(f"{src}/b={i}/{f}", (1000 + i, 1000 + i))
+
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1)
+           .parquet(f"{src}/b=*"))
+    agg = (sdf.withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "5 minutes").alias("w"))
+           .agg(F.count("*").alias("events"))
+           .select(F.date_format("w.start", TS_FMT).alias("window_start"),
+                   "events"))
+    q = (agg.writeStream.format("memory").queryName("late_sink")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    rows = spark.table("late_sink").collect()
+    ten = [r.events for r in rows if r.window_start == "2024-01-01 10:00:00"]
+    # Exactly ONE emission of the 10:00 window, with exactly the 2
+    # on-time rows: the late row neither merged (count would be 3) nor
+    # resurrected the window as a second append row.
+    assert ten == [2], rows
