@@ -143,3 +143,39 @@ def q_sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.round(F.lit(float(KMV_K - 1)) * _TWO60
                             / F.col("hk").cast("double"), 2).alias("kmv_estimate"),
                     "n_sources"))
+
+
+# ---------------------------------------------------------------------------
+# Approximate quantiles (the third sketch family: distinct → KMV,
+# frequency → heavy hitters, rank → this).
+# ---------------------------------------------------------------------------
+
+APPROX_PCT_ERR = 0.01  # relative-rank accuracy target (1% of N)
+
+
+@register(
+    "q_approx_quantiles",
+    oracle=None,  # approximate by design → rows-only driver check;
+                  # the accuracy bound vs the exact percentiles is pinned
+                  # in tests/test_sketches_quantiles.py
+    description="approx_percentile (p50/p90/p99 of order totals) within 1% rank error, single partial-agg pass",
+    tags=("sketch", "quantiles", "agg"),
+)
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch over order totals.
+
+    ``approx_percentile`` keeps a bounded summary per partition and
+    merges summaries — one map-side-combined pass, state O(1/err), vs
+    the exact percentile's full sort/shuffle of the column. At 100 TB
+    the exact path is a terabyte-scale sort; the sketch is a scan. The
+    1% rank-error contract (accuracy = 1/err = 100) is what the test
+    pins against ``q_percentiles``' exact answers.
+    """
+    o = Catalog(spark, sf_dir).orders
+    acc = int(1 / APPROX_PCT_ERR)
+    return o.agg(
+        F.expr(f"approx_percentile(o_totalprice, 0.5, {acc})").alias("p50"),
+        F.expr(f"approx_percentile(o_totalprice, 0.9, {acc})").alias("p90"),
+        F.expr(f"approx_percentile(o_totalprice, 0.99, {acc})").alias("p99"),
+        F.count("*").alias("n_orders"),
+    )
