@@ -42,6 +42,9 @@ def _verified_names() -> set[str]:
 
     names: set[str] = set()
     here = os.path.dirname(os.path.abspath(__file__))
+    # Rounds in order; a LATER round's verdict overrides an earlier one,
+    # so a query that regresses (or loses schema parity) drops back out
+    # of the verified set and re-runs at the front of the next sweep.
     for fname in sorted(os.listdir(here)):
         if fname.startswith("CORRECTNESS_r") and fname.endswith(".json"):
             try:
@@ -50,9 +53,12 @@ def _verified_names() -> set[str]:
             except (OSError, ValueError):
                 continue
             for name, row in rows.items():
-                if isinstance(row, dict) and row.get("rows_match") \
-                        and row.get("hash_match", True):
-                    names.add(name)
+                if not isinstance(row, dict):
+                    continue
+                green = (row.get("rows_match")
+                         and row.get("schema_match", True)
+                         and row.get("hash_match", True))
+                (names.add if green else names.discard)(name)
     return names
 
 

@@ -132,13 +132,14 @@ WITH s AS (
 ), st AS (
   SELECT event_type,
          CAST(sx AS DOUBLE) / n AS mean,
-         SQRT(CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) AS std
+         SQRT(GREATEST(CAST(sxx AS DOUBLE) / n
+                       - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n), 0)) AS std
   FROM s
 )
 SELECT event_id, e.event_type, value,
-       CAST(ROUND((value - mean) / std, 6) AS DOUBLE) AS z
+       CAST(ROUND(CASE WHEN std > 0 THEN (value - mean) / std END, 6) AS DOUBLE) AS z
 FROM events e JOIN st ON e.event_type = st.event_type
-WHERE (value - mean) / std > {Z_THRESHOLD}
+WHERE CASE WHEN std > 0 THEN (value - mean) / std END > {Z_THRESHOLD}
 """,
     description=f"per-type z-score outliers (z > {Z_THRESHOLD}) from decimal-exact moments, broadcast stats",
     tags=("events", "anomaly", "broadcast-join"),
@@ -157,10 +158,17 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ev.groupBy("event_type").agg(
         F.count("*").alias("n"), F.sum(x).alias("sx"), F.sum(x * x).alias("sxx"))
     mean = F.col("sx").cast("double") / F.col("n")
+    # GREATEST(·, 0) under the sqrt: a zero-variance group's sxx/n−mean²
+    # rounds to a tiny negative in doubles (DuckDB SQRT hard-errors);
+    # the CASE gate keeps ANSI Spark from a DIVIDE_BY_ZERO on std = 0 —
+    # degenerate groups (constant value, single event) have no outliers.
     st = s.select(
         "event_type", mean.alias("mean"),
-        F.sqrt(F.col("sxx").cast("double") / F.col("n") - mean * mean).alias("std"))
-    z = (F.col("value") - F.col("mean")) / F.col("std")
+        F.sqrt(F.greatest(
+            F.col("sxx").cast("double") / F.col("n") - mean * mean,
+            F.lit(0.0))).alias("std"))
+    z = F.when(F.col("std") > 0,
+               (F.col("value") - F.col("mean")) / F.col("std"))
     return (
         ev.join(F.broadcast(st), "event_type")
         .where(z > Z_THRESHOLD)
@@ -189,9 +197,12 @@ FROM (
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long melt — the inverse of pivot (``q_pivot_status_priority``),
     completing the reshape pair. Map-only: unpivot is a per-row expand
-    (rows ×4 here), no shuffle at any scale. Both engines drop NULL
-    measure values by default; measures are pre-cast to one type because
-    an unpivot value column must be homogeneous.
+    (rows ×4 here), no shuffle at any scale. NULL measures DIVERGE
+    across engines — DuckDB's UNPIVOT drops them, Spark's ``unpivot``
+    keeps them — so the NULL filter below pins the SQL-standard
+    (dropping) semantics explicitly rather than relying on the fixture
+    being non-null. Measures are pre-cast to one type because an
+    unpivot value column must be homogeneous.
     """
     li = Catalog(spark, sf_dir).lineitem
     w = (li.where(F.col("l_orderkey") % 500 == 0)
@@ -200,9 +211,10 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("l_extendedprice").cast("double").alias("extendedprice"),
                  F.col("l_discount").cast("double").alias("discount"),
                  F.col("l_tax").cast("double").alias("tax")))
-    return w.unpivot(["l_orderkey", "l_linenumber"],
-                     ["quantity", "extendedprice", "discount", "tax"],
-                     "metric", "val")
+    return (w.unpivot(["l_orderkey", "l_linenumber"],
+                      ["quantity", "extendedprice", "discount", "tax"],
+                      "metric", "val")
+            .where(F.col("val").isNotNull()))
 
 
 @register(

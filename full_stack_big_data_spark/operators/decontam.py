@@ -88,10 +88,14 @@ def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = Catalog(spark, sf_dir).documents
     t = d.select("doc_id", tokens("text").alias("toks"))
-    grams = t.select(
+    # Per-doc distinct-gram arrays feed three consumers (eval side, train
+    # side, sizes); persist so tokenize + n-gram runs once — the same
+    # multi-consumer persist discipline as dedup's shingle table.
+    gs = t.select(
         "doc_id",
-        F.explode(F.array_distinct(token_ngrams(F.col("toks"), DECONTAM_N))).alias("g"),
-    )
+        F.array_distinct(token_ngrams(F.col("toks"), DECONTAM_N)).alias("gs"),
+    ).persist()
+    grams = gs.select("doc_id", F.explode("gs").alias("g"))
     ev = (grams.where(F.col("doc_id") % EVAL_MOD == 0)
           .select("g").distinct())
     overlap = (
@@ -101,10 +105,8 @@ def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_overlap"))
     )
     sizes = (
-        t.where(F.col("doc_id") % EVAL_MOD != 0)
-        .select("doc_id",
-                F.size(F.array_distinct(token_ngrams(F.col("toks"), DECONTAM_N)))
-                 .cast("bigint").alias("n_grams"))
+        gs.where(F.col("doc_id") % EVAL_MOD != 0)
+        .select("doc_id", F.size("gs").cast("bigint").alias("n_grams"))
     )
     return (
         overlap.join(sizes, "doc_id")
@@ -128,9 +130,9 @@ WITH t AS (
 ), m AS (
   SELECT doc_id,
          CAST(len(toks) AS BIGINT) AS n_tokens,
-         ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS distinct_ratio,
+         ROUND(len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1), 6) AS distinct_ratio,
          ROUND(COALESCE(list_max(list_transform(list_distinct(bg),
-                 g -> len(list_filter(bg, x -> x = g)))), 0) * 2.0 / len(toks), 6)
+                 g -> len(list_filter(bg, x -> x = g)))), 0) * 2.0 / greatest(len(toks), 1), 6)
            AS top_bigram_frac,
          ROUND(len(list_filter(tg, g -> len(list_filter(tg, x -> x = g)) > 1))
                * 1.0 / greatest(len(tg), 1), 6) AS dup_trigram_frac
@@ -168,6 +170,11 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_ngrams(F.col("toks"), 3).alias("tg"),
     )
     n = F.size("toks")
+    # greatest(n, 1) in divisors: a token-less doc ('!!!', empty text)
+    # must yield zeros, not an ANSI DIVIDE_BY_ZERO that kills the whole
+    # job (and a NULL on the DuckDB side) — same guard dup_trigram_frac
+    # already had.
+    n_div = F.greatest(n, F.lit(1))
     top_bg_count = F.coalesce(
         F.array_max(F.transform(
             F.array_distinct("bg"),
@@ -178,8 +185,8 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = b.select(
         "doc_id",
         n.cast("bigint").alias("n_tokens"),
-        F.round(F.size(F.array_distinct("toks")) / n, 6).alias("distinct_ratio"),
-        F.round(top_bg_count * 2.0 / n, 6).alias("top_bigram_frac"),
+        F.round(F.size(F.array_distinct("toks")) / n_div, 6).alias("distinct_ratio"),
+        F.round(top_bg_count * 2.0 / n_div, 6).alias("top_bigram_frac"),
         F.round(dup_tg / F.greatest(F.size("tg"), F.lit(1)), 6).alias("dup_trigram_frac"),
     )
     return m.select(

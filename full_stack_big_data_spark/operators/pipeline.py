@@ -427,7 +427,14 @@ def q_partitioned_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHUNK_W = 32   # window length in tokens
 CHUNK_S = 24   # stride (8-token overlap between consecutive chunks)
 
-_STARTS_SQL = (f"range(1, greatest(len(toks) - {CHUNK_W}, 0) + 2, {CHUNK_S})")
+# Chunk COUNT, not last start: nch = 1 + ceil(max(n-W, 0) / S). The
+# naive "starts = range(1, n-W+1, S)" formulation silently drops up to
+# S-1 trailing tokens whenever (n-W) isn't stride-aligned; counting
+# chunks and deriving start = k*S + 1 guarantees the last (possibly
+# short) chunk reaches the end of every document.
+_NCH_SQL = (f"(1 + CASE WHEN len(toks) > {CHUNK_W} "
+            f"THEN (len(toks) - {CHUNK_W} + {CHUNK_S} - 1) // {CHUNK_S} "
+            f"ELSE 0 END)")
 
 
 @register(
@@ -436,15 +443,15 @@ _STARTS_SQL = (f"range(1, greatest(len(toks) - {CHUNK_W}, 0) + 2, {CHUNK_S})")
 WITH t AS (
   SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
 ), s AS (
-  SELECT doc_id, toks, unnest({_STARTS_SQL}) AS start FROM t
+  SELECT doc_id, toks, unnest(range(0, {_NCH_SQL})) AS k FROM t
 )
 SELECT doc_id,
-       CAST((start - 1) // {CHUNK_S} AS BIGINT) AS chunk_idx,
-       CAST(len(list_slice(toks, start, start + {CHUNK_W} - 1)) AS BIGINT) AS n_chunk_tokens,
-       md5(array_to_string(list_slice(toks, start, start + {CHUNK_W} - 1), ' ')) AS chunk_md5
+       CAST(k AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(toks, k * {CHUNK_S} + 1, k * {CHUNK_S} + {CHUNK_W})) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(list_slice(toks, k * {CHUNK_S} + 1, k * {CHUNK_S} + {CHUNK_W}), ' ')) AS chunk_md5
 FROM s
 """,
-    description=f"fixed {CHUNK_W}-token chunk windows, stride {CHUNK_S} (context-window prep)",
+    description=f"fixed {CHUNK_W}-token chunk windows, stride {CHUNK_S}, full tail coverage (context-window prep)",
     tags=("pipeline", "chunking", "map-only"),
 )
 def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,26 +459,29 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the step that turns variable-length documents into model-sized
     training contexts.
 
-    Pure map-side: the start offsets are a per-row ``sequence`` (with
-    stride), exploded and sliced against the token-array attribute, so
-    the operator is a single scan with zero shuffle at any corpus size
-    and output rows ∝ input tokens / stride. The chunk md5 pins content,
-    not just shape, in the differential oracle. A doc shorter than one
-    window yields exactly one (short) chunk — same guard arithmetic on
-    both engines (``greatest(n - W, 0)``).
+    Pure map-side: the chunk indices are a per-row ``sequence``, exploded
+    and sliced against the token-array attribute, so the operator is a
+    single scan with zero shuffle at any corpus size and output rows ∝
+    input tokens / stride. Chunk count is ``1 + ceil(max(n−W,0)/S)`` so
+    the final (possibly short) chunk always covers the document tail —
+    no token is ever silently dropped (pinned in tests/test_pipeline.py).
+    The chunk md5 pins content, not just shape, in the oracle; a doc
+    shorter than one window yields exactly one (short) chunk.
     """
     d = Catalog(spark, sf_dir).documents
     t = d.select("doc_id", tokens("text").alias("toks"))
+    n = F.size("toks")
+    nch = F.lit(1) + F.when(
+        n > CHUNK_W,
+        ((n - CHUNK_W + CHUNK_S - 1) / CHUNK_S).cast("bigint")).otherwise(0)
     s = t.select(
         "doc_id", "toks",
-        F.explode(F.sequence(F.lit(1),
-                             F.greatest(F.size("toks") - CHUNK_W, F.lit(0)) + 1,
-                             F.lit(CHUNK_S))).alias("start"),
+        F.explode(F.sequence(F.lit(0), nch - 1)).alias("k"),
     )
-    chunk = F.slice(F.col("toks"), F.col("start"), CHUNK_W)
+    chunk = F.slice(F.col("toks"), F.col("k") * CHUNK_S + 1, CHUNK_W)
     return s.select(
         "doc_id",
-        ((F.col("start") - 1) / CHUNK_S).cast("bigint").alias("chunk_idx"),
+        F.col("k").cast("bigint").alias("chunk_idx"),
         F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
     )

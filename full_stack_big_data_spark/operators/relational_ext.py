@@ -890,13 +890,15 @@ WITH s AS (
 )
 SELECT event_type, n,
        CAST(ROUND(CAST(sx AS DOUBLE) / n, 6) AS DOUBLE) AS mean_value,
-       CAST(ROUND(CAST(sxx AS DOUBLE) / n
-                  - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n), 6) AS DOUBLE)
+       CAST(ROUND(GREATEST(CAST(sxx AS DOUBLE) / n
+                  - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n), 0), 6) AS DOUBLE)
          AS var_value,
-       CAST(ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                  / SQRT((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                         * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
-                  6) AS DOUBLE) AS corr_value_user
+       CAST(ROUND(CASE WHEN (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                        AND (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                       THEN (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                            / SQRT((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                   * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  END, 6) AS DOUBLE) AS corr_value_user
 FROM s
 """,
     description="mean/variance/correlation from decimal-exact sums (partitioning-invariant moments)",
@@ -927,12 +929,18 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
     sy, syy = F.col("sy").cast("double"), F.col("syy").cast("double")
     sxy = F.col("sxy").cast("double")
+    # Degenerate-group guards (mirrored in the oracle): variance clamps
+    # at 0 (the decimal→double cast can round a true zero to ~-2e-18,
+    # which DuckDB's SQRT hard-errors on), and corr is NULL — not a
+    # division by zero — when either variable is constant in the group.
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
     return s.select(
         "event_type", "n",
         F.round(sx / n, 6).cast("double").alias("mean_value"),
-        F.round(sxx / n - (sx / n) * (sx / n), 6).cast("double").alias("var_value"),
-        F.round((n * sxy - sx * sy)
-                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        F.round(F.greatest(sxx / n - (sx / n) * (sx / n), F.lit(0.0)), 6)
+         .cast("double").alias("var_value"),
+        F.round(F.when((vx > 0) & (vy > 0),
+                       (n * sxy - sx * sy) / F.sqrt(vx * vy)), 6)
          .cast("double").alias("corr_value_user"),
     )
 

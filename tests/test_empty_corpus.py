@@ -12,9 +12,12 @@ requiring:
   input (global aggregates legitimately return one row — COUNT 0 /
   NULL sums — and both engines must say the same thing).
 
-Streaming and storage-roundtrip queries are excluded: they exercise
-write-then-read paths where an empty *directory* (not an empty table)
-is a different, legitimate error class.
+Excluded: streaming-tagged queries (their drain harness is the real
+cost, and streaming correctness has its own gauntlet) and hive-
+partitioned-storage queries (a zero-row partitioned write yields a
+directory with no partitions — unreadable by design, a different error
+class from an empty table). Flat-file roundtrip queries run and pass:
+Spark writes schema-bearing footers even for zero rows.
 """
 
 from __future__ import annotations
@@ -28,7 +31,12 @@ from full_stack_big_data_spark.oracle import compare
 SF = "/root/testdata/sf0.001"
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
-SKIP_TAGS = {"streaming", "storage", "roundtrip", "stream"}
+# "streaming": the drain harness is the cost and streaming has its own
+# gauntlet. "storage": hive-PARTITIONED writes of zero rows produce a
+# directory with no partition dirs at all, which is unreadable by design
+# (unlike plain parquet, whose schema-bearing footers round-trip empty —
+# the csv/orc/serde roundtrip queries run here and pass).
+SKIP_TAGS = {"streaming", "storage"}
 
 
 @pytest.fixture(scope="module")

@@ -81,3 +81,31 @@ def test_quantize_reconstruction_bound(spark):
         assert all(abs(float(x) - c / scale) <= step / 2 + 1e-12
                    for x, c in zip(emb, qv))
         assert row.q_sum == sum(qv)
+
+
+def test_chunk_windows_cover_every_token(spark):
+    """No silent tail loss: for every document the last chunk must reach
+    the final token (max over chunks of start-offset + chunk length ==
+    token count), and consecutive chunks overlap by W−S tokens."""
+    from pyspark.sql import functions as F
+    from full_stack_big_data_spark.engine.catalog import Catalog
+    from full_stack_big_data_spark.functions.text import tokens
+    from full_stack_big_data_spark.operators.pipeline import (
+        CHUNK_S, CHUNK_W, doc_chunk_windows,
+    )
+
+    chunks = doc_chunk_windows(spark, SF_SMOKE)
+    reach = (chunks.groupBy("doc_id")
+             .agg(F.max(F.col("chunk_idx") * CHUNK_S
+                        + F.col("n_chunk_tokens")).alias("covered")))
+    n_tok = (Catalog(spark, SF_SMOKE).documents
+             .select("doc_id", F.size(tokens("text")).alias("n")))
+    bad = (reach.join(n_tok, "doc_id")
+           .where(F.col("covered") != F.col("n")).count())
+    assert bad == 0
+    # every chunk except a doc's last is exactly W tokens
+    w = (chunks.groupBy("doc_id").agg(F.max("chunk_idx").alias("last")))
+    short_nonlast = (chunks.join(w, "doc_id")
+                     .where((F.col("chunk_idx") != F.col("last"))
+                            & (F.col("n_chunk_tokens") != CHUNK_W)).count())
+    assert short_nonlast == 0
