@@ -31,4 +31,9 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; NULL (not an ANSI divide-by-zero crash) when
+    either vector has zero norm — a zero vector has no direction, and a
+    NULL similarity drops out of every top-k/threshold filter, which is
+    the only sensible semantics for degenerate embeddings."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom)
