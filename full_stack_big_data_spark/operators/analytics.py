@@ -126,8 +126,8 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH s AS (
   SELECT event_type, COUNT(*) AS n,
-         SUM(CAST(value AS DECIMAL(18,6))) AS sx,
-         SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS sxx
+         SUM(CAST(value AS DECIMAL(18,4))) AS sx,
+         SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS sxx
   FROM events GROUP BY event_type
 ), st AS (
   SELECT event_type,
@@ -154,7 +154,7 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-sized shuffle, output ∝ anomalies.
     """
     ev = Catalog(spark, sf_dir).events
-    x = F.col("value").cast("decimal(18,6)")
+    x = F.col("value").cast("decimal(18,4)")  # 2-decimal data; headroom for the squared sums
     s = ev.groupBy("event_type").agg(
         F.count("*").alias("n"), F.sum(x).alias("sx"), F.sum(x * x).alias("sxx"))
     mean = F.col("sx").cast("double") / F.col("n")

@@ -881,11 +881,11 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH s AS (
   SELECT event_type,
          COUNT(*) AS n,
-         SUM(CAST(value AS DECIMAL(18,6))) AS sx,
-         SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS sxx,
-         SUM(CAST(user_id AS DECIMAL(18,6))) AS sy,
-         SUM(CAST(user_id AS DECIMAL(18,6)) * CAST(user_id AS DECIMAL(18,6))) AS syy,
-         SUM(CAST(value AS DECIMAL(18,6)) * CAST(user_id AS DECIMAL(18,6))) AS sxy
+         SUM(CAST(value AS DECIMAL(18,4))) AS sx,
+         SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS sxx,
+         SUM(CAST(user_id AS DECIMAL(18,0))) AS sy,
+         SUM(CAST(user_id AS DECIMAL(18,0)) * CAST(user_id AS DECIMAL(18,0))) AS syy,
+         SUM(CAST(value AS DECIMAL(18,4)) * CAST(user_id AS DECIMAL(18,0))) AS sxy
   FROM events GROUP BY event_type
 )
 SELECT event_type, n,
@@ -917,8 +917,11 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactness costs nothing.
     """
     ev = Catalog(spark, sf_dir).events
-    x = F.col("value").cast("decimal(18,6)")
-    y = F.col("user_id").cast("decimal(18,6)")
+    # Scales sized to the data (value: 2 decimal places; user_id:
+    # integral): a scale-6 cast overflows DuckDB's decimal MULTIPLY at
+    # sf0.1 (scaled user_id² > int64) — caught by the sf0.1 sweep.
+    x = F.col("value").cast("decimal(18,4)")
+    y = F.col("user_id").cast("decimal(18,0)")
     s = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(x).alias("sx"), F.sum(x * x).alias("sxx"),
