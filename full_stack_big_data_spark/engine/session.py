@@ -60,11 +60,14 @@ def tune_session(spark: SparkSession) -> SparkSession:
         # A caller-owned session (e.g. the verification driver) arrives
         # with Spark's stock 200 shuffle partitions — 6× the cores and
         # ~50× too many for sf≤0.1 inputs, so every shuffle pays 200 task
-        # launches for µs of work. "200" means "unset" (it is the baked-in
-        # default); an explicitly tuned session is left alone. On a real
-        # cluster this branch never fires: any deployment sets its own
-        # value, and AQE coalescing handles the rest.
-        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        # launches for µs of work. Spark exposes no "explicitly set vs
+        # default" bit for this conf, so "200" is read as "unset" (the
+        # baked-in default); a caller who deliberately wants 200 opts out
+        # with SPARK_GRAFT_KEEP_SHUFFLE_PARTITIONS=1. On a real cluster
+        # this branch never fires: any deployment sets its own value, and
+        # AQE coalescing handles the rest.
+        if (not os.environ.get("SPARK_GRAFT_KEEP_SHUFFLE_PARTITIONS")
+                and spark.conf.get("spark.sql.shuffle.partitions", "200") == "200"):
             spark.conf.set("spark.sql.shuffle.partitions",
                            str(spark.sparkContext.defaultParallelism))
     except Exception:

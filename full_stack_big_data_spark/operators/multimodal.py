@@ -94,8 +94,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = pdf["payload"]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
-                "n_bytes": payloads.map(len).astype("int32"),
-                "byte_sum_mod": payloads.map(lambda b: sum(b) % 997).astype("int32"),
+                "n_bytes": pd.array(payloads.map(
+                    lambda b: len(b) if b is not None else None), dtype="Int32"),
+                "byte_sum_mod": pd.array(payloads.map(
+                    lambda b: sum(b) % 997 if b is not None else None), dtype="Int32"),
             })
 
     return src.mapInPandas(extract, _FEATURE_SCHEMA)
@@ -198,6 +200,11 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = {"doc_id": pdf["doc_id"], "stride": [], "thumb_bytes": [],
                    "thumb_sum_mod": []}
             for buf in payloads:
+                if buf is None:  # NULL payload → NULL summary (oracle NULL-propagates)
+                    out["stride"].append(None)
+                    out["thumb_bytes"].append(None)
+                    out["thumb_sum_mod"].append(None)
+                    continue
                 n = len(buf)
                 k = max(-(-n // THUMB_BYTES), 1)  # ceil(n / THUMB), ≥ 1
                 thumb = buf[::k]
@@ -206,9 +213,9 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["thumb_sum_mod"].append(sum(thumb) % 997)
             yield pd.DataFrame({
                 "doc_id": out["doc_id"],
-                "stride": pd.Series(out["stride"], dtype="int32"),
-                "thumb_bytes": pd.Series(out["thumb_bytes"], dtype="int32"),
-                "thumb_sum_mod": pd.Series(out["thumb_sum_mod"], dtype="int32"),
+                "stride": pd.array(out["stride"], dtype="Int32"),
+                "thumb_bytes": pd.array(out["thumb_bytes"], dtype="Int32"),
+                "thumb_sum_mod": pd.array(out["thumb_sum_mod"], dtype="Int32"),
             })
 
     schema = StructType([

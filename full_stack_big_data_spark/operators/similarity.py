@@ -301,11 +301,20 @@ def _neardup_blockpair(spark: SparkSession, src: DataFrame,
     partner), the canonical exact all-pairs posture when nothing fits in
     one task's memory — flops are identical to the broadcast path.
     """
-    lo, hi = src.agg(F.min("vec_id"), F.max("vec_id")).first()
-    nblk = max(2, int(hi - lo) // block_rows + 1)
-    span = (int(hi - lo) // nblk) + 1
+    # Blocks are sized by ROW COUNT, not id span: boundaries come from
+    # approxQuantile over vec_id, so sparse/non-contiguous id spaces
+    # (snowflake-style) still yield ~block_rows vectors per block and a
+    # bounded nblk. Quantile cuts keep blocks contiguous in vec_id, which
+    # the blk_a < blk_b ⇒ all-left-ids < all-right-ids mask relies on.
+    n = src.count()
+    nblk = max(2, -(-n // block_rows))
+    cuts = sorted(set(src.approxQuantile(
+        "vec_id", [i / nblk for i in range(1, nblk)], 0.001)))
+    nblk = len(cuts) + 1
+    blk = F.size(F.filter(F.array(*[F.lit(float(c)) for c in cuts]),
+                          lambda c: c <= F.col("vec_id").cast("double")))
     packed = (
-        src.groupBy(((F.col("vec_id") - lo) / span).cast("int").alias("blk"))
+        src.groupBy(blk.alias("blk"))
         .agg(F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))).alias("pk"))
     )
     pairs = spark.createDataFrame(
