@@ -40,25 +40,33 @@ def _verified_names() -> set[str]:
     import json
     import os
 
+    import re
+
     names: set[str] = set()
     here = os.path.dirname(os.path.abspath(__file__))
-    # Rounds in order; a LATER round's verdict overrides an earlier one,
-    # so a query that regresses (or loses schema parity) drops back out
-    # of the verified set and re-runs at the front of the next sweep.
-    for fname in sorted(os.listdir(here)):
-        if fname.startswith("CORRECTNESS_r") and fname.endswith(".json"):
-            try:
-                with open(os.path.join(here, fname)) as f:
-                    rows = json.load(f)
-            except (OSError, ValueError):
+    # Rounds in NUMERIC order; a LATER round's verdict overrides an
+    # earlier one, so a query that regresses (or loses schema parity)
+    # drops back out of the verified set and re-runs at the front of the
+    # next sweep. Numeric (not lexicographic) sort so an unpadded
+    # "CORRECTNESS_r2.json" cannot outrank "CORRECTNESS_r10.json".
+    rounds = []
+    for fname in os.listdir(here):
+        m = re.match(r"CORRECTNESS_r(\d+)\.json$", fname)
+        if m:
+            rounds.append((int(m.group(1)), fname))
+    for _, fname in sorted(rounds):
+        try:
+            with open(os.path.join(here, fname)) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
                 continue
-            for name, row in rows.items():
-                if not isinstance(row, dict):
-                    continue
-                green = (row.get("rows_match")
-                         and row.get("schema_match", True)
-                         and row.get("hash_match", True))
-                (names.add if green else names.discard)(name)
+            green = (row.get("rows_match")
+                     and row.get("schema_match", True)
+                     and row.get("hash_match", True))
+            (names.add if green else names.discard)(name)
     return names
 
 

@@ -34,6 +34,11 @@ _BUILD_CONFS = {
     # Arrow transfer for pandas UDFs / toPandas — the vectorized Python path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # Naive (isAdjustedToUTC=false) parquet timestamps read as TIMESTAMP
+    # (LTZ) under the UTC session instead of TIMESTAMP_NTZ: values are
+    # identical, but LTZ is what watermarks/unix_micros/window frames
+    # require, and it matches DuckDB's naive-timestamp comparison.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 # Configs safe to set on a live session (runtime SQL confs). Applied by
@@ -41,6 +46,9 @@ _BUILD_CONFS = {
 # verification driver) owns the SparkSession.
 _RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # See _BUILD_CONFS: naive parquet timestamps → LTZ under UTC, so
+    # event-time ops (watermark, unix_micros, RANGE frames) resolve.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     # Arrow batching for toPandas/pandas-UDF transfer — runtime-settable,

@@ -25,7 +25,6 @@ same differential-oracle discipline as the rest of the engine:
 from __future__ import annotations
 
 import os
-import tempfile
 import uuid
 
 import pandas as pd
@@ -348,8 +347,9 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     results. Table names are uniqued per call so the lazily-evaluated
     result can never read another invocation's overwrite.
     """
+    from ..engine.scratch import register_temp_table, scratch_dir
     cat = Catalog(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="fsbd_bucketed_")
+    base = scratch_dir("fsbd_bucketed_")
     tag = uuid.uuid4().hex[:8]
     sides = {
         "orders": (cat.orders.select("o_orderkey", "o_orderpriority"), "o_orderkey"),
@@ -357,7 +357,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     names = {}
     for t, (df, key) in sides.items():
-        names[t] = f"fsbd_bucketed_{t}_{tag}"
+        names[t] = register_temp_table(f"fsbd_bucketed_{t}_{tag}")
         (df.write.format("parquet")
            .bucketBy(BUCKETS, key).sortBy(key)
            .option("path", os.path.join(base, t))
@@ -402,9 +402,10 @@ def q_partitioned_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     values are oracle-identical to scanning the unpartitioned table, so
     layout never leaks into results.
     """
+    from ..engine.scratch import scratch_dir
     from ..sources.sinks import read_partitioned, write_partitioned_by_day
     ev = Catalog(spark, sf_dir).events
-    path = tempfile.mkdtemp(prefix="fsbd_events_day_")
+    path = scratch_dir("fsbd_events_day_")
     write_partitioned_by_day(ev, path)
     lo, hi = "2024-01-05", "2024-01-15"
     back = read_partitioned(spark, path)

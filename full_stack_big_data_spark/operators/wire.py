@@ -127,11 +127,11 @@ GROUP BY lang
 
 
 def _format_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
-    import tempfile
+    from ..engine.scratch import scratch_dir
     from ..functions.hashing import hex64
     d = Catalog(spark, sf_dir).documents.select(
         "doc_id", "text", "lang", "source", "n_chars")
-    path = tempfile.mkdtemp(prefix=f"fsbd_{fmt}_rt_")
+    path = scratch_dir(f"fsbd_{fmt}_rt_")
     writer = d.write.mode("overwrite")
     reader = spark.read
     if fmt == "csv":

@@ -14,7 +14,6 @@ from __future__ import annotations
 import hashlib
 import itertools
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -28,7 +27,8 @@ def _staged_dir(path: str) -> str:
     per-process temp dir (testdata itself stays untouched/read-only)."""
     global _stage_root
     if _stage_root is None:
-        _stage_root = tempfile.mkdtemp(prefix="fsbd_stream_src_")
+        from ..engine.scratch import scratch_dir
+        _stage_root = scratch_dir("fsbd_stream_src_")
     # Key by the full source path, not the basename: the same table name
     # exists at every scale factor, and a basename-keyed dir would silently
     # serve the first SF's data to every later one in the same process.

@@ -11,12 +11,12 @@ which is what bounds state at 100 TB/day (the reference has no eviction
 story at all).
 
 The operator here keeps per-user running stats (event count, click
-count, first/last event-time as raw nanos) — the streaming analog of a
+count, first/last event-time as raw micros) — the streaming analog of a
 ``GROUP BY user_id`` profile table that updates per batch. Timestamps
-stay int64 nanos inside the state (integer min/max — no float or tz
-semantics anywhere); formatting to the oracle's string form happens once
-on the drained batch output with the same truncating ``div 1000``
-conversion the catalog uses.
+stay int64 micros inside the state (integer min/max — no float or tz
+semantics anywhere, and micros is exactly DuckDB's epoch_us precision);
+formatting to the oracle's string form happens once on the drained batch
+output via ``timestamp_micros`` under the UTC session.
 """
 
 from __future__ import annotations
@@ -36,8 +36,8 @@ _OUT = StructType([
     StructField("user_id", LongType()),
     StructField("n_events", LongType()),
     StructField("n_clicks", LongType()),
-    StructField("mn_ns", LongType()),
-    StructField("mx_ns", LongType()),
+    StructField("mn_us", LongType()),
+    StructField("mx_us", LongType()),
 ])
 _STATE = StructType([
     StructField("n", LongType()),
@@ -53,20 +53,26 @@ def _update_user_stats(key, pdfs, state: GroupState):
     for pdf in pdfs:
         n += len(pdf)
         c += int((pdf["event_type"] == "click").sum())
-        ts = pdf["ts_ns"]
+        ts = pdf["ts_us"]
         lo, hi = int(ts.min()), int(ts.max())
         mn = lo if mn is None else min(mn, lo)
         mx = hi if mx is None else max(mx, hi)
     state.update((n, c, mn, mx))
     yield pd.DataFrame({"user_id": [user_id], "n_events": [n],
-                        "n_clicks": [c], "mn_ns": [mn], "mx_ns": [mx]})
+                        "n_clicks": [c], "mn_us": [mn], "mx_us": [mx]})
 
 
 def running_user_stats(events: DataFrame) -> DataFrame:
     """Per-user running stats; one updated row per key per micro-batch
     (update mode — the same emission contract as the reference's word
     counter, per batch instead of per record)."""
-    src = events.select("user_id", "event_type", F.col("ts").alias("ts_ns"))
+    # ``ts`` arrives either as TIMESTAMP (naive-micros parquet under the
+    # inferTimestampNTZ=false conf) or as raw nanos BIGINT (legacy
+    # TIMESTAMP(NANOS) files under nanosAsLong) — normalize both to
+    # integer epoch-micros before state ever sees a value.
+    ts_us = (F.expr("ts div 1000") if dict(events.dtypes).get("ts") == "bigint"
+             else F.unix_micros(F.col("ts")))
+    src = events.select("user_id", "event_type", ts_us.alias("ts_us"))
     return src.groupBy("user_id").applyInPandasWithState(
         _update_user_stats, _OUT, _STATE,
         outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout,
@@ -97,11 +103,11 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = (sink.groupBy("user_id")
              .agg(F.max("n_events").alias("n_events"),
                   F.max("n_clicks").alias("n_clicks"),
-                  F.min("mn_ns").alias("mn_ns"),
-                  F.max("mx_ns").alias("mx_ns")))
+                  F.min("mn_us").alias("mn_us"),
+                  F.max("mx_us").alias("mx_us")))
     fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     return final.select(
         "user_id", "n_events", "n_clicks",
-        F.date_format(F.expr("timestamp_micros(mn_ns div 1000)"), fmt).alias("first_ts"),
-        F.date_format(F.expr("timestamp_micros(mx_ns div 1000)"), fmt).alias("last_ts"),
+        F.date_format(F.expr("timestamp_micros(mn_us)"), fmt).alias("first_ts"),
+        F.date_format(F.expr("timestamp_micros(mx_us)"), fmt).alias("last_ts"),
     )

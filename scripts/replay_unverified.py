@@ -19,6 +19,7 @@ sys.path.insert(0, HERE)
 
 from pyspark.sql import SparkSession
 
+from full_stack_big_data_spark.engine.session import tune_session
 from full_stack_big_data_spark.operators.registry import load_all
 from full_stack_big_data_spark.oracle import compare, duckdb_connect
 
@@ -56,6 +57,10 @@ def main() -> int:
              .config("spark.sql.shuffle.partitions", "32")
              .config("spark.driver.memory", "8g")
              .appName("replay-unverified").getOrCreate())
+    # The driver runs builders through __spark_entry__.queries()'s wrap,
+    # which applies tune_session (nanos-parquet + UTC confs) first —
+    # replicate that or events-table streams read TIMESTAMP_NTZ and fail.
+    tune_session(spark)
     con = duckdb_connect(SF_DIR)
     failures = []
     for name in targets:
