@@ -6,12 +6,16 @@ Three operators:
   set. The query side is broadcast, the corpus side streams: one scan,
   no shuffle until the final per-query top-k (window over ≤ q·N rows,
   pruned by rank). This is the correctness baseline.
-- ``ann_srp_lsh``       — sign-random-projection LSH: 8 hash tables × 8
+- ``ann_srp_lsh``       — sign-random-projection LSH: 16 hash tables × 4
   hyperplane bits, numpy-vectorized in an Arrow-batched pandas UDF (the
   documented Python fast path: one matrix multiply per batch instead of
   per-row Python). Candidates = bucket collisions; verify with exact
-  cosine; per-query top-k. Approximate by design → rows-only driver
-  check; recall vs the brute-force baseline is pinned in tests.
+  cosine; per-query top-k. Hyperplanes are LCG-generated INTEGER weights
+  and embeddings quantize to integers before the sign test, so bucketing
+  is bit-deterministic across engines and the whole pipeline has an
+  EXACT DuckDB oracle (the approximation is vs brute force, not vs the
+  oracle); recall vs the brute-force baseline is additionally pinned in
+  tests.
 - ``embedding_neardup`` — all corpus pairs with cosine ≥ 0.40 (the
   testdata's top-pair regime). Exact quadratic at test scale; the
   100 TB path is the SRP bucketing above (same verify kernel).
@@ -47,6 +51,7 @@ SRP_TABLES = 16
 SRP_BITS = 4
 SRP_DIM = 64
 _SRP_SEED = 42
+_SRP_P = 2147483647  # same Mersenne-mod multiplicative LCG as the minhash family
 
 
 @register(
@@ -86,9 +91,25 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _srp_hyperplanes() -> np.ndarray:
-    """Deterministic hyperplanes, shape (TABLES*BITS, DIM), seed fixed."""
-    rng = np.random.RandomState(_SRP_SEED)
-    return rng.standard_normal((SRP_TABLES * SRP_BITS, SRP_DIM))
+    """Deterministic INTEGER hyperplanes, shape (TABLES*BITS, DIM).
+
+    Weights come from the multiplicative LCG (x → 48271·x mod 2³¹-1)
+    mapped to [-1000, 1000] — the same embed-the-literals discipline as
+    the minhash affine family, so the DuckDB oracle carries the exact
+    same planes. Integer weights (vs gaussian floats) cost nothing for
+    LSH quality — sign-projection only needs directions spread over the
+    sphere — and buy exactness: with embeddings quantized to integers
+    (floor(x·1000), exact in double), the sign test is pure integer
+    arithmetic with |dot| ≤ 64·10⁶ ≪ 2⁵³, so numpy, Catalyst and DuckDB
+    agree bit-for-bit regardless of accumulation order.
+    """
+    state = _SRP_SEED
+    w = np.empty((SRP_TABLES * SRP_BITS, SRP_DIM), dtype=np.int64)
+    for j in range(SRP_TABLES * SRP_BITS):
+        for d in range(SRP_DIM):
+            state = (state * 48271) % _SRP_P
+            w[j, d] = state % 2001 - 1000
+    return w
 
 
 def srp_buckets(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -102,8 +123,9 @@ def srp_buckets(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def _buckets(v: pd.Series) -> pd.Series:
-        mat = np.stack(v.to_numpy())                      # (n, dim)
-        bits = (mat @ planes.T) > 0                       # (n, tables*bits)
+        mat = np.stack(v.to_numpy()).astype(np.float64)   # (n, dim)
+        eq = np.floor(mat * 1000.0).astype(np.int64)      # exact in double
+        bits = (eq @ planes.T) > 0                        # integer matmul, exact
         weights = (1 << np.arange(SRP_BITS))
         out = np.einsum(
             "ntb,b->nt",
@@ -115,9 +137,55 @@ def srp_buckets(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("buckets", _buckets(F.col(vec_col)))
 
 
+def _srp_oracle() -> str:
+    """DuckDB twin of the full SRP pipeline — quantize, 64 integer sign
+    tests per vector, bucket collision join, exact cosine re-rank. The
+    integer quantization (see :func:`_srp_hyperplanes`) is what makes a
+    hash-exact oracle possible for an LSH operator."""
+    w = _srp_hyperplanes()
+    rows = ",\n".join(
+        f"  ({j // SRP_BITS}, {j % SRP_BITS}, "
+        f"[{', '.join(str(int(x)) for x in w[j])}]::DOUBLE[])"
+        for j in range(SRP_TABLES * SRP_BITS))
+    return f"""
+WITH planes(table_id, bit, w) AS (VALUES
+{rows}
+), eq AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding::DOUBLE[], x -> FLOOR(x * 1000)) AS v
+  FROM embeddings
+), dots AS (
+  SELECT e.vec_id, p.table_id, p.bit, list_dot_product(e.v, p.w) AS d
+  FROM eq e CROSS JOIN planes p
+), b AS (
+  SELECT vec_id, table_id,
+         CAST(SUM(CASE WHEN d > 0 THEN 1 << bit ELSE 0 END) AS INT) AS bucket
+  FROM dots GROUP BY vec_id, table_id
+), q AS (
+  SELECT vec_id AS query_id, table_id, bucket FROM b WHERE vec_id < {N_QUERIES}
+), cand AS (
+  SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
+  FROM q JOIN b USING (table_id, bucket)
+  WHERE b.vec_id <> q.query_id
+), scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(n.embedding::DOUBLE[], qe.embedding::DOUBLE[]) AS cos
+  FROM cand c
+  JOIN embeddings n  ON n.vec_id  = c.neighbor_id
+  JOIN embeddings qe ON qe.vec_id = c.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 @register(
     "ann_srp_lsh",
-    oracle=None,  # approximate by design; recall pinned in tests instead
+    oracle=_srp_oracle(),
     description=f"SRP-LSH ANN: {SRP_TABLES} tables × {SRP_BITS} bits, bucket join + exact verify",
     tags=("similarity", "ann", "lsh"),
 )

@@ -7,9 +7,18 @@ Everything the reference hand-builds — producer pooling
 connector: one ``readStream`` covers all partitions, offsets live in the
 checkpoint, producers are pooled per executor.
 
-This container ships no Kafka broker or connector jar, so these builders
-are exercised in tests only up to option assembly; with
-``spark-sql-kafka-0-10`` on the classpath they run unchanged.
+This container ships no Kafka broker or connector jar, so the
+broker-specific builders are exercised in tests up to option assembly;
+with ``spark-sql-kafka-0-10`` on the classpath they run unchanged. The
+LIFECYCLE, however — checkpointed source offsets, flow-controlled
+incremental consumption, checkpointed sink, stop/restart resume — is
+transport-independent StreamingQuery machinery, and the file-wire
+analogs below exercise exactly that against a directory "topic"
+(tests/test_kafka_wire.py): same Kafka-shaped binary ``value`` rows,
+same checkpoint offset/commit log, ``maxFilesPerTrigger`` standing in
+for ``maxOffsetsPerTrigger``. Swapping ``file_wire_reader`` /
+``write_to_file_wire`` for ``kafka_reader`` / ``write_to_kafka`` is the
+only change a real deployment makes.
 """
 
 from __future__ import annotations
@@ -61,3 +70,40 @@ def write_to_kafka(df: DataFrame, bootstrap: str, topic: str, checkpoint: str):
     for k, v in kafka_sink_options(bootstrap, topic, checkpoint).items():
         writer = writer.option(k, v)
     return writer.start()
+
+
+# --- Broker-free wire analog (exercised Kafka lifecycle) ---------------------
+
+_WIRE_SCHEMA = "value binary"
+
+
+def file_wire_source_options(*, max_files_per_trigger: int | None = None) -> dict:
+    """File-source options mirroring :func:`kafka_source_options`:
+    ``maxFilesPerTrigger`` is the file source's flow-control knob, the
+    analog of ``maxOffsetsPerTrigger`` (A11). Offsets (here: which files
+    are consumed) live in the reader checkpoint either way."""
+    opts = {}
+    if max_files_per_trigger is not None:
+        opts["maxFilesPerTrigger"] = str(max_files_per_trigger)
+    return opts
+
+
+def file_wire_reader(spark: SparkSession, topic_dir: str, *,
+                     max_files_per_trigger: int | None = None) -> DataFrame:
+    """ReadStream over a directory "topic" of Kafka-shaped parquet rows
+    (binary ``value``), flow-controlled like a Kafka source."""
+    reader = spark.readStream.schema(_WIRE_SCHEMA)
+    for k, v in file_wire_source_options(
+            max_files_per_trigger=max_files_per_trigger).items():
+        reader = reader.option(k, v)
+    return reader.parquet(topic_dir)
+
+
+def write_to_file_wire(df: DataFrame, topic_dir: str, checkpoint: str):
+    """WriteStream a Kafka-shaped frame (binary ``value``) into a
+    directory "topic", exactly-once via the sink checkpoint — the
+    stand-in for :func:`write_to_kafka` with identical lifecycle."""
+    return (df.writeStream.format("parquet")
+            .option("path", topic_dir)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append"))
