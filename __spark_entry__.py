@@ -82,8 +82,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     reg = load_all()
     seen = _verified_names()
-    ordered = ([n for n in reg if n not in seen] +
-               [n for n in reg if n in seen])
+    # Re-verification tail ordering: queries whose READ PATH or plan
+    # changed since their last green row run before untouched ones, so a
+    # regression surfaces this round, not next. Round 3 changed the
+    # parquet-timestamp conf (every events-table query reads through it)
+    # and touched multimodal NULL handling + the neardup block path.
+    changed = [n for n in reg
+               if "events" in reg[n].tags or "streaming" in reg[n].tags
+               or n.startswith(("multimodal_", "embedding_", "ann_"))]
+    tail_rank = {n: i for i, n in enumerate(changed)}
+    tail = sorted((n for n in reg if n in seen),
+                  key=lambda n: (tail_rank.get(n, len(tail_rank)),
+                                 list(reg).index(n)))
+    ordered = [n for n in reg if n not in seen] + tail
     return {name: wrap(reg[name]) for name in ordered}
 
 
