@@ -553,3 +553,68 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("start_off") % PACK_T + F.col("n_tokens") > PACK_T, 1)
          .otherwise(0).cast("int").alias("spans_boundary"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Global corpus shuffle (training-order randomization).
+# ---------------------------------------------------------------------------
+
+SHUFFLE_SEED = 42
+SHUFFLE_RANGES = 32
+
+
+@register(
+    "corpus_shuffle",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':shuffle:{SHUFFLE_SEED}'), 1, 15))::BIGINT
+           AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, shuffle_key,
+       ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS pos
+FROM h
+""",
+    description=f"deterministic global training-order shuffle (seed {SHUFFLE_SEED}): "
+                "range-partitioned sort + offset join, no single-partition pass",
+    tags=("pipeline", "sampling", "shuffle"),
+)
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every training run needs the corpus in a reproducible pseudorandom
+    order. The order is a sort on a seeded content hash; the hard part
+    at 100 TB is the global POSITION: ``row_number() OVER (ORDER BY …)``
+    is a single-partition window — the canonical scale trap (same trap
+    ``pack_sequences`` dodges bucket-wise). Here the enumeration is
+    global yet fully parallel:
+
+    1. ``repartitionByRange`` on the hash key — each partition holds a
+       contiguous key range (Spark's range partitioner contract);
+    2. per-PARTITION ``row_number`` (window keyed by partition id — no
+       single-partition exchange);
+    3. per-partition row counts (tiny agg: one row per partition) are
+       prefix-summed and joined back, so pos = partition offset + local
+       rank.
+
+    Result is byte-identical to the oracle's global ROW_NUMBER while the
+    big data only ever moves through one range exchange; the offset table
+    scales with partition count, not rows.
+    """
+    d = Catalog(spark, sf_dir).documents.select("doc_id")
+    key = hex64(F.concat(F.col("doc_id").cast("string"),
+                         F.lit(f":shuffle:{SHUFFLE_SEED}")))
+    ranged = (d.withColumn("shuffle_key", key)
+              .repartitionByRange(SHUFFLE_RANGES, "shuffle_key", "doc_id")
+              .withColumn("pid", F.spark_partition_id()))
+    local = F.row_number().over(
+        Window.partitionBy("pid").orderBy("shuffle_key", "doc_id"))
+    counts = ranged.groupBy("pid").agg(F.count("*").alias("n"))
+    offsets = counts.select(
+        "pid",
+        (F.sum("n").over(Window.orderBy("pid")
+                         .rowsBetween(Window.unboundedPreceding, -1))
+         ).alias("off")).fillna(0, ["off"])
+    return (ranged.withColumn("rn", local)
+            .join(F.broadcast(offsets), "pid")
+            .select("doc_id", "shuffle_key",
+                    (F.col("off") + F.col("rn")).alias("pos")))

@@ -127,3 +127,59 @@ def stream_identity_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     pipe = identity_pipe_json(src, ["event_id", "user_id", "event_type", "value"], schema)
     return run_to_completion(pipe, output_mode="append")
+
+
+@register(
+    "stream_wire_roundtrip",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(('0x' || substring(md5(text), 1, 15))::BIGINT % 1000000007) AS BIGINT)
+         AS text_checksum
+FROM documents
+GROUP BY lang
+""",
+    description="Kafka-shaped wire pipeline: stream-encode documents to a binary "
+                "topic, stream-consume + decode, aggregate — full produce/consume "
+                "lifecycle brokerless",
+    tags=("streaming", "source", "wire"),
+)
+def stream_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's identity pipeline (``KafkaStormSpec.scala:186-260``:
+    produce Avro tweets → topology → consume and compare) as one
+    Structured Streaming round-trip over the file-wire Kafka analogs
+    (``sources/kafka.py``): a streaming producer encodes documents to
+    Kafka-shaped binary ``value`` rows and drains into a directory
+    "topic" through a checkpointed sink; a flow-controlled streaming
+    consumer reads the topic back, decodes, and the lang-level
+    count/chars/checksum aggregate must hash-match DuckDB reading the
+    ORIGINAL table — content-complete and uncorrupted through two real
+    StreamingQuery lifecycles. With a broker + connector jar the two
+    wire builders swap for ``kafka_reader``/``write_to_kafka`` unchanged.
+    """
+    from pyspark.sql import functions as F
+
+    from ..engine.scratch import scratch_dir
+    from ..functions.hashing import hex64
+    from ..sources.kafka import file_wire_reader, write_to_file_wire
+    from ..sources.serde import from_json_bytes, to_json_bytes
+
+    tune_session(spark)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    path = f"{sf_dir}/documents.parquet"
+    template = spark.read.parquet(path).select(*cols)
+    topic = scratch_dir("fsbd_wire_topic_")
+    # producer: stream the table → binary wire rows → checkpointed topic
+    q = (write_to_file_wire(
+             to_json_bytes(stream_table(spark, path, template).select(*cols), cols),
+             topic, scratch_dir("fsbd_wire_ckp_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    # consumer: flow-controlled stream over the topic → decode → sink
+    back = from_json_bytes(file_wire_reader(spark, topic), template.schema)
+    sink = run_to_completion(back, output_mode="append")
+    return (sink.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.sum(hex64(F.col("text")) % 1000000007).alias("text_checksum")))
