@@ -586,35 +586,37 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB is the global POSITION: ``row_number() OVER (ORDER BY …)``
     is a single-partition window — the canonical scale trap (same trap
     ``pack_sequences`` dodges bucket-wise). Here the enumeration is
-    global yet fully parallel:
+    global yet one-exchange:
 
-    1. ``repartitionByRange`` on the hash key — each partition holds a
-       contiguous key range (Spark's range partitioner contract);
-    2. per-PARTITION ``row_number`` (window keyed by partition id — no
-       single-partition exchange);
-    3. per-partition row counts (tiny agg: one row per partition) are
-       prefix-summed and joined back, so pos = partition offset + local
-       rank.
+    1. the range bucket comes straight off the key — md5 keys are
+       uniform in [0, 2⁶⁰), so ``key div (2⁶⁰/B)`` is balanced range
+       partitioning with NO sampling pass (and no nondeterminism);
+    2. per-BUCKET ``row_number`` (window keyed by bucket — Catalyst
+       plans exactly one hash exchange of the corpus);
+    3. per-bucket row counts (map-side partial agg; the exchange carries
+       B rows) are prefix-summed and broadcast back, so
+       pos = bucket offset + local rank.
 
-    Result is byte-identical to the oracle's global ROW_NUMBER while the
-    big data only ever moves through one range exchange; the offset table
-    scales with partition count, not rows.
+    Result is byte-identical to the oracle's global ROW_NUMBER — bucket
+    id is monotone in the key, so bucket-concatenation IS the global
+    order — while the corpus moves through one exchange and the offset
+    table scales with bucket count, not rows.
     """
     d = Catalog(spark, sf_dir).documents.select("doc_id")
     key = hex64(F.concat(F.col("doc_id").cast("string"),
                          F.lit(f":shuffle:{SHUFFLE_SEED}")))
+    width = (1 << 60) // SHUFFLE_RANGES  # exact: 2^60 / 32
     ranged = (d.withColumn("shuffle_key", key)
-              .repartitionByRange(SHUFFLE_RANGES, "shuffle_key", "doc_id")
-              .withColumn("pid", F.spark_partition_id()))
+              .withColumn("blk", F.expr(f"shuffle_key div {width}")))
     local = F.row_number().over(
-        Window.partitionBy("pid").orderBy("shuffle_key", "doc_id"))
-    counts = ranged.groupBy("pid").agg(F.count("*").alias("n"))
+        Window.partitionBy("blk").orderBy("shuffle_key", "doc_id"))
+    counts = ranged.groupBy("blk").agg(F.count("*").alias("n"))
     offsets = counts.select(
-        "pid",
-        (F.sum("n").over(Window.orderBy("pid")
+        "blk",
+        (F.sum("n").over(Window.orderBy("blk")
                          .rowsBetween(Window.unboundedPreceding, -1))
          ).alias("off")).fillna(0, ["off"])
     return (ranged.withColumn("rn", local)
-            .join(F.broadcast(offsets), "pid")
+            .join(F.broadcast(offsets), "blk")
             .select("doc_id", "shuffle_key",
                     (F.col("off") + F.col("rn")).alias("pos")))

@@ -160,3 +160,15 @@ def test_interval_query_pushes_ts_to_scan(spark, reg):
     post-scan filter over a computed column — at 100 TB the difference
     between reading ten days and reading the year."""
     assert_pushed_filters(reg["q_interval_query"].builder(spark, SF), "ts")
+
+
+def test_corpus_shuffle_single_data_exchange(spark, reg):
+    """The global enumeration never plans a corpus-sized single-partition
+    pass: the row_number window is keyed by the range bucket (one hash
+    exchange of the data), there is no sampling rangepartitioning pass,
+    and the only SinglePartition exchange feeds the B-row offset cumsum."""
+    plan = plan_string(reg["corpus_shuffle"].builder(spark, SF))
+    assert "rangepartitioning" not in plan
+    rn = [ln for ln in plan.splitlines()
+          if "row_number()" in ln and "windowspecdefinition" in ln]
+    assert rn and all("blk" in ln.split("windowspecdefinition")[1][:30] for ln in rn), rn
