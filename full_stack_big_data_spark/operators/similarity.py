@@ -231,31 +231,120 @@ _IVF_SEED = 7
 
 
 def _ivf_centroids() -> np.ndarray:
-    rng = np.random.RandomState(_IVF_SEED)
-    c = rng.standard_normal((IVF_CELLS, SRP_DIM))
-    return c / np.linalg.norm(c, axis=1, keepdims=True)
+    """Deterministic INTEGER centroids, shape (CELLS, DIM), weights in
+    [-100, 100] from the same multiplicative LCG as the SRP planes (its
+    own seed chain). Integer centroids make cell ASSIGNMENT exactly
+    reproducible across engines — see :func:`ivf_cells`."""
+    state = _IVF_SEED
+    w = np.empty((IVF_CELLS, SRP_DIM), dtype=np.int64)
+    for j in range(IVF_CELLS):
+        for d in range(SRP_DIM):
+            state = (state * 48271) % _SRP_P
+            w[j, d] = state % 201 - 100
+    return w
 
 
 def ivf_cells(df: DataFrame, vec_col: str = "embedding",
               probes: int = 1) -> DataFrame:
     """Append ``cells: array<int>`` — the ``probes`` nearest centroids by
-    cosine, one matmul per Arrow batch."""
-    cents = _ivf_centroids()
+    cosine, one integer matmul per Arrow batch.
+
+    Nearest-by-cosine = argmax d_c/√n_c (d_c = eq·C_c with eq the
+    floor(x·100) integer quantization, n_c = |C_c|²). The ORDERING is
+    decided without any float: d_a/√n_a vs d_b/√n_b compares as sign
+    first, then d²·n cross-multiplied in int64 (|d| ≤ 64·600·100 keeps
+    every product < 2⁶³ with 100× headroom), so numpy and the DuckDB
+    oracle rank cells identically — ties broken by cell id. That makes
+    the whole IVF pipeline deterministic and hash-exactly checkable,
+    like the SRP path.
+    """
+    cents = _ivf_centroids()                              # (C, dim) int64
+    n2 = (cents * cents).sum(axis=1)                      # (C,) |C_c|²
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def _cells(v: pd.Series) -> pd.Series:
         mat = np.stack(v.to_numpy()).astype(np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = mat @ cents.T                              # (n, cells)
-        top = np.argsort(-sims, axis=1)[:, :probes]
+        eq = np.floor(mat * 100.0).astype(np.int64)       # exact in double
+        d = eq @ cents.T                                  # (n, C) int64
+        sg = np.sign(d)
+        d2 = d * d
+        # beats[i, a, b]: does cell a strictly outrank cell b for row i?
+        xa = d2[:, :, None] * n2[None, None, :]           # d_a² · n_b
+        xb = d2[:, None, :] * n2[None, :, None]           # d_b² · n_a
+        sa, sb = sg[:, :, None], sg[:, None, :]
+        beats = np.where(sa != sb, sa > sb,
+                         np.where(sa >= 0, xa > xb, xa < xb))
+        wins = beats.sum(axis=2)                          # (n, C)
+        # most wins first; stable sort breaks win-ties by ascending cell id
+        order = np.argsort(-wins, axis=1, kind="stable")
+        top = order[:, :probes]
         return pd.Series(list(top.astype(np.int32)))
 
     return df.withColumn("cells", _cells(F.col(vec_col)))
 
 
+def _ivf_oracle() -> str:
+    """DuckDB twin of the full IVF pipeline. Cell ranking replays the
+    integer comparator from :func:`ivf_cells` as pairwise wins (sign
+    first, then BIGINT d²·n cross-multiplication — exact, no division or
+    sqrt anywhere), so assignment and probe sets match Spark's bit-for-
+    bit; candidate join + exact cosine re-rank as in the brute oracle."""
+    w = _ivf_centroids()
+    n2 = (w * w).sum(axis=1)
+    rows = ",\n".join(
+        f"  ({j}, [{', '.join(str(int(x)) for x in w[j])}]::DOUBLE[], "
+        f"{int(n2[j])}::BIGINT)"
+        for j in range(IVF_CELLS))
+    beats = """(CASE WHEN SIGN(a.d) <> SIGN(b.d) THEN SIGN(a.d) > SIGN(b.d)
+                     WHEN a.d >= 0 THEN a.d*a.d*b.n2 > b.d*b.d*a.n2
+                     ELSE a.d*a.d*b.n2 < b.d*b.d*a.n2 END)"""
+    return f"""
+WITH cents(cell, w, n2) AS (VALUES
+{rows}
+), eq AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding::DOUBLE[], x -> FLOOR(x * 100)) AS v
+  FROM embeddings
+), dots AS (
+  SELECT e.vec_id, c.cell, CAST(list_dot_product(e.v, c.w) AS BIGINT) AS d, c.n2
+  FROM eq e CROSS JOIN cents c
+), wins AS (
+  SELECT a.vec_id, a.cell,
+         SUM(CASE WHEN {beats} THEN 1 ELSE 0 END) AS wn
+  FROM dots a JOIN dots b ON a.vec_id = b.vec_id AND a.cell <> b.cell
+  GROUP BY a.vec_id, a.cell
+), ranked_cells AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY wn DESC, cell) AS r
+  FROM wins
+), corpus AS (
+  SELECT vec_id, cell FROM ranked_cells WHERE r = 1
+), qcells AS (
+  SELECT vec_id AS query_id, cell FROM ranked_cells
+  WHERE vec_id < {N_QUERIES} AND r <= {IVF_PROBES}
+), cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+  FROM qcells q JOIN corpus c USING (cell)
+  WHERE c.vec_id <> q.query_id
+), scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(n.embedding::DOUBLE[], qe.embedding::DOUBLE[]) AS cos
+  FROM cand c
+  JOIN embeddings n  ON n.vec_id  = c.neighbor_id
+  JOIN embeddings qe ON qe.vec_id = c.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 @register(
     "ann_ivf",
-    oracle=None,  # approximate by design; recall pinned in tests instead
+    oracle=_ivf_oracle(),
     description=f"IVF ANN: {IVF_CELLS} cells, {IVF_PROBES} probes, exact re-rank of probed cells",
     tags=("similarity", "ann", "ivf"),
 )
