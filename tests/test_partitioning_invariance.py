@@ -1,0 +1,47 @@
+"""Partitioning invariance: the engine's results must not depend on how
+many partitions a shuffle lands in (the claim behind DECIMAL-exact
+accumulation and hash-membership sampling — README "Scale posture").
+
+On a cluster the partition count is an ops knob that changes with AQE,
+executor count, and data volume; any result drift across partitioning is
+a silent correctness bug at 100 TB. We re-run representative queries —
+decimal aggregation, window prefix-sum, two-pass heavy hitters,
+bucket-offset global enumeration, LSH banding — under deliberately
+mismatched ``spark.sql.shuffle.partitions`` and require row-identical
+results (not approximately equal: identical)."""
+
+from __future__ import annotations
+
+import pytest
+
+from full_stack_big_data_spark.operators.registry import load_all
+from conftest import SF_SMOKE
+
+QUERIES = [
+    "q1_pricing_summary",      # DECIMAL-exact additive aggregation
+    "q_sessionize",            # window lag + running sum over a shuffle
+    "q_heavy_hitters",         # bounded-memory candidate pass + recount
+    "corpus_shuffle",          # bucket-offset global enumeration
+    "dedup_minhash_lsh",       # banded LSH candidate generation
+    "sample_stratified",       # hash-membership sampling
+]
+
+
+def _rows(spark, name):
+    df = load_all()[name].builder(spark, SF_SMOKE)
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_result_invariant_under_shuffle_partitions(spark, name):
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "5")
+        a = _rows(spark, name)
+        spark.conf.set(key, "64")
+        b = _rows(spark, name)
+    finally:
+        spark.conf.set(key, before)
+    assert a == b, f"{name} drifted across shuffle partitioning"
+    assert a, f"{name} returned no rows at {SF_SMOKE}"
