@@ -236,3 +236,56 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # on-time rows: the late row neither merged (count would be 3) nor
     # resurrected the window as a second append row.
     assert ten == [2], rows
+
+
+def test_stateful_state_survives_restart(spark, tmp_path):
+    """The custom stateful operator's STATE (not just source offsets)
+    survives a checkpointed restart: per-user running stats computed
+    across two separate drains equal a single batch pass over all
+    events — the state store resumed, it did not restart from zero.
+    (The reference's bolt-local running counts die with the worker;
+    this is the durability upgrade §2.5 claims for T6/A1.)"""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from full_stack_big_data_spark.streaming.stateful import running_user_stats
+
+    src = str(tmp_path / "events_in")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(src)
+    base = 1_700_000_000_000_000  # epoch micros
+
+    def stage(fname, rows):  # rows: (user_id, event_type, offset_s)
+        pq.write_table(pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": [r[1] for r in rows],
+            "ts": pa.array([base + r[2] * 1_000_000 for r in rows],
+                           pa.timestamp("us")),
+        }), os.path.join(src, f"{fname}.parquet"))
+
+    def drain():
+        sdf = (spark.readStream
+               .schema("user_id long, event_type string, ts timestamp")
+               .parquet(src))
+        q = (running_user_stats(sdf).writeStream
+             .foreachBatch(lambda b, _i: b.write.mode("append").parquet(out_dir))
+             .option("checkpointLocation", ckpt)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    stage("p1", [(1, "click", 0), (1, "view", 10), (2, "view", 5)])
+    drain()
+    stage("p2", [(1, "click", 20), (3, "click", 7)])
+    drain()
+
+    # last emitted row per user must carry the ACCUMULATED stats
+    rows = spark.read.parquet(out_dir).collect()
+    last = {}
+    for r in rows:  # update-mode emissions; later drain overwrites earlier
+        if r.user_id not in last or r.n_events >= last[r.user_id].n_events:
+            last[r.user_id] = r
+    assert last[1].n_events == 3 and last[1].n_clicks == 2   # 2 + 1 across drains
+    assert last[1].mn_us == base and last[1].mx_us == base + 20_000_000
+    assert last[2].n_events == 1 and last[2].n_clicks == 0
+    assert last[3].n_events == 1 and last[3].n_clicks == 1
