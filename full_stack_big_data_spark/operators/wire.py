@@ -164,3 +164,57 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _format_roundtrip(spark, sf_dir, "orc")
+
+
+# ---------------------------------------------------------------------------
+# Small-files compaction.
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET_BYTES = 64 * 1024 * 1024
+
+
+def compact_parquet(spark: SparkSession, src_dir: str, dst_dir: str,
+                    target_bytes: int = COMPACT_TARGET_BYTES) -> int:
+    """Rewrite a many-small-files parquet directory into
+    ``ceil(bytes/target)`` files. Streaming micro-batch sinks and
+    per-executor writers leave thousands of tiny files per partition;
+    at 100 TB that murders scan planning (one task per file) and HDFS/
+    object-store metadata. Returns the output file count.
+
+    ``coalesce`` (not ``repartition``): compaction must not pay a
+    shuffle — it merges existing splits read-side, so the rewrite is
+    scan + write only.
+    """
+    import os
+    size = sum(os.path.getsize(os.path.join(src_dir, f))
+               for f in os.listdir(src_dir) if f.endswith(".parquet"))
+    nfiles = max(1, -(-size // target_bytes))
+    spark.read.parquet(src_dir).coalesce(nfiles).write.mode("overwrite").parquet(dst_dir)
+    return nfiles
+
+
+@register(
+    "q_compact_roundtrip",
+    oracle=_FMT_ORACLE,
+    description="small-files compaction: shatter documents into 64 files, "
+                "compact shuffle-free to target size, prove content identity",
+    tags=("source", "format", "storage"),
+)
+def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shatter the documents table into 64 small files, compact them with
+    :func:`compact_parquet`, and aggregate the compacted copy — the
+    lang-level count/chars/checksum must hash-match DuckDB reading the
+    ORIGINAL table, proving the rewrite is content-exact. The file-count
+    reduction itself is pinned in ``tests/test_sinks.py``."""
+    from ..engine.scratch import scratch_dir
+    from ..functions.hashing import hex64
+    d = Catalog(spark, sf_dir).documents.select(
+        "doc_id", "text", "lang", "source", "n_chars")
+    shattered, compacted = scratch_dir("fsbd_shard_"), scratch_dir("fsbd_compact_")
+    d.repartition(64).write.mode("overwrite").parquet(shattered)
+    compact_parquet(spark, shattered, compacted)
+    back = spark.read.parquet(compacted)
+    return (back.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.sum(hex64(F.col("text")) % 1000000007).alias("text_checksum")))

@@ -78,3 +78,24 @@ def test_merged_schema_reads_evolved_table(spark, tmp_path):
     assert set(df.columns) == {"k", "v"}
     rows = {r.k: r.v for r in df.collect()}
     assert rows == {0: None, 1: None, 2: None, 3: 30, 4: 40, 5: 50}
+
+
+def test_compact_reduces_file_count_without_shuffle(spark, tmp_path):
+    """64 shattered files compact into ceil(bytes/target) outputs with
+    identical content; coalesce keeps the rewrite shuffle-free."""
+    import os
+    from full_stack_big_data_spark.engine.catalog import Catalog
+    from full_stack_big_data_spark.operators.wire import compact_parquet
+    from conftest import SF_SMOKE
+
+    d = Catalog(spark, SF_SMOKE).documents.select("doc_id", "text")
+    src, dst = str(tmp_path / "shard"), str(tmp_path / "compact")
+    d.repartition(64).write.parquet(src)
+    n_in = sum(f.endswith(".parquet") for f in os.listdir(src))
+    assert n_in == 64
+    compact_parquet(spark, src, dst, target_bytes=1 << 20)
+    n_out = sum(f.endswith(".parquet") for f in os.listdir(dst))
+    assert n_out < n_in
+    before = sorted(r.doc_id for r in spark.read.parquet(src).collect())
+    after = sorted(r.doc_id for r in spark.read.parquet(dst).collect())
+    assert before == after
