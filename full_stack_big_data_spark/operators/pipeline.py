@@ -36,6 +36,7 @@ from ..functions.hashing import hex64, hex64_sql
 from ..functions.text import tokens, tokens_sql
 from .dedup import dedup_clusters
 from .registry import REGISTRY, register
+from .textanalysis import _stopword_hits_spark, _stopword_hits_sql
 
 # ---------------------------------------------------------------------------
 # Sessionization.
@@ -620,3 +621,79 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(offsets), "blk")
             .select("doc_id", "shuffle_key",
                     (F.col("off") + F.col("rn")).alias("pos")))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation (the composed pipeline).
+# ---------------------------------------------------------------------------
+
+CURATE_SAMPLE_PCT = 80
+
+
+@register(
+    "pipeline_curate",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, text, lang,
+         len({tokens_sql('text')}) AS n_tokens,
+         {_stopword_hits_sql('en')} AS en_hits
+  FROM documents
+), quality AS (
+  SELECT * FROM scored WHERE n_tokens >= 20 AND en_hits > 0
+), canonical AS (
+  SELECT * FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY sha256(text)) AS canon
+    FROM quality)
+  WHERE doc_id = canon
+), sampled AS (
+  SELECT * FROM canonical
+  WHERE {hex64_sql("'curate|' || CAST(doc_id AS VARCHAR)")} % 100 < {CURATE_SAMPLE_PCT}
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM({hex64_sql("CAST(doc_id AS VARCHAR)")} % 1000000007) AS BIGINT)
+         AS id_checksum
+FROM sampled
+GROUP BY lang
+""",
+    description=f"composed curation pipeline: quality gate → exact dedup → "
+                f"{CURATE_SAMPLE_PCT}% hash sample → per-lang stats",
+    tags=("pipeline", "text", "dedup", "sampling"),
+)
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation pipeline a training-data run actually executes,
+    composed from the engine's proven stages and oracle-checked END TO
+    END (stage-level oracles can't catch inter-stage contract bugs —
+    this one does):
+
+    1. quality gate — ``text_quality``'s keep rule (≥ 20 tokens, English
+       stopword evidence), map-only;
+    2. exact dedup — keep the min-doc_id canonical per sha256(text)
+       (``dedup_exact``'s rule) via one content-hash window shuffle;
+    3. deterministic sample — ``sample_deterministic``'s hash-membership
+       predicate at {PCT}%, map-only, layout-independent;
+    4. per-lang corpus stats with an id-checksum so the oracle pins the
+       exact surviving row SET, not just counts.
+
+    Scale: one shuffle for the dedup window + the final tiny per-lang
+    agg; the gate and sample never shuffle.
+    """
+    from ..functions.text import tokens
+
+    d = Catalog(spark, sf_dir).documents
+    scored = d.select(
+        "doc_id", "text", "lang",
+        F.size(tokens("text")).alias("n_tokens"),
+        _stopword_hits_spark("en").alias("en_hits"))
+    quality = scored.where((F.col("n_tokens") >= 20) & (F.col("en_hits") > 0))
+    canon = F.min("doc_id").over(Window.partitionBy(F.sha2(F.col("text"), 256)))
+    canonical = quality.withColumn("canon", canon).where(F.col("doc_id") == F.col("canon"))
+    sampled = canonical.where(
+        hex64(F.concat(F.lit("curate|"), F.col("doc_id").cast("string")))
+        % 100 < CURATE_SAMPLE_PCT)
+    return (sampled.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.sum(hex64(F.col("doc_id").cast("string")) % 1000000007)
+                  .alias("id_checksum")))
