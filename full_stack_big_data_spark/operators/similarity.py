@@ -564,3 +564,76 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.min("sc"), 6).alias("self_cos"),
              F.min("dim").alias("min_dim"), F.max("dim").alias("max_dim"))
     )
+
+
+def _neardup_banded_oracle() -> str:
+    """DuckDB twin of the banded near-dup: identical SRP buckets (the
+    integer sign tests from ``_srp_oracle``), bucket-colliding pairs,
+    exact cosine threshold."""
+    w = _srp_hyperplanes()
+    rows = ",\n".join(
+        f"  ({j // SRP_BITS}, {j % SRP_BITS}, "
+        f"[{', '.join(str(int(x)) for x in w[j])}]::DOUBLE[])"
+        for j in range(SRP_TABLES * SRP_BITS))
+    return f"""
+WITH planes(table_id, bit, w) AS (VALUES
+{rows}
+), eq AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding::DOUBLE[], x -> FLOOR(x * 1000)) AS v
+  FROM embeddings
+), dots AS (
+  SELECT e.vec_id, p.table_id, p.bit, list_dot_product(e.v, p.w) AS d
+  FROM eq e CROSS JOIN planes p
+), b AS (
+  SELECT vec_id, table_id,
+         CAST(SUM(CASE WHEN d > 0 THEN 1 << bit ELSE 0 END) AS INT) AS bucket
+  FROM dots GROUP BY vec_id, table_id
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, x.vec_id AS vec_b
+  FROM b a JOIN b x ON a.table_id = x.table_id AND a.bucket = x.bucket
+                   AND a.vec_id < x.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6)
+         AS cosine
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.vec_a
+JOIN embeddings eb ON eb.vec_id = c.vec_b
+WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+      >= {NEARDUP_COS}
+"""
+
+
+@register(
+    "embedding_neardup_banded",
+    oracle=_neardup_banded_oracle(),
+    description=f"banded near-dup (the 100 TB path): SRP bucket collisions "
+                f"→ exact cosine ≥ {NEARDUP_COS}, never all-pairs",
+    tags=("similarity", "neardup", "lsh"),
+)
+def embedding_neardup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``embedding_neardup``'s exact paths (broadcast matmul, block-pair
+    join) are quadratic by problem statement; THIS is the operator that
+    replaces them at corpus scale: candidates are SRP bucket collisions
+    (cost ∝ true near-pairs + tunable collision noise, never N²), each
+    candidate verified with the exact cosine kernel. Same banding
+    posture as ``dedup_minhash_lsh`` on text. Deterministic integer
+    bucketing (see :func:`_srp_hyperplanes`) makes even this
+    approximate-recall operator hash-exact against its oracle; its
+    recall vs the exact pair set is pinned in tests.
+    """
+    e = srp_buckets(Catalog(spark, sf_dir).embeddings)
+    tbl = e.select("vec_id", "embedding",
+                   F.posexplode("buckets").alias("table_id", "bucket"))
+    left = tbl.select(F.col("vec_id").alias("vec_a"),
+                      F.col("embedding").alias("emb_a"), "table_id", "bucket")
+    cand = (left.join(tbl, ["table_id", "bucket"])
+            .where(F.col("vec_a") < F.col("vec_id"))
+            .select("vec_a", "emb_a",
+                    F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+            .dropDuplicates(["vec_a", "vec_b"]))
+    cos = cosine_sim(F.col("emb_a"), F.col("emb_b"))
+    return (cand.select("vec_a", "vec_b", cos.alias("cos"))
+            .where(F.col("cos") >= NEARDUP_COS)
+            .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine")))

@@ -79,3 +79,23 @@ def test_ivf_partial_scan_exactness_and_recall(spark):
     recall = len(truth.keys() & {(r.query_id, r.neighbor_id) for r in ivf}) / len(truth)
     floor = IVF_PROBES / IVF_CELLS * 0.6  # generous variance margin
     assert recall >= floor, f"IVF recall {recall:.2f} below floor {floor:.2f}"
+
+
+def test_neardup_banded_recall_and_exactness(spark):
+    """The banded (100 TB) near-dup path: every reported pair must carry
+    the exact cosine the quadratic path computes (no false scores), and
+    recall vs the exact pair set stays above the SRP collision floor."""
+    from full_stack_big_data_spark.operators.similarity import (
+        embedding_neardup_banded,
+    )
+    exact = {(r.vec_a, r.vec_b): r.cosine
+             for r in embedding_neardup(spark, SF_SMOKE).collect()}
+    banded = {(r.vec_a, r.vec_b): r.cosine
+              for r in embedding_neardup_banded(spark, SF_SMOKE).collect()}
+    assert banded, "banded path found no pairs at smoke scale"
+    for pair, cos in banded.items():
+        assert pair in exact and exact[pair] == cos, pair
+    recall = len(banded) / len(exact)
+    # pairs at the 0.40 threshold sit near cos≈0.45 → ≥0.8 expected (see
+    # the SRP tuning note); a collapse here means bucketing broke.
+    assert recall >= 0.6, f"banded near-dup recall collapsed: {recall:.2f}"
