@@ -623,17 +623,23 @@ def embedding_neardup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate-recall operator hash-exact against its oracle; its
     recall vs the exact pair set is pinned in tests.
     """
-    e = srp_buckets(Catalog(spark, sf_dir).embeddings)
-    tbl = e.select("vec_id", "embedding",
-                   F.posexplode("buckets").alias("table_id", "bucket"))
-    left = tbl.select(F.col("vec_id").alias("vec_a"),
-                      F.col("embedding").alias("emb_a"), "table_id", "bucket")
-    cand = (left.join(tbl, ["table_id", "bucket"])
+    src = Catalog(spark, sf_dir).embeddings
+    # Candidate generation carries IDS ONLY — the bucket join multiplies
+    # rows (tables × collisions), and towing two 64-float arrays through
+    # that explosion is the memory trap (same discipline as the minhash
+    # path: band rows are doc_id+bucket, shingle sets join back later).
+    buckets = (srp_buckets(src).select(
+        "vec_id", F.posexplode("buckets").alias("table_id", "bucket")))
+    cand = (buckets.select(F.col("vec_id").alias("vec_a"), "table_id", "bucket")
+            .join(buckets, ["table_id", "bucket"])
             .where(F.col("vec_a") < F.col("vec_id"))
-            .select("vec_a", "emb_a",
-                    F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-            .dropDuplicates(["vec_a", "vec_b"]))
+            .select("vec_a", F.col("vec_id").alias("vec_b"))
+            .distinct())
+    # verify: embeddings join the deduplicated pair set, once per side
+    ea = src.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = src.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     cos = cosine_sim(F.col("emb_a"), F.col("emb_b"))
-    return (cand.select("vec_a", "vec_b", cos.alias("cos"))
+    return (cand.join(ea, "vec_a").join(eb, "vec_b")
+            .select("vec_a", "vec_b", cos.alias("cos"))
             .where(F.col("cos") >= NEARDUP_COS)
             .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine")))
