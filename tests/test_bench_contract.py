@@ -1,0 +1,39 @@
+"""The driver's bench contract: ``python bench.py`` prints exactly ONE
+JSON line with the promised fields, and every headline name exists in
+the registry (a renamed operator must break THIS test, not the driver's
+round recording)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+from full_stack_big_data_spark.operators.registry import load_all
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_headline_queries_exist():
+    import importlib
+    bench = importlib.import_module("bench")
+    reg = load_all()
+    missing = [n for n in bench.HEADLINE if n not in reg]
+    assert not missing, missing
+
+
+def test_bench_emits_one_json_line():
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+               SPARK_GRAFT_BENCH_REPS="1")
+    out = subprocess.run(
+        [sys.executable, os.path.join(HERE, "bench.py")],
+        capture_output=True, text=True, env=env, cwd=HERE, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [ln for ln in out.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, f"expected exactly one stdout line, got {lines}"
+    rec = json.loads(lines[0])
+    assert rec["unit"] == "sec" and rec["value"] > 0
+    assert set(rec["queries"]) == set(__import__("bench").HEADLINE)
+    assert all(v >= 0 for v in rec["queries"].values())
