@@ -172,3 +172,20 @@ def test_corpus_shuffle_single_data_exchange(spark, reg):
     rn = [ln for ln in plan.splitlines()
           if "row_number()" in ln and "windowspecdefinition" in ln]
     assert rn and all("blk" in ln.split("windowspecdefinition")[1][:30] for ln in rn), rn
+
+
+def test_asof_join_is_union_window_no_join(spark, reg):
+    """The as-of join compiles to union + one keyed window — NO join
+    operator at all (and so no range-explosion risk): the composition
+    that keeps as-of linear at 100 TB."""
+    plan = plan_string(reg["q_asof_join"].builder(spark, SF))
+    assert "Join" not in plan, plan[:3000]
+    assert "Window" in plan
+
+
+def test_range_join_is_bucketed_broadcast_equijoin(spark, reg):
+    """The range join executes as an equi-join on (key, bucket) with a
+    residual interval filter — never a cartesian/range-nested-loop."""
+    plan = plan_string(reg["q_range_join"].builder(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan
