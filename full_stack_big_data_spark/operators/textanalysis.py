@@ -10,11 +10,12 @@ hot path. At 100 TB these are embarrassingly parallel map-only plans.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..engine.catalog import Catalog
 from ..functions.text import (
-    STOPWORDS_BY_LANG, char_ngrams, char_ngrams_sql, tokens, tokens_sql,
+    STOPWORDS_BY_LANG, char_ngrams, char_ngrams_sql, token_ngrams, tokens,
+    tokens_sql,
 )
 from .registry import register
 
@@ -334,3 +335,66 @@ def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("double").alias("avg_chars"),
         F.sum(F.when(F.size(tok) < 3, 1).otherwise(0)).alias("short_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram LM counts.
+# ---------------------------------------------------------------------------
+
+NGRAM_ORDERS = (1, 2, 3)
+NGRAM_TOP_K = 20
+
+
+def _ngram_oracle() -> str:
+    from ..functions.text import token_ngrams_sql
+    per_n = "\n  UNION ALL\n  ".join(
+        f"SELECT {n} AS n, unnest({token_ngrams_sql(tokens_sql('text'), n)}) AS gram FROM documents"
+        for n in NGRAM_ORDERS)
+    return f"""
+WITH grams AS (
+  {per_n}
+), counts AS (
+  SELECT n, gram, COUNT(*) AS cnt FROM grams GROUP BY n, gram
+), ranked AS (
+  SELECT n, gram, cnt,
+         ROW_NUMBER() OVER (PARTITION BY n ORDER BY cnt DESC, gram) AS rank
+  FROM counts
+)
+SELECT n, gram, cnt, rank FROM ranked WHERE rank <= {NGRAM_TOP_K}
+"""
+
+
+@register(
+    "text_ngram_counts",
+    oracle=_ngram_oracle(),
+    description=f"corpus n-gram LM counts (n in {NGRAM_ORDERS}): top-{NGRAM_TOP_K} "
+                "grams per order, the table behind n-gram quality/perplexity filters",
+    tags=("text", "ngram", "agg"),
+)
+def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count table an n-gram LM quality filter is built from (the
+    classic perplexity-based corpus scoring step): token n-grams for
+    n ∈ {1,2,3}, counted corpus-wide, top-K per order.
+
+    Scale: the explode is map-side; ONE shuffle counts all three orders
+    together (n is part of the grouping key, so no per-order passes);
+    the per-order top-K is a window over the already-aggregated count
+    table. For the full (un-truncated) LM table at 100 TB you keep the
+    counts un-topped and write them partitioned by n — same plan minus
+    the window; the top-K here is what makes a finite driver row.
+    """
+    d = Catalog(spark, sf_dir).documents
+    tok = tokens("text")
+    per_n = [
+        d.select(F.lit(n).alias("n"),
+                 F.explode(token_ngrams(tok, n)).alias("gram"))
+        for n in NGRAM_ORDERS
+    ]
+    grams = per_n[0]
+    for nxt in per_n[1:]:
+        grams = grams.unionByName(nxt)
+    counts = grams.groupBy("n", "gram").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("n").orderBy(F.desc("cnt"), F.asc("gram"))
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= NGRAM_TOP_K)
+            .select("n", "gram", "cnt", "rank"))
