@@ -1,6 +1,8 @@
 """Similarity search over the embeddings table (``array<float>``, dim 64).
 
-Three operators:
+Five operators (each hash-exact against a DuckDB oracle — the integer
+quantization discipline described on :func:`_srp_hyperplanes` makes even
+the approximate-recall paths deterministic):
 
 - ``ann_brute_topk``    — exact top-k cosine neighbors for a fixed query
   set. The query side is broadcast, the corpus side streams: one scan,
@@ -17,8 +19,14 @@ Three operators:
   oracle); recall vs the brute-force baseline is additionally pinned in
   tests.
 - ``embedding_neardup`` — all corpus pairs with cosine ≥ 0.40 (the
-  testdata's top-pair regime). Exact quadratic at test scale; the
-  100 TB path is the SRP bucketing above (same verify kernel).
+  testdata's top-pair regime). Exact quadratic at test scale (broadcast
+  matmul below the 256 MiB ceiling, block-pair join past it).
+- ``ann_ivf``            — coarse-quantizer ANN: integer centroids, cell
+  assignment by sign + BIGINT cross-multiplied ranking, probe-N cells,
+  exact re-rank.
+- ``embedding_neardup_banded`` — the 100 TB near-dup path: SRP bucket
+  collisions generate id-only candidate pairs (never all-pairs), exact
+  cosine verifies each; recall floor pinned vs the quadratic path.
 
 Cosine is computed in double after an elementwise float→double widen,
 left-to-right accumulation — bit-compatible with DuckDB's
