@@ -144,20 +144,49 @@ _DECODE_SCHEMA = StructType([
 
 @register(
     "multimodal_decode_stub",
-    oracle=None,  # decode is a stub; plumbing checked rows-only + pytest
-    description="stubbed media decode over binary payloads (mapInPandas, deterministic fake)",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, text,
+         length(text) AS n,
+         COALESCE(list_aggregate(list_transform(range(1, length(text) + 1),
+                                                i -> ord(substring(text, i, 1))),
+                                 'sum'), 0) % 9973 AS checksum
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN text IS NULL THEN NULL
+            ELSE CAST(n % 640 + 1 AS INTEGER) END AS width,
+       CASE WHEN text IS NULL THEN NULL
+            ELSE CAST(checksum % 480 + 1 AS INTEGER) END AS height,
+       CASE WHEN text IS NULL THEN NULL
+            WHEN checksum % 2 = 1 THEN 'L' ELSE 'RGB' END AS mode
+FROM b
+""",
+    description="stubbed media decode over binary payloads (mapInPandas, "
+                "deterministic fake with an exact byte-arithmetic oracle)",
     tags=("multimodal", "stub"),
 )
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode step of the media pipeline, stub-backed but hash-proved.
+
+    The real decoder (PIL) is absent from this container, so
+    :func:`decode_payload` falls back to :func:`_decode_payload_fake` —
+    a deterministic function of the payload BYTES. Payloads here are
+    ASCII (module docstring), so DuckDB replays the same byte arithmetic
+    and the driver hash-checks the full plumbing end to end: binary
+    column → Arrow batch → per-payload decode → typed struct out. When
+    PIL lands, the fake (and this oracle) swap out behind the same seam.
+    """
     src = with_payload(Catalog(spark, sf_dir).documents)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = pdf["payload"].map(decode_payload)
+            decoded = pdf["payload"].map(
+                lambda b: decode_payload(b) if b is not None else (None, None, None))
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
-                "width": decoded.map(lambda t: t[0]).astype("int32"),
-                "height": decoded.map(lambda t: t[1]).astype("int32"),
+                "width": pd.array(decoded.map(lambda t: t[0]), dtype="Int32"),
+                "height": pd.array(decoded.map(lambda t: t[1]), dtype="Int32"),
                 "mode": decoded.map(lambda t: t[2]),
             })
 

@@ -604,19 +604,52 @@ def q_interval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Approximate distinct — sketch-based, no SQL oracle (rows-only check).
+# Approximate distinct — sketch-based, proven via a self-validating
+# error-bound contract (the HLL++ estimate itself is engine-private, so
+# the hashable surface is "estimate within bound of the exact count",
+# computed Spark-side, plus the exact count the oracle recomputes).
 # ---------------------------------------------------------------------------
+
+APPROX_DISTINCT_RSD = 0.01   # HLL++ relative standard deviation
+APPROX_DISTINCT_BOUND = 0.05  # contract: |est - exact|/exact ≤ 5% (5σ)
+
 
 @register(
     "q_approx_distinct",
-    oracle=None,  # HLL sketch result is engine-specific by design
-    description="approx_count_distinct (HyperLogLog++) per event_type",
-    tags=("agg", "approx"),
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS estimate_within_bound
+FROM events
+GROUP BY event_type
+""",
+    description="approx_count_distinct (HyperLogLog++) per event_type, "
+                "hash-proved within 5% of the exact count",
+    tags=("agg", "approx", "events"),
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct estimate under a hashable error contract.
+
+    The sketch internals are engine-private, so the estimate can't be
+    differentially checked — but the CONTRACT can: Spark computes both
+    the estimate and the exact count in one grouped pass and emits
+    ``|est-exact|/exact ≤ 5%`` as a boolean; the oracle recomputes the
+    exact count and asserts TRUE. An out-of-bound sketch flips the
+    boolean and hash-fails the row. (Observed error at sf0.01: 0.67%,
+    rsd=0.01 → 5σ margin.) At 100 TB only the estimate pass survives —
+    the exact count here is the verification harness, not the operator.
+    """
     e = Catalog(spark, sf_dir).events
+    est = F.approx_count_distinct("user_id", APPROX_DISTINCT_RSD)
+    exact = F.countDistinct("user_id")
     return (
         e.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
-        .orderBy("event_type")
+        .agg(est.alias("approx_users"), exact.alias("exact_users"))
+        .select(
+            "event_type",
+            "exact_users",
+            (F.abs(F.col("approx_users") - F.col("exact_users"))
+             <= F.col("exact_users") * APPROX_DISTINCT_BOUND
+             ).alias("estimate_within_bound"),
+        )
     )

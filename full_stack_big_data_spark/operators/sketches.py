@@ -153,29 +153,50 @@ def q_sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 APPROX_PCT_ERR = 0.01  # relative-rank accuracy target (1% of N)
 
 
+_QUANT_PS = (0.5, 0.9, 0.99)
+_QUANT_SLACK = 0.02  # bracket half-width in rank space (2× the 1% target)
+
+
 @register(
     "q_approx_quantiles",
-    oracle=None,  # approximate by design → rows-only driver check;
-                  # the accuracy bound vs the exact percentiles is pinned
-                  # in tests/test_sketches_quantiles.py
-    description="approx_percentile (p50/p90/p99 of order totals) within 1% rank error, single partial-agg pass",
+    oracle="SELECT COUNT(*) AS n_orders, TRUE AS p50_ok, TRUE AS p90_ok, "
+           "TRUE AS p99_ok FROM orders",
+    description="approx_percentile (p50/p90/p99 of order totals), "
+                "hash-proved inside ±2% rank brackets",
     tags=("sketch", "quantiles", "agg"),
 )
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable quantile sketch over order totals.
+    """Mergeable quantile sketch under a hashable rank-error contract.
 
     ``approx_percentile`` keeps a bounded summary per partition and
     merges summaries — one map-side-combined pass, state O(1/err), vs
     the exact percentile's full sort/shuffle of the column. At 100 TB
-    the exact path is a terabyte-scale sort; the sketch is a scan. The
-    1% rank-error contract (accuracy = 1/err = 100) is what the test
-    pins against ``q_percentiles``' exact answers.
+    the exact path is a terabyte-scale sort; the sketch is a scan.
+
+    The sketch values are engine-private, so the hashable surface is the
+    rank-error CONTRACT: each estimate must lie inside the exact-value
+    bracket at rank p ± 2% (clamped to [0, 1] — p99's upper bound is the
+    column max), computed entirely Spark-side so no cross-engine float
+    comparison is involved; the oracle asserts the booleans TRUE. An
+    estimate drifting outside its bracket hash-fails the row. The
+    tighter 1% bound (accuracy = 1/err = 100) stays pinned in
+    ``tests/test_sketches_quantiles.py``; the exact-percentile pass here
+    is the verification harness, not the production operator.
     """
     o = Catalog(spark, sf_dir).orders
     acc = int(1 / APPROX_PCT_ERR)
-    return o.agg(
-        F.expr(f"approx_percentile(o_totalprice, 0.5, {acc})").alias("p50"),
-        F.expr(f"approx_percentile(o_totalprice, 0.9, {acc})").alias("p90"),
-        F.expr(f"approx_percentile(o_totalprice, 0.99, {acc})").alias("p99"),
+    aps = ",".join(str(p) for p in _QUANT_PS)
+    los = ",".join(str(max(p - _QUANT_SLACK, 0.0)) for p in _QUANT_PS)
+    his = ",".join(str(min(p + _QUANT_SLACK, 1.0)) for p in _QUANT_PS)
+    agg = o.agg(
+        F.expr(f"approx_percentile(o_totalprice, array({aps}), {acc})").alias("ap"),
+        F.expr(f"percentile(o_totalprice, array({los}))").alias("lo"),
+        F.expr(f"percentile(o_totalprice, array({his}))").alias("hi"),
         F.count("*").alias("n_orders"),
     )
+    ok = [
+        ((F.col("ap")[i] >= F.col("lo")[i]) & (F.col("ap")[i] <= F.col("hi")[i])
+         ).alias(f"p{int(p * 100)}_ok")
+        for i, p in enumerate(_QUANT_PS)
+    ]
+    return agg.select("n_orders", *ok)
