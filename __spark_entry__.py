@@ -70,6 +70,64 @@ def _verified_names() -> set[str]:
     return names
 
 
+def _changed_query_names(reg) -> list[str]:
+    """Queries whose code changed THIS round, derived from git: diff the
+    working tree against the commit that recorded the newest
+    CORRECTNESS_r{N}.json (= the start of the current round) and map
+    changed engine files to the queries whose builder they define. A
+    changed engine file that is nobody's builder module is shared
+    infrastructure (catalog, session, serde, hashing...) — every query
+    potentially reads through it, so the whole registry is treated as
+    changed (ordering degrades to registration order, which is the
+    conservative-correct answer). Any git failure degrades to "nothing
+    changed" rather than breaking the sweep."""
+    import inspect
+    import os
+    import re
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for fname in os.listdir(here):
+        m = re.match(r"CORRECTNESS_r(\d+)\.json$", fname)
+        if m:
+            rounds.append((int(m.group(1)), fname))
+    if not rounds:
+        return []
+    latest = max(rounds)[1]
+    try:
+        base = subprocess.run(
+            ["git", "log", "-n", "1", "--format=%H", "--", latest],
+            cwd=here, capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+        if not base:
+            return []
+        diff = subprocess.run(
+            ["git", "diff", "--name-only", base, "--",
+             "full_stack_big_data_spark"],
+            cwd=here, capture_output=True, text=True, timeout=30,
+        )
+        if diff.returncode != 0:
+            return []
+        changed_files = {os.path.normpath(p) for p in
+                         diff.stdout.splitlines() if p.strip()}
+    except (OSError, subprocess.SubprocessError):
+        return []
+    if not changed_files:
+        return []
+    by_file: dict[str, list[str]] = {}
+    for n, spec in reg.items():
+        try:
+            src = inspect.getsourcefile(inspect.unwrap(spec.builder))
+            rel = os.path.normpath(os.path.relpath(src, here))
+        except (TypeError, ValueError):
+            continue
+        by_file.setdefault(rel, []).append(n)
+    if changed_files - set(by_file):  # shared-infra change → all changed
+        return list(reg)
+    return [n for f in sorted(changed_files) for n in by_file.get(f, [])]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     def wrap(spec):
@@ -82,14 +140,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     reg = load_all()
     seen = _verified_names()
-    # Re-verification tail ordering: queries whose READ PATH or plan
-    # changed since their last green row run before untouched ones, so a
-    # regression surfaces this round, not next. Round 3 changed the
-    # parquet-timestamp conf (every events-table query reads through it)
-    # and touched multimodal NULL handling + the neardup block path.
-    changed = [n for n in reg
-               if "events" in reg[n].tags or "streaming" in reg[n].tags
-               or n.startswith(("multimodal_", "embedding_", "ann_"))]
+    # Re-verification tail ordering: queries whose code changed since
+    # their last green row run before untouched ones, so a regression
+    # surfaces this round, not next. The changed set is derived fresh
+    # each round from git (see _changed_query_names), not hand-edited.
+    changed = _changed_query_names(reg)
     tail_rank = {n: i for i, n in enumerate(changed)}
     tail = sorted((n for n in reg if n in seen),
                   key=lambda n: (tail_rank.get(n, len(tail_rank)),

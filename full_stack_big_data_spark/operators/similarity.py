@@ -260,20 +260,30 @@ def ivf_cells(df: DataFrame, vec_col: str = "embedding",
     Nearest-by-cosine = argmax d_c/√n_c (d_c = eq·C_c with eq the
     floor(x·100) integer quantization, n_c = |C_c|²). The ORDERING is
     decided without any float: d_a/√n_a vs d_b/√n_b compares as sign
-    first, then d²·n cross-multiplied in int64 (|d| ≤ 64·600·100 keeps
-    every product < 2⁶³ with 100× headroom), so numpy and the DuckDB
-    oracle rank cells identically — ties broken by cell id. That makes
+    first, then d²·n cross-multiplied in int64. Overflow headroom is a
+    property of the DATA RANGE: the comparator needs d²·n₂ < 2⁶³, and
+    with this corpus's |x| ≤ 0.53 (|eq| ≤ 53, |d| ≤ 64·53·100,
+    max n₂ = 64·100²) the products sit ~125× under the limit — but
+    embeddings with |x| near 6 would silently wrap in numpy while DuckDB
+    raises on BIGINT overflow, so the UDF asserts the actual bound per
+    batch and fails loudly instead. Ties broken by cell id. That makes
     the whole IVF pipeline deterministic and hash-exactly checkable,
     like the SRP path.
     """
     cents = _ivf_centroids()                              # (C, dim) int64
     n2 = (cents * cents).sum(axis=1)                      # (C,) |C_c|²
+    n2_max = int(n2.max())
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def _cells(v: pd.Series) -> pd.Series:
         mat = np.stack(v.to_numpy()).astype(np.float64)
         eq = np.floor(mat * 100.0).astype(np.int64)       # exact in double
         d = eq @ cents.T                                  # (n, C) int64
+        dmax = int(np.abs(d).max(initial=0))
+        # Exact comparator precondition (see docstring): d²·n₂ < 2⁶³.
+        assert dmax * dmax * n2_max < 2**63, (
+            f"ivf_cells int64 overflow: |d|max={dmax}, n2max={n2_max} — "
+            "embedding magnitudes exceed the exact-comparator range")
         sg = np.sign(d)
         d2 = d * d
         # beats[i, a, b]: does cell a strictly outrank cell b for row i?

@@ -186,8 +186,18 @@ def compact_parquet(spark: SparkSession, src_dir: str, dst_dir: str,
     scan + write only.
     """
     import os
-    size = sum(os.path.getsize(os.path.join(src_dir, f))
-               for f in os.listdir(src_dir) if f.endswith(".parquet"))
+    # Walk recursively: partitioned and streaming-sink layouts nest their
+    # files in subdirectories, and sizing only the top level would read 0
+    # bytes and silently collapse the dataset to coalesce(1).
+    size = 0
+    found = False
+    for root, _dirs, files in os.walk(src_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                size += os.path.getsize(os.path.join(root, f))
+                found = True
+    if not found:
+        raise ValueError(f"compact_parquet: no .parquet files under {src_dir}")
     nfiles = max(1, -(-size // target_bytes))
     spark.read.parquet(src_dir).coalesce(nfiles).write.mode("overwrite").parquet(dst_dir)
     return nfiles

@@ -63,13 +63,16 @@ def kafka_sink_options(bootstrap: str, topic: str, checkpoint: str) -> dict:
 def write_to_kafka(df: DataFrame, bootstrap: str, topic: str, checkpoint: str):
     """df must already be Kafka-shaped (binary key/value) — see
     ``serde.to_json_bytes`` / ``serde.encode_tweet_avro``. Returns the
-    started StreamingQuery (at-least-once; exactly-once state via the
-    checkpoint — strictly stronger than the reference's at-most-once
-    ackers=0 demo config, KafkaStormDemo.scala:50)."""
+    configured (un-started) ``DataStreamWriter`` — same lifecycle as
+    :func:`write_to_file_wire`, so call sites chain
+    ``.trigger(...).start()`` on either builder interchangeably.
+    Delivery is at-least-once; exactly-once state via the checkpoint —
+    strictly stronger than the reference's at-most-once ackers=0 demo
+    config (KafkaStormDemo.scala:50)."""
     writer = df.writeStream.format("kafka")
     for k, v in kafka_sink_options(bootstrap, topic, checkpoint).items():
         writer = writer.option(k, v)
-    return writer.start()
+    return writer
 
 
 # --- Broker-free wire analog (exercised Kafka lifecycle) ---------------------
