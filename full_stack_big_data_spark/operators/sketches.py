@@ -195,8 +195,13 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
     )
     ok = [
-        ((F.col("ap")[i] >= F.col("lo")[i]) & (F.col("ap")[i] <= F.col("hi")[i])
-         ).alias(f"p{int(p * 100)}_ok")
+        # Empty input: the sketch (and the brackets) are NULL with
+        # nothing to check — vacuously in-bound, as the oracle's literal
+        # TRUE says. coalesce, not when: a NULL estimate over NON-empty
+        # input must stay a failure, so the fallback is n_orders = 0.
+        F.coalesce((F.col("ap")[i] >= F.col("lo")[i])
+                   & (F.col("ap")[i] <= F.col("hi")[i]),
+                   F.col("n_orders") == 0).alias(f"p{int(p * 100)}_ok")
         for i, p in enumerate(_QUANT_PS)
     ]
     return agg.select("n_orders", *ok)

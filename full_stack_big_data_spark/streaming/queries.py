@@ -183,3 +183,50 @@ def stream_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_chars").alias("total_chars"),
                  F.sum(hex64(F.col("text")) % 1000000007).alias("text_checksum")))
+
+
+@register(
+    "stream_serving_interval",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+GROUP BY event_type
+""",
+    description="lambda serving path: stream-maintained hourly store answers "
+                "the reference's interval query (README get /home/time analog)",
+    tags=("streaming", "serving", "events"),
+)
+def stream_serving_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's serving layer (``README.md:45-69``: HTTP
+    ``get /home/time/<t1>/<t2>`` answered from a precomputed store) as an
+    analytics-engine path: the event stream incrementally maintains the
+    idempotent batch-keyed hourly store (``streaming/rollup.py`` — the
+    exactly-once foreachBatch layout), and the interval query is answered
+    FROM the store, never from raw events. The oracle computes the same
+    interval directly over raw events, so the driver hash proves the full
+    lambda loop — stream ingest → serving store → interval answer —
+    equals the batch recompute exactly (counts and DECIMAL partial sums
+    re-aggregate losslessly; the hour-aligned interval maps 1:1 onto
+    store buckets). The HTTP transport itself is out of scope; this is
+    the query it would serve.
+    """
+    from pyspark.sql import functions as F
+
+    from ..engine.scratch import scratch_dir
+    from .rollup import maintain_hourly_rollup, serve_hourly
+
+    src = _stream(spark, sf_dir, "events")
+    store = scratch_dir("fsbd_serving_store_")
+    maintain_hourly_rollup(src, store, scratch_dir("fsbd_serving_ckp_"))
+    hourly = serve_hourly(spark, store)
+    t1, t2 = "2024-01-10 00:00:00", "2024-01-20 00:00:00"
+    return (
+        hourly.where((F.col("hour") >= F.lit(t1).cast("timestamp"))
+                     & (F.col("hour") < F.lit(t2).cast("timestamp")))
+        .groupBy("event_type")
+        .agg(F.sum("n_events").alias("events"),
+             F.round(F.sum("sum_value"), 4).cast("double").alias("total_value"))
+    )

@@ -56,6 +56,76 @@ def test_salted_join_equals_plain_join(spark):
     assert _rows(plain) == _rows(salted)
 
 
+def test_aqe_splits_hot_lsh_bucket(spark):
+    """Hot-bucket skew in the LSH candidate join: a corpus with one
+    massive near-duplicate cluster lands thousands of docs in the SAME
+    (band, bucket) key of ``_band_rows``'s self-join — the real
+    pathology a stop-word-like shingle family creates at scale. AQE must
+    split that hot partition at runtime (both sides are skewed on the
+    same key; OptimizeSkewedJoin cross-splits them), and the candidate
+    pair set must be exactly the cluster's pair count either way."""
+    from full_stack_big_data_spark.operators.dedup import _band_rows
+    from full_stack_big_data_spark.plans.checks import plan_string
+
+    confs = {
+        # Band rows are tiny (doc_id, band, md5) tuples and a constant-
+        # key partition compresses hard — 4k/1k is the local-scale analog
+        # of the default 256M/64M ratio.
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # Skew is detected relative to the MEDIAN partition: with the
+        # test session's 8 shuffle partitions every partition catches
+        # one of the 8 hot band-keys and none looks skewed. 32 spreads
+        # the hot keys over a quarter of the partitions.
+        "spark.sql.shuffle.partitions": "32",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        n_hot, n_bg = 600, 200
+        # One duplicate cluster: identical shingle sets → identical
+        # signatures → identical bucket in EVERY band. Background docs
+        # get disjoint per-doc shingles (no collisions). Multi-mapper
+        # input: skew splitting works at map-output granularity.
+        hot_shingles = F.array(*[F.lit(f"the quick fox {i}") for i in range(8)])
+        bg_shingles = F.array(*[
+            F.concat(F.lit(f"bg {i} "), F.col("id").cast("string"))
+            for i in range(8)])
+        docs = (spark.range(0, n_hot + n_bg).repartition(16)
+                .select(F.col("id").alias("doc_id"),
+                        F.when(F.col("id") < n_hot, hot_shingles)
+                        .otherwise(bg_shingles).alias("s")))
+        bands = _band_rows(docs)
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                       & (F.col("a.bucket") == F.col("b.bucket"))
+                       & (F.col("a.doc_id") < F.col("b.doc_id")))
+                .select(F.col("a.doc_id").alias("doc_a"),
+                        F.col("b.doc_id").alias("doc_b"))
+                .distinct())
+        # collect() (not count()) so the adaptive plan finalizes on THIS
+        # DataFrame's QueryExecution — count() plans a separate agg.
+        n_pairs = len(cand.collect())
+        assert n_pairs == n_hot * (n_hot - 1) // 2, n_pairs
+        plan = plan_string(cand, "simple")
+        assert "isFinalPlan=true" in plan, plan[:2000]
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_aqe_skew_join_splits_hot_partition(spark):
     """AQE's skew-join handling must fire in this engine's session
     config: a join where one key holds most of the rows gets its hot
