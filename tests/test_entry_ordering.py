@@ -56,3 +56,58 @@ def test_scratch_purges_dead_pid_roots(tmp_path, monkeypatch):
     assert os.path.isdir(d) and d.startswith(str(tmp_path))
     assert not dead.exists(), "stale root from a dead pid must be purged"
     assert alive.exists(), "a living process's root must be left alone"
+
+
+def _fake_git(log_out="abc123\n", diff_out="", diff_rc=0):
+    class R:
+        def __init__(self, stdout, returncode):
+            self.stdout, self.returncode = stdout, returncode
+
+    def run(argv, **kw):
+        if argv[:2] == ["git", "log"]:
+            return R(log_out, 0)
+        if argv[:2] == ["git", "diff"]:
+            return R(diff_out, diff_rc)
+        raise AssertionError(argv)
+    return run
+
+
+def test_changed_query_names_maps_builder_modules(monkeypatch):
+    """A diff touching exactly one operator module must surface exactly
+    that module's queries (round-4 fix: the set is derived from git per
+    round, not a hand-edited snapshot)."""
+    import subprocess
+
+    from full_stack_big_data_spark.operators.registry import load_all
+    reg = load_all()
+    monkeypatch.setattr(subprocess, "run", _fake_git(
+        diff_out="full_stack_big_data_spark/operators/dedup.py\n"))
+    got = set(spark_entry._changed_query_names(reg))
+    expected = {n for n, spec in reg.items()
+                if spec.builder.__module__.endswith("operators.dedup")}
+    assert got == expected and got, got
+
+
+def test_changed_query_names_infra_change_means_all(monkeypatch):
+    """A changed engine file that is nobody's builder module is shared
+    infrastructure — every query potentially reads through it, so the
+    whole registry must re-verify."""
+    import subprocess
+
+    from full_stack_big_data_spark.operators.registry import load_all
+    reg = load_all()
+    monkeypatch.setattr(subprocess, "run", _fake_git(
+        diff_out="full_stack_big_data_spark/engine/catalog.py\n"))
+    assert spark_entry._changed_query_names(reg) == list(reg)
+
+
+def test_changed_query_names_degrades_on_git_failure(monkeypatch):
+    """Any git failure must mean "nothing changed", never a broken sweep."""
+    import subprocess
+
+    from full_stack_big_data_spark.operators.registry import load_all
+    reg = load_all()
+    monkeypatch.setattr(subprocess, "run", _fake_git(log_out=""))
+    assert spark_entry._changed_query_names(reg) == []
+    monkeypatch.setattr(subprocess, "run", _fake_git(diff_rc=128))
+    assert spark_entry._changed_query_names(reg) == []

@@ -113,3 +113,23 @@ def test_kafka_option_assembly():
     snk = kafka_sink_options("b:9092", "tweets", "/ck")
     assert snk == {"kafka.bootstrap.servers": "b:9092", "topic": "tweets",
                    "checkpointLocation": "/ck"}
+
+
+def test_kafka_and_file_wire_builders_are_symmetric(spark, tmp_path):
+    """The two sink builders must have the SAME lifecycle — call sites
+    chain .trigger(...).start() on whichever transport is configured, so
+    both must return an un-started DataStreamWriter (the round-3 advice
+    found write_to_kafka starting the query itself)."""
+    from pyspark.sql.streaming import DataStreamWriter
+
+    from full_stack_big_data_spark.sources.kafka import (
+        write_to_file_wire, write_to_kafka,
+    )
+
+    src_dir = str(tmp_path / "in")
+    spark.range(1).selectExpr("CAST(string(id) AS BINARY) AS value") \
+         .write.parquet(src_dir)
+    sdf = spark.readStream.schema("value binary").parquet(src_dir)
+    wk = write_to_kafka(sdf, "broker:9092", "t", str(tmp_path / "ck1"))
+    wf = write_to_file_wire(sdf, str(tmp_path / "topic"), str(tmp_path / "ck2"))
+    assert isinstance(wk, DataStreamWriter) and isinstance(wf, DataStreamWriter)

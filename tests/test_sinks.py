@@ -99,3 +99,36 @@ def test_compact_reduces_file_count_without_shuffle(spark, tmp_path):
     before = sorted(r.doc_id for r in spark.read.parquet(src).collect())
     after = sorted(r.doc_id for r in spark.read.parquet(dst).collect())
     assert before == after
+
+
+def test_compact_parquet_sizes_nested_layouts(spark, tmp_path):
+    """compact_parquet must size partitioned (subdirectory) layouts by a
+    recursive walk — a top-level-only listing reads 0 bytes and would
+    silently collapse any partitioned dataset to coalesce(1) — and must
+    refuse a directory with no parquet files outright."""
+    import os
+
+    import pytest
+
+    from full_stack_big_data_spark.operators.wire import compact_parquet
+
+    src = str(tmp_path / "partitioned")
+    (spark.range(0, 50_000)
+     .selectExpr("id", "id % 4 AS p", "repeat(uuid(), 8) AS payload")
+     .repartition(8)
+     .write.partitionBy("p").mode("overwrite").parquet(src))
+    nested_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _d, fs in os.walk(src) for f in fs if f.endswith(".parquet"))
+    assert nested_bytes > 0
+    # target sized to force >1 output file iff the recursive sum is used
+    target = nested_bytes // 3
+    out = str(tmp_path / "compacted")
+    nfiles = compact_parquet(spark, src, out, target_bytes=target)
+    assert nfiles == -(-nested_bytes // target), (nfiles, nested_bytes, target)
+    assert spark.read.parquet(out).count() == 50_000
+
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    with pytest.raises(ValueError, match="no .parquet files"):
+        compact_parquet(spark, empty, str(tmp_path / "never"))
