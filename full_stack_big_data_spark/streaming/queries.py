@@ -230,3 +230,38 @@ def stream_serving_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_events").alias("events"),
              F.round(F.sum("sum_value"), 4).cast("double").alias("total_value"))
     )
+
+
+@register(
+    "stream_lambda_merged_wordcount",
+    oracle=_WC_SQL,
+    description="lambda merged view: batch word-count view + speed-layer "
+                "streaming deltas served as ONE table == full recompute",
+    tags=("streaming", "wordcount", "serving"),
+)
+def stream_lambda_merged_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lambda architecture's actual serving answer: the batch layer
+    covers the historical corpus (here: ``doc_id % 5 != 4``), the speed
+    layer streams the not-yet-batch-processed slice (``doc_id % 5 = 4``,
+    a REAL Structured Streaming job drained availableNow), and the
+    serving view is their per-word sum. The oracle recomputes the word
+    count over the WHOLE corpus in one pass, so the driver hash proves
+    merged-view == recompute — the reference's "stores the result for
+    querying" contract (README.md:5-7) with the two layers sharing one
+    operator (``word_counts``), which is what dissolves the double-build
+    problem the reference maintains Storm AND Spark for. Counts merge by
+    SUM, so the view is exact regardless of how the corpus splits
+    between layers.
+    """
+    from pyspark.sql import functions as F
+
+    from ..engine.catalog import Catalog
+    from ..operators.wordcount import word_counts
+
+    speed_src = _stream(spark, sf_dir, "documents").where("doc_id % 5 = 4")
+    speed = run_to_completion(streaming_word_counts(speed_src),
+                              output_mode="complete")
+    batch = word_counts(Catalog(spark, sf_dir).documents
+                        .where("doc_id % 5 != 4"))
+    return (batch.unionByName(speed)
+            .groupBy("word").agg(F.sum("cnt").alias("cnt")))
