@@ -80,11 +80,24 @@ class Catalog:
                 df = df.repartition(par)
         return df
 
+    @staticmethod
+    def _walk_parquet(p: str) -> tuple[int, int]:
+        """(total bytes, file count) of every .parquet under ``p``,
+        recursively — hive-partitioned and streaming-sink layouts nest
+        their files, and a top-level-only listing reads them as 0 bytes
+        (the compact_parquet bug class, r3 advice)."""
+        size = nfiles = 0
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                if f.endswith(".parquet"):
+                    size += os.path.getsize(os.path.join(root, f))
+                    nfiles += 1
+        return size, nfiles
+
     def _size(self, name: str) -> int:
         p = self.path(name)
         if os.path.isdir(p):
-            return sum(os.path.getsize(os.path.join(p, f))
-                       for f in os.listdir(p) if f.endswith(".parquet"))
+            return self._walk_parquet(p)[0]
         return os.path.getsize(p) if os.path.exists(p) else 1 << 60
 
     def _est_splits(self, name: str) -> int:
@@ -92,9 +105,8 @@ class Catalog:
         (cheap filesystem arithmetic — no plan materialization)."""
         p = self.path(name)
         if os.path.isdir(p):
-            size = sum(os.path.getsize(os.path.join(p, f))
-                       for f in os.listdir(p) if f.endswith(".parquet"))
-            nfiles = max(1, sum(f.endswith(".parquet") for f in os.listdir(p)))
+            size, nfiles = self._walk_parquet(p)
+            nfiles = max(1, nfiles)
         elif os.path.exists(p):
             size, nfiles = os.path.getsize(p), 1
         else:  # non-local path — let Spark's own split logic stand

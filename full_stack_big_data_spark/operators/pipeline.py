@@ -697,3 +697,75 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_tokens").alias("total_tokens"),
                  F.sum(hex64(F.col("doc_id").cast("string")) % 1000000007)
                   .alias("id_checksum")))
+
+
+# ---------------------------------------------------------------------------
+# Training-shard export: the pipeline's hand-off artifact.
+# ---------------------------------------------------------------------------
+
+SEQS_PER_SHARD = 16  # sequences per shard file (SEQS_PER_SHARD·PACK_T tokens)
+
+
+@register(
+    "q_training_shard_manifest",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, len({tokens_sql('text')}) AS n_tokens,
+         {hex64_sql("'pack|' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tokens, h % {PACK_B} AS bucket,
+         SUM(n_tokens) OVER (PARTITION BY h % {PACK_B} ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+  FROM t
+), p AS (
+  SELECT doc_id, bucket, start_off // {PACK_T} AS seq_id, n_tokens FROM o
+)
+SELECT CAST(bucket * 1000000 + seq_id // {SEQS_PER_SHARD} AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT seq_id) AS n_seqs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM({hex64_sql("'manifest|' || CAST(doc_id AS VARCHAR)")} % 1000000007)
+            AS BIGINT) AS doc_checksum
+FROM p
+GROUP BY shard_id
+""",
+    description=f"training-shard export: pack → write partitioned shards → "
+                f"read back → per-shard manifest ({SEQS_PER_SHARD} seqs/shard), "
+                "round-trip content-proved",
+    tags=("pipeline", "packing", "storage"),
+)
+def q_training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's final hand-off: packed sequences exported as
+    size-targeted shards plus the manifest a training loader consumes
+    (shard → docs, sequences, tokens, content checksum).
+
+    The pack assignment (``pack_sequences``) maps each doc to
+    (bucket, seq_id); shards group ``SEQS_PER_SHARD`` consecutive
+    sequences per packing stream, so ``shard_id`` is pure arithmetic on
+    the assignment — no extra shuffle beyond the pack window. The
+    assignment is WRITTEN to a bucket-partitioned parquet export (the
+    shard layout on disk, one directory per packing stream) and the
+    manifest aggregates the READ-BACK copy, so the driver hash proves
+    the exported artifact — not an in-memory intermediate — carries the
+    full corpus: the oracle recomputes every manifest row from raw
+    documents. At 100 TB the export is the only full-corpus write and
+    the manifest shuffle carries shard-count rows, not documents.
+    """
+    from ..engine.scratch import scratch_dir
+
+    pack = REGISTRY["pack_sequences"].builder(spark, sf_dir)
+    export = pack.select(
+        "doc_id", "bucket", "seq_id", "n_tokens",
+        (F.col("bucket") * 1000000 + F.floor(F.col("seq_id") / SEQS_PER_SHARD))
+        .cast("bigint").alias("shard_id"))
+    out = scratch_dir("fsbd_shards_")
+    export.write.mode("overwrite").partitionBy("bucket").parquet(out)
+    back = spark.read.parquet(out)
+    return (back.groupBy("shard_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("seq_id").alias("n_seqs"),
+                 F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+                 F.sum(hex64(F.concat(F.lit("manifest|"),
+                                      F.col("doc_id").cast("string")))
+                       % 1000000007).alias("doc_checksum")))

@@ -132,3 +132,17 @@ def test_compact_parquet_sizes_nested_layouts(spark, tmp_path):
     os.makedirs(empty)
     with pytest.raises(ValueError, match="no .parquet files"):
         compact_parquet(spark, empty, str(tmp_path / "never"))
+
+
+def test_catalog_sizes_nested_layouts(spark, tmp_path):
+    """Catalog._size/_est_splits must see files inside partitioned
+    (subdirectory) table layouts — a top-level-only listing reads 0
+    bytes and silently disables the layout-adaptive spread."""
+    from full_stack_big_data_spark.engine.catalog import Catalog
+
+    sf = str(tmp_path)
+    (spark.range(0, 1000).selectExpr("id", "id % 3 AS p")
+     .write.partitionBy("p").parquet(f"{sf}/lineitem.parquet"))
+    cat = Catalog(spark, sf)
+    assert cat._size("lineitem") > 0
+    assert cat._est_splits("lineitem") >= 3  # one file per partition dir
