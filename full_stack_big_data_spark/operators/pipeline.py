@@ -721,7 +721,7 @@ WITH t AS (
 ), p AS (
   SELECT doc_id, bucket, start_off // {PACK_T} AS seq_id, n_tokens FROM o
 )
-SELECT CAST(bucket * 1000000 + seq_id // {SEQS_PER_SHARD} AS BIGINT) AS shard_id,
+SELECT CAST(seq_id // {SEQS_PER_SHARD} * {PACK_B} + bucket AS BIGINT) AS shard_id,
        COUNT(*) AS n_docs,
        COUNT(DISTINCT seq_id) AS n_seqs,
        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
@@ -757,7 +757,10 @@ def q_training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     pack = REGISTRY["pack_sequences"].builder(spark, sf_dir)
     export = pack.select(
         "doc_id", "bucket", "seq_id", "n_tokens",
-        (F.col("bucket") * 1000000 + F.floor(F.col("seq_id") / SEQS_PER_SHARD))
+        # shard_id interleaves bucket into the LOW digits (id = group·B
+        # + bucket): unbounded seq groups never collide across buckets,
+        # unlike a bucket·10⁶ prefix that a long stream would overflow.
+        (F.floor(F.col("seq_id") / SEQS_PER_SHARD) * PACK_B + F.col("bucket"))
         .cast("bigint").alias("shard_id"))
     out = scratch_dir("fsbd_shards_")
     export.write.mode("overwrite").partitionBy("bucket").parquet(out)
