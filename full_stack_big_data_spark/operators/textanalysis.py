@@ -377,11 +377,17 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     n ∈ {1,2,3}, counted corpus-wide, top-K per order.
 
     Scale: the explode is map-side; ONE shuffle counts all three orders
-    together (n is part of the grouping key, so no per-order passes);
-    the per-order top-K is a window over the already-aggregated count
-    table. For the full (un-truncated) LM table at 100 TB you keep the
-    counts un-topped and write them partitioned by n — same plan minus
-    the window; the top-K here is what makes a finite driver row.
+    together (n is part of the grouping key, so no per-order passes).
+    The per-order top-K is deliberately NOT a window partitioned by n —
+    3 partition values would funnel the whole distinct-gram table
+    through 3 sort tasks (measured 24.8× wall at the 64× probe). Each
+    order instead takes a TakeOrderedAndProject over the persisted
+    counts: per-partition top-K, merge of K rows per partition — the
+    same all-to-one shape pinned for q_sort_limit, parallel in the
+    partition count. The final rank window runs on ≤ orders·K rows.
+    For the full (un-truncated) LM table at 100 TB you keep the counts
+    un-topped and write them partitioned by n — same plan minus the
+    top-K; the top-K here is what makes a finite driver row.
     """
     d = Catalog(spark, sf_dir).documents
     tok = tokens("text")
@@ -393,8 +399,13 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = per_n[0]
     for nxt in per_n[1:]:
         grams = grams.unionByName(nxt)
-    counts = grams.groupBy("n", "gram").agg(F.count("*").alias("cnt"))
+    counts = (grams.groupBy("n", "gram").agg(F.count("*").alias("cnt"))
+              .persist())  # one count pass feeds all three top-K scans
+    tops = None
+    for n in NGRAM_ORDERS:
+        t = (counts.where(F.col("n") == n)
+             .orderBy(F.desc("cnt"), F.asc("gram")).limit(NGRAM_TOP_K))
+        tops = t if tops is None else tops.unionByName(t)
     w = Window.partitionBy("n").orderBy(F.desc("cnt"), F.asc("gram"))
-    return (counts.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= NGRAM_TOP_K)
+    return (tops.withColumn("rank", F.row_number().over(w))
             .select("n", "gram", "cnt", "rank"))
