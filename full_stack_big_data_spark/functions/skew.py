@@ -71,3 +71,35 @@ def salted_join(big: DataFrame, small: DataFrame, on: list[str],
     smalls = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(salt)])))
     return bigs.join(smalls, on + ["_salt"], how).drop("_salt")
+
+
+def grouped_topk(df: DataFrame, group_cols: list[str], order_cols: list[Column],
+                 k: int, salt_col: Column, buckets: int = 64,
+                 rank_col: str = "rank") -> DataFrame:
+    """Per-group top-k without the low-cardinality-window ceiling.
+
+    ``row_number() OVER (PARTITION BY group ...)`` funnels every row of a
+    group through ONE sort task — with few groups (languages, nations,
+    query ids, n-gram orders) the whole table sorts on a handful of
+    cores no matter the cluster size. Two phases fix the parallelism
+    while preserving the result EXACTLY:
+
+    1. rank per (group, salt bucket) and keep k — the true per-group
+       top-k all survive, because a row beaten by ≥ k rows of its own
+       salt bucket is beaten by ≥ k rows of its group;
+    2. rank the ≤ k·buckets survivors per group — the original window,
+       now over a bounded row count.
+
+    ``salt_col`` must be deterministic row content (an id column — NOT
+    ``spark_partition_id``/``rand``, which break retry determinism), so
+    the phase-1 exchange is balanced and replay-safe.
+    """
+    from pyspark.sql import Window
+
+    w1 = (Window.partitionBy(*group_cols, F.pmod(salt_col, F.lit(buckets)))
+          .orderBy(*order_cols))
+    cand = (df.withColumn("_topk_r1", F.row_number().over(w1))
+            .where(F.col("_topk_r1") <= k).drop("_topk_r1"))
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (cand.withColumn(rank_col, F.row_number().over(w2))
+            .where(F.col(rank_col) <= k))

@@ -379,14 +379,17 @@ FROM (
     tags=("window", "topk"),
 )
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import grouped_topk
     cat = Catalog(spark, sf_dir)
-    w = Window.partitionBy("n_name").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    j = (cat.orders
+         .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey")))
+    # salted two-phase top-k: 25 nations would otherwise sort the whole
+    # order table on 25 tasks (functions/skew.py::grouped_topk)
     return (
-        cat.orders
-        .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 3)
+        grouped_topk(j, ["n_name"],
+                     [F.desc("o_totalprice"), F.asc("o_orderkey")],
+                     3, F.col("o_orderkey"), rank_col="rk")
         .select("n_name", "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice"))
     )
 

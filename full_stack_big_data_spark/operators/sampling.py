@@ -56,12 +56,15 @@ WHERE rank <= {STRATUM_K}
     tags=("sampling", "window"),
 )
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import grouped_topk
     d = Catalog(spark, sf_dir).documents
-    w = Window.partitionBy("lang").orderBy(
-        hex64(F.col("doc_id").cast("string")), F.col("doc_id"))
-    return (d.select("lang", "doc_id",
-                     F.row_number().over(w).cast("bigint").alias("rank"))
-            .where(F.col("rank") <= STRATUM_K))
+    # salted two-phase per-language k-min: a lang-partitioned window
+    # would rank the whole corpus on #languages tasks
+    ranked = grouped_topk(
+        d.select("lang", "doc_id"), ["lang"],
+        [hex64(F.col("doc_id").cast("string")), F.col("doc_id")],
+        STRATUM_K, F.col("doc_id"))
+    return ranked.select("lang", "doc_id", F.col("rank").cast("bigint").alias("rank"))
 
 
 @register(

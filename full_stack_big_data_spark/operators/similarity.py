@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 
 from ..engine.catalog import Catalog
+from ..functions.skew import grouped_topk
 from ..functions.vectors import cosine_sim
 from .registry import register
 
@@ -90,10 +91,13 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 cosine_sim(F.col("embedding"), F.col("qv")).alias("cos"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    # Per-query top-k via the salted two-phase (functions/skew.py): a
+    # window partitioned by query_id alone sorts ~N candidates per query
+    # through N_QUERIES tasks — the low-cardinality-window ceiling.
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
+        grouped_topk(scored, ["query_id"],
+                     [F.desc("cos"), F.asc("neighbor_id")],
+                     TOP_K, F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
     )
 
@@ -212,12 +216,13 @@ def ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "embedding")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    scored = cand.select("query_id", "neighbor_id",
+                         cosine_sim(F.col("embedding"), F.col("qv")).alias("cos"))
+    # salted two-phase top-k — see ann_brute_topk for the ceiling note
     return (
-        cand.select("query_id", "neighbor_id",
-                    cosine_sim(F.col("embedding"), F.col("qv")).alias("cos"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
+        grouped_topk(scored, ["query_id"],
+                     [F.desc("cos"), F.asc("neighbor_id")],
+                     TOP_K, F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
     )
 
@@ -378,12 +383,13 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "embedding")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    scored = cand.select("query_id", "neighbor_id",
+                         cosine_sim(F.col("embedding"), F.col("qv")).alias("cos"))
+    # salted two-phase top-k — see ann_brute_topk for the ceiling note
     return (
-        cand.select("query_id", "neighbor_id",
-                    cosine_sim(F.col("embedding"), F.col("qv")).alias("cos"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
+        grouped_topk(scored, ["query_id"],
+                     [F.desc("cos"), F.asc("neighbor_id")],
+                     TOP_K, F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
     )
 

@@ -132,9 +132,12 @@ def q_sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
           .join(F.broadcast(src), "doc_id")
           .select("source", hex64(F.col("g")).alias("h"))
           .distinct())
-    w = Window.partitionBy("source").orderBy("h")
-    per_source = (ex.withColumn("rn", F.row_number().over(w))
-                  .where(F.col("rn") <= KMV_K).select("source", "h"))
+    # Per-source k-min via the salted two-phase (functions/skew.py):
+    # a window partitioned by source alone would sort every distinct
+    # hash through #sources tasks — the low-cardinality-window ceiling.
+    from ..functions.skew import grouped_topk
+    per_source = grouped_topk(ex, ["source"], [F.col("h")], KMV_K,
+                              F.col("h")).select("source", "h")
     merged_kth = (per_source.select("h").distinct()
                   .orderBy("h").limit(KMV_K)
                   .agg(F.max("h").alias("hk")))

@@ -179,3 +179,23 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_grouped_topk_equals_plain_window(spark):
+    """The salted two-phase top-k must match the single-window rank
+    exactly — groups, members, ranks — on grouped data with ties in the
+    first order column (the doc_id tiebreak must carry through both
+    phases)."""
+    from pyspark.sql import Window
+
+    from full_stack_big_data_spark.functions.skew import grouped_topk
+
+    df = (Catalog(spark, SF_SMOKE).documents
+          .select("lang", "doc_id", (F.col("n_chars") % 7).alias("score")))
+    order = [F.desc("score"), F.asc("doc_id")]
+    w = Window.partitionBy("lang").orderBy(*order)
+    plain = (df.withColumn("rank", F.row_number().over(w))
+             .where(F.col("rank") <= 5))
+    two_phase = grouped_topk(df, ["lang"], order, 5, F.col("doc_id"))
+    assert _rows(plain.select("lang", "doc_id", "rank")) == \
+        _rows(two_phase.select("lang", "doc_id", "rank"))
