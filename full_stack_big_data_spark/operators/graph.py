@@ -94,6 +94,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration. ``edges_deg`` is persisted once and reused by all
     iterations — at scale this is the difference between scanning the
     fact table once vs. per-round.
+
+    The edge-derivation ``lead`` window partitions by event_type (few
+    values) because succession IS a per-type total order — the one
+    window in the engine whose group count cannot be salted without
+    changing semantics. At 100 TB you bucket the stream by time and
+    stitch bucket boundaries (carry each bucket's last row into the
+    next); the fixture's single-window form keeps the oracle exact.
     """
     ev = Catalog(spark, sf_dir).events
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")

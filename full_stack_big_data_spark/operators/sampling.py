@@ -14,7 +14,7 @@ versions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..engine.catalog import Catalog
 from ..functions.hashing import hex64, hex64_sql

@@ -125,7 +125,6 @@ def q_sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves merged == direct, the invariant that lets 1000 executors keep
     k values each instead of shuffling a distinct set.
     """
-    from pyspark.sql import Window
     d = Catalog(spark, sf_dir).documents
     src = d.select("doc_id", "source")
     ex = (_shingled(spark, sf_dir)
