@@ -31,30 +31,38 @@ def entry(spark: SparkSession) -> DataFrame:
     return reg["q3_shipping_priority"].builder(spark, "/root/testdata/sf0.001")
 
 
-def _verified_names() -> set[str]:
-    """Query names that already hold a clean driver CORRECTNESS row from
-    a previous round. The driver sweeps ``queries()`` in dict order under
-    a wall-clock budget (round 1 truncated at entry 50), so never-yet-
-    verified queries are emitted FIRST and re-verification of known-green
-    rows runs last."""
-    import json
+def _correctness_rounds() -> list[tuple[int, str]]:
+    """(round, filename) for every CORRECTNESS_r{N}.json beside this
+    file, sorted in NUMERIC round order — numeric, not lexicographic,
+    so an unpadded "CORRECTNESS_r2.json" cannot outrank
+    "CORRECTNESS_r10.json". Single source of truth for "which rounds
+    exist / which is latest" (used by the verified set AND the
+    changed-set base commit)."""
     import os
-
     import re
 
-    names: set[str] = set()
     here = os.path.dirname(os.path.abspath(__file__))
-    # Rounds in NUMERIC order; a LATER round's verdict overrides an
-    # earlier one, so a query that regresses (or loses schema parity)
-    # drops back out of the verified set and re-runs at the front of the
-    # next sweep. Numeric (not lexicographic) sort so an unpadded
-    # "CORRECTNESS_r2.json" cannot outrank "CORRECTNESS_r10.json".
     rounds = []
     for fname in os.listdir(here):
         m = re.match(r"CORRECTNESS_r(\d+)\.json$", fname)
         if m:
             rounds.append((int(m.group(1)), fname))
-    for _, fname in sorted(rounds):
+    return sorted(rounds)
+
+
+def _verified_names() -> set[str]:
+    """Query names that already hold a clean driver CORRECTNESS row from
+    a previous round. The driver sweeps ``queries()`` in dict order under
+    a wall-clock budget (round 1 truncated at entry 50), so never-yet-
+    verified queries are emitted FIRST and re-verification of known-green
+    rows runs last. A LATER round's verdict overrides an earlier one, so
+    a query that regresses drops back out of the verified set."""
+    import json
+    import os
+
+    names: set[str] = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for _, fname in _correctness_rounds():
         try:
             with open(os.path.join(here, fname)) as f:
                 rows = json.load(f)
@@ -73,28 +81,25 @@ def _verified_names() -> set[str]:
 def _changed_query_names(reg) -> list[str]:
     """Queries whose code changed THIS round, derived from git: diff the
     working tree against the commit that recorded the newest
-    CORRECTNESS_r{N}.json (= the start of the current round) and map
-    changed engine files to the queries whose builder they define. A
-    changed engine file that is nobody's builder module is shared
-    infrastructure (catalog, session, serde, hashing...) — every query
-    potentially reads through it, so the whole registry is treated as
-    changed (ordering degrades to registration order, which is the
-    conservative-correct answer). Any git failure degrades to "nothing
-    changed" rather than breaking the sweep."""
+    CORRECTNESS_r{N}.json (= the start of the current round), then mark
+    every query whose builder file changed OR whose builder file
+    (transitively) imports a changed engine file — so a regression in a
+    shared module (catalog, hashing, another operator module a builder
+    composes) re-prioritizes its dependents too, not just the file's own
+    queries. A changed engine file nobody reaches through the import
+    graph falls back to "everything changed" (registration order — the
+    conservative answer). Any git failure degrades to "nothing changed"
+    rather than breaking the sweep."""
+    import ast
     import inspect
     import os
-    import re
     import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
-    rounds = []
-    for fname in os.listdir(here):
-        m = re.match(r"CORRECTNESS_r(\d+)\.json$", fname)
-        if m:
-            rounds.append((int(m.group(1)), fname))
+    rounds = _correctness_rounds()
     if not rounds:
         return []
-    latest = max(rounds)[1]
+    latest = rounds[-1][1]
     try:
         base = subprocess.run(
             ["git", "log", "-n", "1", "--format=%H", "--", latest],
@@ -115,6 +120,60 @@ def _changed_query_names(reg) -> list[str]:
         return []
     if not changed_files:
         return []
+
+    pkg = "full_stack_big_data_spark"
+
+    def _module_file(mod: str) -> str | None:
+        """Package module name → repo-relative file (or its __init__)."""
+        rel = os.path.join(*mod.split("."))
+        for cand in (rel + ".py", os.path.join(rel, "__init__.py")):
+            if os.path.exists(os.path.join(here, cand)):
+                return os.path.normpath(cand)
+        return None
+
+    def _imports_of(relfile: str) -> set[str]:
+        """Repo-relative engine files imported by ``relfile`` (absolute
+        `full_stack_big_data_spark...` and relative `..x`/`.x` forms)."""
+        try:
+            tree = ast.parse(open(os.path.join(here, relfile)).read())
+        except (OSError, SyntaxError):
+            return set()
+        pkg_parts = os.path.dirname(relfile).split(os.sep)
+        out: set[str] = set()
+        for node in ast.walk(tree):
+            mods: list[str] = []
+            if isinstance(node, ast.Import):
+                mods = [a.name for a in node.names]
+            elif isinstance(node, ast.ImportFrom):
+                if node.level:  # relative: resolve against this file's pkg
+                    base_parts = pkg_parts[:len(pkg_parts) - node.level + 1]
+                    prefix = ".".join(base_parts)
+                    mod = f"{prefix}.{node.module}" if node.module else prefix
+                    mods = [mod] + [f"{mod}.{a.name}" for a in node.names]
+                elif node.module and node.module.startswith(pkg):
+                    mods = [node.module] + [f"{node.module}.{a.name}"
+                                            for a in node.names]
+            for m in mods:
+                if m.startswith(pkg):
+                    f = _module_file(m)
+                    if f:
+                        out.add(f)
+        return out
+
+    # Transitive closure: which engine files does each builder file
+    # depend on (including itself)?
+    dep_cache: dict[str, set[str]] = {}
+
+    def _deps(relfile: str) -> set[str]:
+        if relfile in dep_cache:
+            return dep_cache[relfile]
+        dep_cache[relfile] = {relfile}  # cycle guard
+        closure = {relfile}
+        for imp in _imports_of(relfile):
+            closure |= _deps(imp)
+        dep_cache[relfile] = closure
+        return closure
+
     by_file: dict[str, list[str]] = {}
     for n, spec in reg.items():
         try:
@@ -123,9 +182,18 @@ def _changed_query_names(reg) -> list[str]:
         except (TypeError, ValueError):
             continue
         by_file.setdefault(rel, []).append(n)
-    if changed_files - set(by_file):  # shared-infra change → all changed
+
+    reachable: set[str] = set()
+    changed: list[str] = []
+    for f in by_file:
+        deps = _deps(f)
+        reachable |= deps
+        if deps & changed_files:
+            changed.extend(by_file[f])
+    if changed_files - reachable:  # unreached engine change → all changed
         return list(reg)
-    return [n for f in sorted(changed_files) for n in by_file.get(f, [])]
+    order = {n: i for i, n in enumerate(reg)}
+    return sorted(set(changed), key=order.get)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -496,11 +496,10 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_T = 128   # training sequence length in tokens
 PACK_B = 8     # independent packing streams (scales with the cluster)
 
-
-@register(
-    "pack_sequences",
-    oracle=f"""
-WITH t AS (
+# The packing definition in SQL — ONE constant shared by every oracle
+# that reasons about the pack (pack_sequences, q_training_shard_manifest),
+# so the hashing/bucket rule can never silently diverge between them.
+_PACK_CTES = f"""t AS (
   SELECT doc_id, len({tokens_sql('text')}) AS n_tokens,
          {hex64_sql("'pack|' || CAST(doc_id AS VARCHAR)")} AS h
   FROM documents
@@ -509,7 +508,13 @@ WITH t AS (
          SUM(n_tokens) OVER (PARTITION BY h % {PACK_B} ORDER BY h, doc_id
                              ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
   FROM t
-)
+)"""
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+WITH {_PACK_CTES}
 SELECT doc_id, bucket,
        CAST(start_off // {PACK_T} AS BIGINT) AS seq_id,
        CAST(start_off % {PACK_T} AS BIGINT) AS offset_in_seq,
@@ -709,16 +714,7 @@ SEQS_PER_SHARD = 16  # sequences per shard file (SEQS_PER_SHARD·PACK_T tokens)
 @register(
     "q_training_shard_manifest",
     oracle=f"""
-WITH t AS (
-  SELECT doc_id, len({tokens_sql('text')}) AS n_tokens,
-         {hex64_sql("'pack|' || CAST(doc_id AS VARCHAR)")} AS h
-  FROM documents
-), o AS (
-  SELECT doc_id, n_tokens, h % {PACK_B} AS bucket,
-         SUM(n_tokens) OVER (PARTITION BY h % {PACK_B} ORDER BY h, doc_id
-                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
-  FROM t
-), p AS (
+WITH {_PACK_CTES}, p AS (
   SELECT doc_id, bucket, start_off // {PACK_T} AS seq_id, n_tokens FROM o
 )
 SELECT CAST(seq_id // {SEQS_PER_SHARD} * {PACK_B} + bucket AS BIGINT) AS shard_id,

@@ -286,9 +286,12 @@ def ivf_cells(df: DataFrame, vec_col: str = "embedding",
         d = eq @ cents.T                                  # (n, C) int64
         dmax = int(np.abs(d).max(initial=0))
         # Exact comparator precondition (see docstring): d²·n₂ < 2⁶³.
-        assert dmax * dmax * n2_max < 2**63, (
-            f"ivf_cells int64 overflow: |d|max={dmax}, n2max={n2_max} — "
-            "embedding magnitudes exceed the exact-comparator range")
+        # A real raise, not assert — python -O would strip an assert and
+        # silently let numpy wrap.
+        if dmax * dmax * n2_max >= 2**63:
+            raise ValueError(
+                f"ivf_cells int64 overflow: |d|max={dmax}, n2max={n2_max} — "
+                "embedding magnitudes exceed the exact-comparator range")
         sg = np.sign(d)
         d2 = d * d
         # beats[i, a, b]: does cell a strictly outrank cell b for row i?

@@ -380,15 +380,17 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     together (n is part of the grouping key, so no per-order passes).
     The per-order top-K is deliberately NOT a window partitioned by n —
     3 partition values would funnel the whole distinct-gram table
-    through 3 sort tasks (measured 24.8× wall at the 64× probe). Each
-    order instead takes a TakeOrderedAndProject over the persisted
-    counts: per-partition top-K, merge of K rows per partition — the
-    same all-to-one shape pinned for q_sort_limit, parallel in the
-    partition count. The final rank window runs on ≤ orders·K rows.
-    For the full (un-truncated) LM table at 100 TB you keep the counts
-    un-topped and write them partitioned by n — same plan minus the
-    top-K; the top-K here is what makes a finite driver row.
+    through 3 sort tasks (measured 24.8× wall at the 64× probe). The
+    salted two-phase rank (``functions/skew.py::grouped_topk``)
+    consumes the count table ONCE — no persist, no per-order re-scan —
+    with phase-1 parallelism scaling in the salt buckets and the final
+    per-order rank over ≤ orders·K·buckets rows. For the full
+    (un-truncated) LM table at 100 TB you keep the counts un-topped and
+    write them partitioned by n — same plan minus the top-K; the top-K
+    here is what makes a finite driver row.
     """
+    from ..functions.skew import grouped_topk
+
     d = Catalog(spark, sf_dir).documents
     tok = tokens("text")
     per_n = [
@@ -399,13 +401,7 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = per_n[0]
     for nxt in per_n[1:]:
         grams = grams.unionByName(nxt)
-    counts = (grams.groupBy("n", "gram").agg(F.count("*").alias("cnt"))
-              .persist())  # one count pass feeds all three top-K scans
-    tops = None
-    for n in NGRAM_ORDERS:
-        t = (counts.where(F.col("n") == n)
-             .orderBy(F.desc("cnt"), F.asc("gram")).limit(NGRAM_TOP_K))
-        tops = t if tops is None else tops.unionByName(t)
-    w = Window.partitionBy("n").orderBy(F.desc("cnt"), F.asc("gram"))
-    return (tops.withColumn("rank", F.row_number().over(w))
+    counts = grams.groupBy("n", "gram").agg(F.count("*").alias("cnt"))
+    return (grouped_topk(counts, ["n"], [F.desc("cnt"), F.asc("gram")],
+                         NGRAM_TOP_K, F.xxhash64("gram"))
             .select("n", "gram", "cnt", "rank"))

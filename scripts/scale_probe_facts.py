@@ -48,6 +48,12 @@ def build_scaled(spark, n_copies: int, out_dir: str) -> None:
         for k in keys:
             if k not in offsets:
                 offsets[k] = d.agg(F.max(k)).first()[0] + 1
+    # The orderkey DOMAIN is shared by orders and lineitem: both columns
+    # must shift by the same offset or copy c's lineitems join the wrong
+    # copy's orders (orders' max is the domain max — an order can exist
+    # without lineitems, never the reverse).
+    offsets["l_orderkey"] = offsets["o_orderkey"] = max(
+        offsets["l_orderkey"], offsets["o_orderkey"])
     # o_custkey offsets must match customer ids... customers are a DIM
     # (shared): point every copy's orders at the ORIGINAL customer ids so
     # the dim join still matches — only order/event keys shift.

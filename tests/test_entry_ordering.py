@@ -72,10 +72,11 @@ def _fake_git(log_out="abc123\n", diff_out="", diff_rc=0):
     return run
 
 
-def test_changed_query_names_maps_builder_modules(monkeypatch):
-    """A diff touching exactly one operator module must surface exactly
-    that module's queries (round-4 fix: the set is derived from git per
-    round, not a hand-edited snapshot)."""
+def test_changed_query_names_includes_import_dependents(monkeypatch):
+    """A diff touching one operator module must surface that module's
+    queries AND queries whose builders (transitively) import it — a
+    regression in a composed helper re-prioritizes its dependents too —
+    while unrelated modules stay unprioritized."""
     import subprocess
 
     from full_stack_big_data_spark.operators.registry import load_all
@@ -83,22 +84,43 @@ def test_changed_query_names_maps_builder_modules(monkeypatch):
     monkeypatch.setattr(subprocess, "run", _fake_git(
         diff_out="full_stack_big_data_spark/operators/dedup.py\n"))
     got = set(spark_entry._changed_query_names(reg))
-    expected = {n for n, spec in reg.items()
-                if spec.builder.__module__.endswith("operators.dedup")}
-    assert got == expected and got, got
+    own = {n for n, spec in reg.items()
+           if spec.builder.__module__.endswith("operators.dedup")}
+    assert own <= got
+    # pipeline.py composes dedup (dedup_clusters import); sketches.py
+    # builds on _shingled — both must ride along
+    assert "pipeline_curate" in got and "q_sketch_kmv" in got
+    # relational never touches dedup
+    assert "q1_pricing_summary" not in got
+    assert got < set(reg)  # and it must NOT degrade to "everything"
 
 
-def test_changed_query_names_infra_change_means_all(monkeypatch):
-    """A changed engine file that is nobody's builder module is shared
-    infrastructure — every query potentially reads through it, so the
-    whole registry must re-verify."""
+def test_changed_query_names_unreached_infra_means_all(monkeypatch):
+    """A changed engine file no builder reaches through the import graph
+    (session.py is wired in by the driver shim, not by builders) must
+    conservatively mark the whole registry changed."""
+    import subprocess
+
+    from full_stack_big_data_spark.operators.registry import load_all
+    reg = load_all()
+    monkeypatch.setattr(subprocess, "run", _fake_git(
+        diff_out="full_stack_big_data_spark/engine/session.py\n"))
+    assert spark_entry._changed_query_names(reg) == list(reg)
+
+
+def test_changed_query_names_catalog_reaches_nearly_all(monkeypatch):
+    """engine/catalog.py is imported by (almost) every builder module —
+    the import graph alone must mark the bulk of the registry without
+    needing the everything-changed fallback."""
     import subprocess
 
     from full_stack_big_data_spark.operators.registry import load_all
     reg = load_all()
     monkeypatch.setattr(subprocess, "run", _fake_git(
         diff_out="full_stack_big_data_spark/engine/catalog.py\n"))
-    assert spark_entry._changed_query_names(reg) == list(reg)
+    got = set(spark_entry._changed_query_names(reg))
+    assert len(got) >= 0.9 * len(reg)
+    assert "q1_pricing_summary" in got and "dedup_exact" in got
 
 
 def test_changed_query_names_degrades_on_git_failure(monkeypatch):
