@@ -461,11 +461,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Duplicate-cluster formation (connected components over near-dup pairs).
 # ---------------------------------------------------------------------------
 
-@register(
-    "dedup_clusters",
-    oracle=f"""
+def components_oracle(pairs_select: str, id_col: str = "doc_id") -> str:
+    """Recursive-CTE connected components over a (doc_a, doc_b) pair
+    query — the SQL twin of :func:`min_label_components`, shared by
+    every clusters oracle (text MinHash here, embedding SRP in
+    ``similarity.py``) so the closure definition cannot diverge."""
+    return f"""
 WITH RECURSIVE pairs AS (
-  SELECT doc_a, doc_b FROM ({_minhash_oracle()}) mh
+  {pairs_select}
 ), edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION ALL
@@ -475,31 +478,24 @@ WITH RECURSIVE pairs AS (
   UNION
   SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
 )
-SELECT node AS doc_id,
+SELECT node AS {id_col},
        MIN(lbl) AS cluster_id,
        CAST(MIN(lbl) = node AS INTEGER) AS is_canonical
 FROM reach
 GROUP BY node
-""",
-    description="near-dup clusters: min-label connected components over MinHash pairs, canonical keeper per cluster",
-    tags=("dedup", "custom", "iterative"),
-)
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Turn pairwise near-dup hits into deletion decisions.
+"""
 
-    A dedup pipeline can't drop rows from a PAIR list — transitive
-    duplicates (a≈b, b≈c) must collapse into one cluster with one
-    canonical survivor. This is min-label propagation connected
-    components as a DataFrame loop: each round, every node takes the
-    min of its own label and its neighbors' labels; converged when no
-    label changes. Rounds = component diameter, and near-dup components
-    are tiny (duplicates of one origin), so 2-3 rounds in practice; at
-    cluster scale each round is one shuffle of the (bounded) edge list,
-    never of the corpus. The DuckDB oracle computes the same components
-    with a recursive CTE — transitive closure checked, not just pairs.
-    """
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (pairs.union(pairs.select("doc_b", "doc_a"))
+
+def min_label_components(pairs: DataFrame, a: str = "doc_a",
+                         b: str = "doc_b",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Min-label propagation connected components as a DataFrame loop:
+    each round every node takes the min of its own and its neighbors'
+    labels; converged when nothing changes. Rounds = component diameter
+    (near-dup components are tiny, 2-3 rounds in practice); each round
+    shuffles the bounded EDGE list, never a corpus. Members not in any
+    pair do not appear (they are their own implicit singletons)."""
+    edges = (pairs.select(a, b).union(pairs.select(b, a))
              .toDF("src", "dst").persist())
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("lbl", F.col("node")).persist())
@@ -521,7 +517,26 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     edges.unpersist()
     return labels.select(
-        F.col("node").alias("doc_id"),
+        F.col("node").alias(id_col),
         F.col("lbl").alias("cluster_id"),
         (F.col("lbl") == F.col("node")).cast("int").alias("is_canonical"),
     )
+
+
+@register(
+    "dedup_clusters",
+    oracle=components_oracle(f"SELECT doc_a, doc_b FROM ({_minhash_oracle()}) mh"),
+    description="near-dup clusters: min-label connected components over MinHash pairs, canonical keeper per cluster",
+    tags=("dedup", "custom", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn pairwise near-dup hits into deletion decisions.
+
+    A dedup pipeline can't drop rows from a PAIR list — transitive
+    duplicates (a≈b, b≈c) must collapse into one cluster with one
+    canonical survivor. :func:`min_label_components` runs the min-label
+    propagation loop; the DuckDB oracle computes the same components
+    with a recursive CTE — transitive closure checked, not just pairs.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return min_label_components(pairs)

@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 
 from ..engine.catalog import Catalog
@@ -670,3 +670,83 @@ def embedding_neardup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_a", "vec_b", cos.alias("cos"))
             .where(F.col("cos") >= NEARDUP_COS)
             .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine")))
+
+
+# ---------------------------------------------------------------------------
+# Embedding dedup end-game: clusters + apply (the text path's symmetric
+# closers — dedup_clusters/dedup_apply over MinHash pairs, these over
+# SRP-banded near-dup pairs).
+# ---------------------------------------------------------------------------
+
+def _embedding_clusters_oracle() -> str:
+    from .dedup import components_oracle
+    return components_oracle(
+        f"SELECT vec_a AS doc_a, vec_b AS doc_b FROM ({_neardup_banded_oracle()}) nb",
+        id_col="vec_id")
+
+
+@register(
+    "embedding_dedup_clusters",
+    oracle=_embedding_clusters_oracle(),
+    description="embedding near-dup clusters: min-label connected components "
+                "over SRP-banded pairs, canonical keeper per cluster",
+    tags=("similarity", "neardup", "dedup", "iterative"),
+)
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the banded near-dup pairs: a ≈ b ≈ c must
+    collapse to ONE canonical vector even when (a, c) never collide in
+    any SRP band. Reuses the text path's exact components machinery
+    (``dedup.min_label_components``) over ``embedding_neardup_banded``'s
+    pair set; the recursive-CTE oracle replays the same closure, so the
+    hash proves cluster membership AND canonical choice, not just
+    pairs. Scale: the component loop shuffles the pair list (∝ true
+    near-dups), never the embedding table."""
+    from .dedup import min_label_components
+
+    pairs = embedding_neardup_banded(spark, sf_dir).select("vec_a", "vec_b")
+    return min_label_components(pairs, a="vec_a", b="vec_b", id_col="vec_id")
+
+
+@register(
+    "embedding_dedup_apply",
+    oracle=f"""
+WITH cl AS ({_embedding_clusters_oracle()}),
+drops AS (
+  SELECT vec_id FROM cl WHERE is_canonical = 0
+), surv AS (
+  SELECT e.vec_id FROM embeddings e
+  WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)
+)
+SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_input,
+       CAST(COUNT(*) AS BIGINT) AS n_survivors,
+       CAST((SELECT COUNT(*) FROM embeddings) - COUNT(*) AS BIGINT) AS n_dropped,
+       CAST(SUM(vec_id) AS BIGINT) AS survivor_id_sum
+FROM surv
+""",
+    description="apply embedding dedup: drop non-canonical vectors, emit "
+                "surviving-corpus stats",
+    tags=("similarity", "neardup", "dedup"),
+)
+def embedding_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding pipeline's deletion decision applied: anti-join the
+    vector corpus against non-canonical cluster members and summarize
+    the survivors in one order-independent row (counts + id checksum).
+    The drop list is pairs-derived and tiny — the anti-join broadcasts
+    it; the embedding table is scanned once, never shuffled."""
+    e = Catalog(spark, sf_dir).embeddings
+    drops = (embedding_dedup_clusters(spark, sf_dir)
+             .where(F.col("is_canonical") == 0).select("vec_id"))
+    surv = e.join(F.broadcast(drops), "vec_id", "left_anti")
+    stats = surv.agg(
+        F.count("*").cast("bigint").alias("n_survivors"),
+        F.sum("vec_id").cast("bigint").alias("survivor_id_sum"),
+    )
+    # lazy 1-row broadcast, not a driver-side count() (dedup_apply's shape)
+    n_input = e.agg(F.count("*").cast("bigint").alias("n_input"))
+    return (
+        stats.crossJoin(F.broadcast(n_input))
+        .select("n_input", "n_survivors",
+                (F.col("n_input") - F.col("n_survivors")).cast("bigint")
+                .alias("n_dropped"),
+                "survivor_id_sum")
+    )
