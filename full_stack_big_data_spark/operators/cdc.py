@@ -1,0 +1,240 @@
+"""Change-data-capture merge operators.
+
+The reference's lambda architecture keeps a batch view and applies a
+stream of updates on top of it (``README.md:45-69`` — batch layer +
+speed layer merged at query time). These operators implement the other
+standard shape of that idea: an ordered **changelog** of
+insert/update/delete records applied to a snapshot, producing the
+current state — the MERGE INTO / CDC-apply primitive every warehouse
+ingest pipeline runs.
+
+Two variants:
+
+- ``q_cdc_merge`` — batch apply: snapshot ∪ changelog → latest-wins per
+  key, deletes drop the key. One shuffle, and the winner is picked with
+  ``max_by`` (a declarative aggregate with map-side partial support), so
+  at 100 TB the merge is one key-hashed exchange with combiner — NOT a
+  per-key sort window (row_number over the union would sort every key
+  group; max_by keeps a single struct per key per map task).
+- ``stream_cdc_upsert`` — the same latest-wins semantics maintained
+  incrementally: a file-streamed changelog drained in multiple
+  micro-batches (``maxFilesPerTrigger=1``), each batch folded into a
+  keyed state store via ``foreachBatch`` (compact-then-merge, the
+  exactly-once upsert-sink pattern for engines whose sinks are
+  append-only). The final store equals the batch answer — Structured
+  Streaming's unified-model guarantee, checked by the DuckDB oracle
+  over the full input.
+
+The changelog fixture is derived deterministically from the testdata
+(orders / events tables; TESTDATA.md) — versions are unique per key by
+construction, so "latest" is well-defined in both engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..engine.catalog import Catalog
+from ..engine.session import tune_session
+from .registry import register
+
+# Changelog fixture constants (embedded in both engines' programs).
+CDC_INS_OFFSET = 50_000_000   # insert keys live above every snapshot key
+CDC_UPD_MOD = 5               # o_orderkey % 5 == 1 → updated (twice)
+CDC_DEL_MOD = 5               # o_orderkey % 5 == 0 → deleted
+CDC_INS_MOD = 11              # o_orderkey % 11 == 3 → cloned as an insert
+
+_CDC_MERGE_SQL = f"""
+WITH snap AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(o_totalprice AS DECIMAL(18,4)) AS price,
+         0 AS version, 'I' AS op
+  FROM orders
+), chg AS (
+  SELECT k, 'U1' AS status, CAST(price + 50 AS DECIMAL(18,4)) AS price,
+         1 AS version, 'U' AS op
+  FROM snap WHERE k % {CDC_UPD_MOD} = 1
+  UNION ALL
+  SELECT k, 'U2', CAST(price + 100 AS DECIMAL(18,4)), 2, 'U'
+  FROM snap WHERE k % {CDC_UPD_MOD} = 1
+  UNION ALL
+  SELECT k, CAST(NULL AS VARCHAR), CAST(NULL AS DECIMAL(18,4)), 1, 'D'
+  FROM snap WHERE k % {CDC_DEL_MOD} = 0
+  UNION ALL
+  SELECT k + {CDC_INS_OFFSET}, 'N', price, 1, 'I'
+  FROM snap WHERE k % {CDC_INS_MOD} = 3
+), log AS (
+  SELECT * FROM snap UNION ALL SELECT * FROM chg
+), latest AS (
+  SELECT k, status, price, op,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+  FROM log
+)
+SELECT k AS orderkey, status, CAST(price AS DOUBLE) AS total_price
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@register(
+    "q_cdc_merge",
+    oracle=_CDC_MERGE_SQL,
+    description="CDC apply: I/U/D changelog merged into a snapshot, latest version wins, deletes drop the key",
+    tags=("relational", "cdc", "merge"),
+)
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply an ordered changelog to a snapshot (MERGE INTO semantics).
+
+    The changelog carries two updates for the same key (versions 1 and
+    2) so latest-wins is actually exercised, a tombstone family, and
+    inserts whose keys are absent from the snapshot. The merge itself —
+    the part that runs at 100 TB — is a single ``groupBy(key)`` with
+    ``max_by(payload, version)``: one hash exchange, map-side combine
+    keeps one candidate struct per key per task, no per-key sort. The
+    double→DECIMAL(18,4) casts are tie-free (no double is exactly at a
+    scale-4 rounding boundary), so both engines round identically.
+    """
+    o = Catalog(spark, sf_dir).orders
+    dec = "decimal(18,4)"
+    snap = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast(dec).alias("price"),
+        F.lit(0).alias("version"), F.lit("I").alias("op"),
+    )
+    upd = snap.where(F.col("k") % CDC_UPD_MOD == 1)
+    dele = snap.where(F.col("k") % CDC_DEL_MOD == 0)
+    ins = snap.where(F.col("k") % CDC_INS_MOD == 3)
+    chg = (
+        upd.select("k", F.lit("U1").alias("status"),
+                   (F.col("price") + 50).cast(dec).alias("price"),
+                   F.lit(1).alias("version"), F.lit("U").alias("op"))
+        .unionByName(
+            upd.select("k", F.lit("U2").alias("status"),
+                       (F.col("price") + 100).cast(dec).alias("price"),
+                       F.lit(2).alias("version"), F.lit("U").alias("op")))
+        .unionByName(
+            dele.select("k", F.lit(None).cast("string").alias("status"),
+                        F.lit(None).cast(dec).alias("price"),
+                        F.lit(1).alias("version"), F.lit("D").alias("op")))
+        .unionByName(
+            ins.select((F.col("k") + CDC_INS_OFFSET).alias("k"),
+                       F.lit("N").alias("status"), "price",
+                       F.lit(1).alias("version"), F.lit("I").alias("op")))
+    )
+    log = snap.unionByName(chg)
+    merged = (
+        log.groupBy("k")
+        .agg(F.max_by(F.struct("status", "price", "op"), "version").alias("r"))
+        .where(F.col("r.op") != "D")
+    )
+    return merged.select(
+        F.col("k").alias("orderkey"),
+        F.col("r.status").alias("status"),
+        F.col("r.price").cast("double").alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming upsert: the same latest-wins state maintained incrementally.
+# ---------------------------------------------------------------------------
+
+CDC_STREAM_CHUNKS = 4          # changelog arrives as 4 micro-batches
+CDC_TOMBSTONE = "error"        # event_type acting as a delete marker
+
+_CDC_UPSERT_SQL = f"""
+WITH latest AS (
+  SELECT user_id, event_type, value, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS last_type, ROUND(value, 6) AS last_value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+FROM latest WHERE rn = 1 AND event_type <> '{CDC_TOMBSTONE}'
+"""
+
+
+@register(
+    "stream_cdc_upsert",
+    oracle=_CDC_UPSERT_SQL,
+    description="streaming upsert: per-user latest state folded batch-by-batch via foreachBatch, tombstones delete",
+    tags=("streaming", "cdc", "foreachBatch"),
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain "current state per key" from a streamed changelog.
+
+    The events table is staged as {CDC_STREAM_CHUNKS} files and streamed
+    with ``maxFilesPerTrigger=1`` so availableNow drains it in multiple
+    micro-batches — each ``foreachBatch`` call compacts its batch to one
+    row per key (``max_by`` over (ts, event_id)), unions it with the
+    previous state version and keeps the per-key maximum again, writing
+    a NEW state version (read-your-own-store overwrite is unsafe in any
+    engine; versioned state dirs are the append-only-sink upsert
+    pattern). Tombstones (event_type='{CDC_TOMBSTONE}') stay IN the
+    state so a later batch can't resurrect a deleted key from an older
+    version, and are filtered at serve time.
+
+    Because the per-key fold (max over (ts, event_id)) is commutative
+    and associative, the final state is independent of batch boundaries
+    and file arrival order — which is exactly what the full-input DuckDB
+    oracle checks.
+    """
+    from ..engine.scratch import scratch_dir
+
+    tune_session(spark)
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    root = scratch_dir("fsbd_cdc_upsert_")
+    src_dir = os.path.join(root, "changelog")
+    os.makedirs(src_dir, exist_ok=True)
+
+    # Stage the changelog as N separate files (chunked on event_id so
+    # every chunk holds a mix of keys — the worst case for an upsert).
+    for i in range(CDC_STREAM_CHUNKS):
+        chunk_dir = os.path.join(root, f"chunk_{i}")
+        (ev.where(F.col("event_id") % CDC_STREAM_CHUNKS == i)
+           .coalesce(1).write.mode("overwrite").parquet(chunk_dir))
+        part = next(f for f in os.listdir(chunk_dir)
+                    if f.endswith(".parquet") and f.startswith("part-"))
+        os.symlink(os.path.join(chunk_dir, part),
+                   os.path.join(src_dir, f"chunk_{i}.parquet"))
+
+    state_paths: list[str] = []   # closure cell: newest state version last
+    # The winning row's FULL ordering key (ts, event_id) travels through
+    # the state, so cross-batch folds break equal-timestamp ties exactly
+    # like the within-batch fold (and like the oracle's ORDER BY).
+    pick = F.max_by(
+        F.struct("event_type", "value", "ts", "event_id"),
+        F.struct("ts", "event_id")).alias("r")
+
+    def compact(df: DataFrame) -> DataFrame:
+        return (df.groupBy("user_id").agg(pick)
+                .select("user_id", "r.event_type", "r.value", "r.ts",
+                        "r.event_id"))
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        b = compact(batch_df)
+        if state_paths:
+            prev = batch_df.sparkSession.read.parquet(state_paths[-1])
+            b = compact(prev.unionByName(b))
+        out = os.path.join(root, f"state_v{batch_id}")
+        b.write.mode("overwrite").parquet(out)
+        state_paths.append(out)
+
+    src = (spark.readStream.schema(ev.schema)
+           .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    q = (src.writeStream.outputMode("update").foreachBatch(merge)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", os.path.join(root, "ckpt"))
+         .start())
+    q.awaitTermination()
+
+    final = spark.read.parquet(state_paths[-1])
+    return (final.where(F.col("event_type") != CDC_TOMBSTONE)
+            .select("user_id",
+                    F.col("event_type").alias("last_type"),
+                    F.round("value", 6).alias("last_value"),
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                     .alias("last_ts")))
