@@ -768,3 +768,108 @@ def q_training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(hex64(F.concat(F.lit("manifest|"),
                                       F.col("doc_id").cast("string")))
                        % 1000000007).alias("doc_checksum")))
+
+
+# ---------------------------------------------------------------------------
+# Random-projection dimensionality reduction.
+# ---------------------------------------------------------------------------
+
+RP_OUT = 16            # projected dimensionality
+RP_DIM = 64            # input embedding dimensionality
+_RP_SEED = 4242        # distinct from the SRP seed — uncorrelated matrices
+_RP_P = 2147483647     # same multiplicative-LCG family as minhash/SRP
+_RP_SCALE = 4000.0     # 1000 (quantization) x sqrt(RP_OUT)=4 (JL normalizer)
+
+
+def _rp_signs() -> list[list[int]]:
+    """Deterministic ±1 projection matrix, shape (RP_OUT, RP_DIM), from
+    the 48271-LCG parity stream. A Rademacher (±1) matrix satisfies the
+    Johnson–Lindenstrauss guarantee like a gaussian one (Achlioptas
+    2001), and — as with the SRP hyperplanes — integer entries buy a
+    bit-exact cross-engine oracle: with embeddings quantized to
+    ``floor(x·1000)`` every dot product is integer arithmetic ≪ 2⁵³."""
+    state = _RP_SEED
+    rows = []
+    for _ in range(RP_OUT):
+        row = []
+        for _ in range(RP_DIM):
+            state = (state * 48271) % _RP_P
+            row.append(1 if state % 2 else -1)
+        rows.append(row)
+    return rows
+
+
+def _rp_oracle() -> str:
+    rows = ",\n".join(
+        f"  ({j}, [{', '.join(str(s) for s in row)}]::DOUBLE[])"
+        for j, row in enumerate(_rp_signs()))
+    return f"""
+WITH signs(j, s) AS (VALUES
+{rows}
+), eq AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+  FROM embeddings
+), proj AS (
+  SELECT e.vec_id, g.j,
+         CAST(list_dot_product(e.v::DOUBLE[], g.s) AS BIGINT) AS y
+  FROM eq e CROSS JOIN signs g
+)
+SELECT vec_id,
+       md5(string_agg(CAST(y AS VARCHAR), ',' ORDER BY j)) AS proj_md5,
+       CAST(SUM(y * y) AS BIGINT) AS proj_norm,
+       CAST(MAX(CASE WHEN j = 0 THEN y END) AS DOUBLE) / {_RP_SCALE} AS p0,
+       CAST(MAX(CASE WHEN j = 1 THEN y END) AS DOUBLE) / {_RP_SCALE} AS p1
+FROM proj GROUP BY vec_id
+"""
+
+
+@register(
+    "emb_random_projection",
+    oracle=_rp_oracle(),
+    description=f"JL random projection {RP_DIM}->{RP_OUT} dims (Rademacher matrix), map-only, checksummed",
+    tags=("embeddings", "projection", "map-only"),
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project 64-dim embeddings to 16 dims with a ±1 Rademacher matrix
+    (y_j = Σ_d s_jd·x_d / √d′) — the cheap-and-cheerful dimensionality
+    reduction applied before clustering / coarse ANN / dedup blocking
+    on a 100 TB embedding corpus (distance distortion bounded by JL).
+
+    Entirely Catalyst-side map work: the embedding is quantized to an
+    integer array ONCE (its own projected attribute, so lambda bodies
+    don't re-evaluate it per element), then each output dim is one
+    ``zip_with``·``aggregate`` fold against a literal sign array —
+    whole-stage-codegen'd, zero exchanges, zero Python. The projection
+    is emitted as the per-vector integer vector checksum (md5 + squared
+    norm + two sample dims), the same array-output discipline as
+    ``emb_quantize``.
+    """
+    e = Catalog(spark, sf_dir).embeddings
+    eq = e.select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x: F.floor(x.cast("double") * 1000).cast("bigint"))
+         .alias("eq"),
+    )
+    ycols = []
+    for j, row in enumerate(_rp_signs()):
+        sarr = F.array(*[F.lit(s).cast("bigint") for s in row])
+        ycols.append(
+            F.aggregate(F.zip_with(F.col("eq"), sarr, lambda a, b: a * b),
+                        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+             .alias(f"y{j}"))
+    proj = eq.select("vec_id", *ycols)
+    norm = None
+    for j in range(RP_OUT):
+        term = F.col(f"y{j}") * F.col(f"y{j}")
+        norm = term if norm is None else norm + term
+    return proj.select(
+        "vec_id",
+        F.md5(F.concat_ws(",", *[F.col(f"y{j}").cast("string")
+                                 for j in range(RP_OUT)])).alias("proj_md5"),
+        norm.cast("bigint").alias("proj_norm"),
+        (F.col("y0") / F.lit(_RP_SCALE)).alias("p0"),
+        (F.col("y1") / F.lit(_RP_SCALE)).alias("p1"),
+    )

@@ -89,3 +89,57 @@ def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
     )
+
+
+WEIGHTED_K = 200       # weighted sample size
+_W_U_MOD = 1_000_000   # uniform resolution for the exponential race
+
+
+@register(
+    "sample_weighted",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         ROUND(ln((({hex64_sql("'wsample|' || CAST(doc_id AS VARCHAR)")} % {_W_U_MOD}) + 1)
+                  / {_W_U_MOD + 1}.0) / n_chars, 10) AS race_key
+  FROM documents
+), ranked AS (
+  SELECT doc_id, n_chars, race_key,
+         ROW_NUMBER() OVER (ORDER BY race_key DESC, doc_id) AS rank
+  FROM keyed
+)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, n_chars, race_key
+FROM ranked WHERE rank <= {WEIGHTED_K}
+""",
+    description=f"weighted sample without replacement ({WEIGHTED_K} docs, weight=n_chars) via exponential race keys",
+    tags=("sampling", "weighted", "topk"),
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
+    each row draws a deterministic uniform u from its content hash and
+    races with key ln(u)/w — the k largest keys are a weighted sample
+    without replacement, computed in ONE distributed top-k pass (no
+    sequential draws, no rejection loop). Weight here is ``n_chars``
+    (longer docs proportionally likelier), the usual "sample by token
+    budget" curation step.
+
+    Scale shape: map-side key computation + the salted two-phase top-k
+    (per-bucket heap-k, then k·buckets-row merge) — the same plan as
+    ``q_sort_limit``, never a global sort. The uniform is a 6-digit
+    integer from md5 (identical in both engines); ln() of an identical
+    double then rounds at 1e-10, far above the ≤1-ulp libm divergence,
+    so the race order is engine-independent.
+    """
+    from ..functions.skew import grouped_topk
+    d = Catalog(spark, sf_dir).documents
+    u = (hex64(F.concat(F.lit("wsample|"), F.col("doc_id").cast("string")))
+         % _W_U_MOD + 1) / F.lit(float(_W_U_MOD + 1))
+    keyed = d.select(
+        "doc_id", "n_chars",
+        F.round(F.log(u) / F.col("n_chars"), 10).alias("race_key"),
+    ).withColumn("_g", F.lit(0))
+    top = grouped_topk(keyed, ["_g"],
+                       [F.desc("race_key"), F.asc("doc_id")],
+                       WEIGHTED_K, F.col("doc_id"))
+    return top.select(F.col("rank").cast("bigint").alias("rank"),
+                      "doc_id", "n_chars", "race_key")

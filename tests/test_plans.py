@@ -189,3 +189,36 @@ def test_range_join_is_bucketed_broadcast_equijoin(spark, reg):
     plan = plan_string(reg["q_range_join"].builder(spark, SF))
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cdc_merge_single_shuffle_with_partial(spark, reg):
+    """The CDC merge is ONE key exchange: max_by partials on the map side
+    (SortAggregate — the struct-typed buffer rules out hash agg, but the
+    partial/merge split is what matters: combiner before the wire), then
+    the merge aggregate after. No per-key row_number window, no join."""
+    import re
+    plan = plan_string(reg["q_cdc_merge"].builder(spark, SF))
+    # formatted mode prints each node twice (tree line + detail header);
+    # count the detail headers, which occur exactly once per node
+    n_exch = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exch == 1, plan[:3000]
+    assert "Window" not in plan, plan[:3000]
+    n_agg = len(re.findall(r"\(\d+\) SortAggregate", plan))
+    assert n_agg == 2, plan[:3000]  # partial + merge
+
+
+def test_random_projection_map_only(spark, reg):
+    """16 zip_with/aggregate folds stay whole-stage-codegen map work:
+    zero exchanges at any corpus size."""
+    plan = plan_string(reg["emb_random_projection"].builder(spark, SF))
+    assert plan.count("Exchange") == 0, plan[:3000]
+
+
+def test_sample_weighted_heap_topk(spark, reg):
+    """The weighted sample is the salted two-phase top-k, never a global
+    sort: map-side WindowGroupLimit (per-partition heap) BEFORE the
+    exchange, TakeOrderedAndProject for the k-row merge."""
+    plan = plan_string(reg["sample_weighted"].builder(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    assert "WindowGroupLimit" in plan, plan[:3000]
+    assert plan.count("Exchange") <= 2, plan[:3000]
