@@ -102,8 +102,8 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _srp_hyperplanes() -> np.ndarray:
-    """Deterministic INTEGER hyperplanes, shape (TABLES*BITS, DIM).
+def _srp_hyperplanes(tables: int = SRP_TABLES, bits: int = SRP_BITS) -> np.ndarray:
+    """Deterministic INTEGER hyperplanes, shape (tables*bits, DIM).
 
     Weights come from the multiplicative LCG (x → 48271·x mod 2³¹-1)
     mapped to [-1000, 1000] — the same embed-the-literals discipline as
@@ -116,32 +116,43 @@ def _srp_hyperplanes() -> np.ndarray:
     agree bit-for-bit regardless of accumulation order.
     """
     state = _SRP_SEED
-    w = np.empty((SRP_TABLES * SRP_BITS, SRP_DIM), dtype=np.int64)
-    for j in range(SRP_TABLES * SRP_BITS):
+    w = np.empty((tables * bits, SRP_DIM), dtype=np.int64)
+    for j in range(tables * bits):
         for d in range(SRP_DIM):
             state = (state * 48271) % _SRP_P
             w[j, d] = state % 2001 - 1000
     return w
 
 
-def srp_buckets(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def srp_buckets(df: DataFrame, vec_col: str = "embedding",
+                tables: int = SRP_TABLES, bits: int = SRP_BITS) -> DataFrame:
     """Append ``buckets: array<int>`` — one SRP bucket id per hash table.
 
     Arrow-batched pandas UDF: each batch becomes one (rows × dim) numpy
     matrix; bucket bits for all tables come from a single matmul against
     the (dim × tables·bits) hyperplane matrix.
+
+    ``tables``/``bits`` are the corpus-size dial (registered queries pin
+    the defaults so their oracles stay fixed): expected bucket occupancy
+    is N/2^bits per table, and the bucket self-join is quadratic in
+    occupancy, so ``bits`` MUST grow with log₂(N) — ~2^bits ≈ N/64 keeps
+    per-bucket work constant. Higher bits also shifts recall toward
+    higher-cosine pairs (collision prob p^bits per table), which is the
+    operating point a 100 TB dedup actually wants (cos ≥ 0.9 dups, not
+    0.4 neighbors); the 64× probe (scripts/scale_probe_embeddings.py)
+    runs 8×12-bit against the same corpus to demonstrate the scaling.
     """
-    planes = _srp_hyperplanes()  # captured in the UDF closure, ~16 KB
+    planes = _srp_hyperplanes(tables, bits)  # captured in the UDF closure
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def _buckets(v: pd.Series) -> pd.Series:
         mat = np.stack(v.to_numpy()).astype(np.float64)   # (n, dim)
         eq = np.floor(mat * 1000.0).astype(np.int64)      # exact in double
-        bits = (eq @ planes.T) > 0                        # integer matmul, exact
-        weights = (1 << np.arange(SRP_BITS))
+        bits_m = (eq @ planes.T) > 0                      # integer matmul, exact
+        weights = (1 << np.arange(bits))
         out = np.einsum(
             "ntb,b->nt",
-            bits.reshape(len(mat), SRP_TABLES, SRP_BITS).astype(np.int64),
+            bits_m.reshape(len(mat), tables, bits).astype(np.int64),
             weights,
         )
         return pd.Series(list(out.astype(np.int32)))
@@ -650,12 +661,23 @@ def embedding_neardup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate-recall operator hash-exact against its oracle; its
     recall vs the exact pair set is pinned in tests.
     """
-    src = Catalog(spark, sf_dir).embeddings
+    return banded_neardup_pairs(Catalog(spark, sf_dir).embeddings)
+
+
+def banded_neardup_pairs(src: DataFrame, threshold: float = NEARDUP_COS,
+                         tables: int = SRP_TABLES,
+                         bits: int = SRP_BITS) -> DataFrame:
+    """Parametric banded near-dup core (semantics: the registered query
+    above). ``tables``/``bits`` scale the bucket space with the corpus —
+    2^bits ≈ N/64 keeps per-bucket occupancy, and so the
+    quadratic-in-occupancy bucket self-join, constant; the registered
+    query pins the 16×4 defaults its oracle embeds (right for the 2 k
+    fixture, catastrophic at 128 k — see the 64× probe notes)."""
     # Candidate generation carries IDS ONLY — the bucket join multiplies
     # rows (tables × collisions), and towing two 64-float arrays through
     # that explosion is the memory trap (same discipline as the minhash
     # path: band rows are doc_id+bucket, shingle sets join back later).
-    buckets = (srp_buckets(src).select(
+    buckets = (srp_buckets(src, tables=tables, bits=bits).select(
         "vec_id", F.posexplode("buckets").alias("table_id", "bucket")))
     cand = (buckets.select(F.col("vec_id").alias("vec_a"), "table_id", "bucket")
             .join(buckets, ["table_id", "bucket"])
@@ -668,7 +690,7 @@ def embedding_neardup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = cosine_sim(F.col("emb_a"), F.col("emb_b"))
     return (cand.join(ea, "vec_a").join(eb, "vec_b")
             .select("vec_a", "vec_b", cos.alias("cos"))
-            .where(F.col("cos") >= NEARDUP_COS)
+            .where(F.col("cos") >= threshold)
             .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine")))
 
 
