@@ -289,3 +289,29 @@ def test_stateful_state_survives_restart(spark, tmp_path):
     assert last[1].mn_us == base and last[1].mx_us == base + 20_000_000
     assert last[2].n_events == 1 and last[2].n_clicks == 0
     assert last[3].n_events == 1 and last[3].n_clicks == 1
+
+
+def test_cdc_upsert_folds_across_multiple_microbatches(spark):
+    """The streaming upsert's incremental claim: availableNow +
+    maxFilesPerTrigger=1 must drain the staged changelog in ONE
+    micro-batch PER CHUNK, each folded into a new state version —
+    otherwise the operator is a batch query in disguise. The versioned
+    state dirs are the observable: exactly CDC_STREAM_CHUNKS of them.
+    Tombstoned keys must not reach the served result."""
+    import glob
+
+    from full_stack_big_data_spark.engine import scratch
+    from full_stack_big_data_spark.operators.cdc import (
+        CDC_STREAM_CHUNKS, CDC_TOMBSTONE, stream_cdc_upsert,
+    )
+
+    res = stream_cdc_upsert(spark, SF_SMOKE).collect()
+    assert len(res) > 0
+    assert all(r.last_type != CDC_TOMBSTONE for r in res)
+
+    roots = sorted(glob.glob(os.path.join(scratch._proc_root,
+                                          "fsbd_cdc_upsert_*")),
+                   key=os.path.getmtime)
+    assert roots, "upsert scratch root missing"
+    states = glob.glob(os.path.join(roots[-1], "state_v*"))
+    assert len(states) == CDC_STREAM_CHUNKS, states
