@@ -458,6 +458,96 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Containment (doc-in-doc) detection.
+# ---------------------------------------------------------------------------
+
+CONTAIN_T = 0.8        # containment threshold (kept as 4/5 in int filters)
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS s FROM documents
+  WHERE len({tokens_sql('text')}) >= {SHINGLE_N}
+), ex AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), sizes AS (
+  SELECT doc_id, len(s) AS n FROM sh
+), inter AS (
+  SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc, count(*) AS i
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT contained_doc, container_doc,
+       ROUND(i * 1.0 / sa.n, 6) AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = contained_doc
+WHERE i * 5 >= sa.n * 4
+""",
+    description=f"doc-in-doc containment |A∩B|/|A| ≥ {CONTAIN_T}: one-sided prefix filter vs full inverted index",
+    tags=("dedup", "containment", "join"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment C(A,B) = |A∩B| / |A| — the doc-in-doc
+    relation jaccard structurally misses: a short doc quoted whole
+    inside a long one has tiny jaccard (∩ / big ∪) but containment ≈ 1.
+    Corpus pipelines run this for boilerplate/quotation pruning and for
+    eval-set decontamination where the eval item is a fragment of a
+    train doc.
+
+    Plan: prefix filtering applies to the CONTAINED side only — if
+    C(A,B) ≥ t, at least one of A's ``|A| - ⌈t·|A|⌉ + 1`` globally
+    rarest shingles is in B (pigeonhole; any global order works, rarity
+    order minimizes fan-out), so A's prefix joins B's FULL posting list
+    (the inverted index — linear state, what a containment index
+    persists at scale). The container side cannot be prefix-filtered
+    (nothing bounds |B|), which is exactly why this operator exists
+    separately from ``dedup_ngram_jaccard``'s two-sided filter. A
+    lossless size gate (|B| ≥ ⌈t·|A|⌉, since |A∩B| ≤ |B|) prunes
+    size-incompatible pairs pre-verify; verification intersects the
+    persisted per-doc arrays map-side, integer-exact (i·5 ≥ n·4).
+    """
+    sh = _shingle_sets(spark, sf_dir).persist()
+    ex = sh.select("doc_id", F.explode("s").alias("g"))
+    sizes = sh.select("doc_id", F.size("s").alias("n"))
+    # prefix length n - ceil(t·n) + 1 with t = 4/5: ceil = (4n+4) div 5
+    prefix_len = (F.col("n") - ((F.lit(4) * F.col("n") + 4) / 5).cast("bigint") + 1)
+    freq = ex.groupBy("g").agg(F.count("*").alias("df_g"))
+    w = Window.partitionBy("doc_id").orderBy("df_g", "g")
+    pref = (
+        ex.join(freq, "g")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .where(F.col("pos") <= prefix_len)
+        .select("doc_id", "g", "n")
+    )
+    posting = (ex.join(sizes, "doc_id")
+               .select(F.col("doc_id").alias("container_doc"), "g",
+                       F.col("n").alias("nb")))
+    cand = (
+        pref.select(F.col("doc_id").alias("contained_doc"), "g",
+                    F.col("n").alias("na"))
+        .join(posting, "g")
+        .where((F.col("contained_doc") != F.col("container_doc"))
+               # lossless size gate: |A∩B| ≤ |B|, so C ≥ 4/5 needs 5|B| ≥ 4|A|
+               & (5 * F.col("nb") >= 4 * F.col("na")))
+        .select("contained_doc", "container_doc")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("contained_doc"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("container_doc"), F.col("s").alias("sb"))
+    return (
+        cand.join(sa, "contained_doc").join(sb, "container_doc")
+        .select("contained_doc", "container_doc",
+                F.size(F.array_intersect("sa", "sb")).alias("i"),
+                F.size("sa").alias("na"))
+        .where(F.col("i") * 5 >= F.col("na") * 4)
+        .select("contained_doc", "container_doc",
+                F.round(F.col("i") / F.col("na"), 6).alias("containment"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Duplicate-cluster formation (connected components over near-dup pairs).
 # ---------------------------------------------------------------------------
 

@@ -160,11 +160,10 @@ def srp_buckets(df: DataFrame, vec_col: str = "embedding",
     return df.withColumn("buckets", _buckets(F.col(vec_col)))
 
 
-def _srp_oracle() -> str:
-    """DuckDB twin of the full SRP pipeline — quantize, 64 integer sign
-    tests per vector, bucket collision join, exact cosine re-rank. The
-    integer quantization (see :func:`_srp_hyperplanes`) is what makes a
-    hash-exact oracle possible for an LSH operator."""
+def _srp_bucket_prefix() -> str:
+    """Shared oracle prefix: the SRP plane literals and the
+    quantize→sign-test→bucket CTE chain (``planes``/``eq``/``dots``/``b``)
+    every SRP-bucketed oracle builds on."""
     w = _srp_hyperplanes()
     rows = ",\n".join(
         f"  ({j // SRP_BITS}, {j % SRP_BITS}, "
@@ -184,7 +183,15 @@ WITH planes(table_id, bit, w) AS (VALUES
   SELECT vec_id, table_id,
          CAST(SUM(CASE WHEN d > 0 THEN 1 << bit ELSE 0 END) AS INT) AS bucket
   FROM dots GROUP BY vec_id, table_id
-), q AS (
+)"""
+
+
+def _srp_oracle() -> str:
+    """DuckDB twin of the full SRP pipeline — quantize, 64 integer sign
+    tests per vector, bucket collision join, exact cosine re-rank. The
+    integer quantization (see :func:`_srp_hyperplanes`) is what makes a
+    hash-exact oracle possible for an LSH operator."""
+    return _srp_bucket_prefix() + f""", q AS (
   SELECT vec_id AS query_id, table_id, bucket FROM b WHERE vec_id < {N_QUERIES}
 ), cand AS (
   SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
@@ -608,26 +615,7 @@ def _neardup_banded_oracle() -> str:
     """DuckDB twin of the banded near-dup: identical SRP buckets (the
     integer sign tests from ``_srp_oracle``), bucket-colliding pairs,
     exact cosine threshold."""
-    w = _srp_hyperplanes()
-    rows = ",\n".join(
-        f"  ({j // SRP_BITS}, {j % SRP_BITS}, "
-        f"[{', '.join(str(int(x)) for x in w[j])}]::DOUBLE[])"
-        for j in range(SRP_TABLES * SRP_BITS))
-    return f"""
-WITH planes(table_id, bit, w) AS (VALUES
-{rows}
-), eq AS (
-  SELECT vec_id, embedding,
-         list_transform(embedding::DOUBLE[], x -> FLOOR(x * 1000)) AS v
-  FROM embeddings
-), dots AS (
-  SELECT e.vec_id, p.table_id, p.bit, list_dot_product(e.v, p.w) AS d
-  FROM eq e CROSS JOIN planes p
-), b AS (
-  SELECT vec_id, table_id,
-         CAST(SUM(CASE WHEN d > 0 THEN 1 << bit ELSE 0 END) AS INT) AS bucket
-  FROM dots GROUP BY vec_id, table_id
-), cand AS (
+    return _srp_bucket_prefix() + f""", cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, x.vec_id AS vec_b
   FROM b a JOIN b x ON a.table_id = x.table_id AND a.bucket = x.bucket
                    AND a.vec_id < x.vec_id
@@ -692,6 +680,88 @@ def banded_neardup_pairs(src: DataFrame, threshold: float = NEARDUP_COS,
             .select("vec_a", "vec_b", cos.alias("cos"))
             .where(F.col("cos") >= threshold)
             .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine")))
+
+
+# ---------------------------------------------------------------------------
+# Incremental ANN: new batch vs a prebuilt SRP index.
+# ---------------------------------------------------------------------------
+
+ANN_INCR_MOD = 10     # vec_id % 10 == 7 → the newly-arrived batch
+ANN_INCR_REM = 7
+ANN_INCR_K = 5
+
+
+def _ann_incremental_oracle() -> str:
+    return _srp_bucket_prefix() + f""", newb AS (
+  SELECT vec_id, table_id, bucket FROM b
+  WHERE vec_id % {ANN_INCR_MOD} = {ANN_INCR_REM}
+), oldb AS (
+  SELECT vec_id, table_id, bucket FROM b
+  WHERE vec_id % {ANN_INCR_MOD} <> {ANN_INCR_REM}
+), cand AS (
+  SELECT DISTINCT n.vec_id AS new_id, o.vec_id AS neighbor_id
+  FROM newb n JOIN oldb o USING (table_id, bucket)
+), scored AS (
+  SELECT c.new_id, c.neighbor_id,
+         list_cosine_similarity(a.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.neighbor_id
+  JOIN embeddings q ON q.vec_id = c.new_id
+), ranked AS (
+  SELECT new_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY new_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT new_id, neighbor_id, rank, ROUND(cos, 6) AS cosine
+FROM ranked WHERE rank <= {ANN_INCR_K}
+"""
+
+
+@register(
+    "ann_incremental",
+    oracle=_ann_incremental_oracle(),
+    description=f"incremental ANN: 10% new batch queried against the 90% "
+                f"prebuilt SRP index, top-{ANN_INCR_K} per new vector",
+    tags=("similarity", "ann", "lsh", "incremental"),
+)
+def ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query a NEWLY ARRIVED embedding batch against the existing
+    corpus' SRP index — the vector twin of ``dedup_incremental`` and
+    the production ANN workflow (embeddings arrive with each crawl
+    dump; you never re-bucket the corpus). The fixture carves the batch
+    out by ``vec_id % {ANN_INCR_MOD} == {ANN_INCR_REM}``.
+
+    The corpus side's (table_id, bucket) rows are exactly what a
+    persisted index stores (computed once per dump at scale); each new
+    batch computes only ITS OWN buckets and equi-joins the index —
+    candidate cost ∝ batch size × per-bucket occupancy, never corpus².
+    The verify joins fetch embeddings only for candidate pairs, and the
+    per-new-vector top-k uses the salted two-phase rank.
+    """
+    e = srp_buckets(Catalog(spark, sf_dir).embeddings)
+    tbl = e.select("vec_id",
+                   F.posexplode("buckets").alias("table_id", "bucket"))
+    is_new = F.col("vec_id") % ANN_INCR_MOD == ANN_INCR_REM
+    newb = (tbl.where(is_new)
+            .select(F.col("vec_id").alias("new_id"), "table_id", "bucket"))
+    oldb = tbl.where(~is_new)
+    cand = (newb.join(oldb, ["table_id", "bucket"])
+            .select("new_id", F.col("vec_id").alias("neighbor_id"))
+            .distinct())
+    src = Catalog(spark, sf_dir).embeddings
+    qn = src.select(F.col("vec_id").alias("new_id"), F.col("embedding").alias("qv"))
+    nn = src.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("nv"))
+    scored = (cand.join(qn, "new_id").join(nn, "neighbor_id")
+              .select("new_id", "neighbor_id",
+                      cosine_sim(F.col("nv"), F.col("qv")).alias("cos")))
+    return (
+        grouped_topk(scored, ["new_id"],
+                     [F.desc("cos"), F.asc("neighbor_id")],
+                     ANN_INCR_K, F.col("neighbor_id"))
+        .select("new_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
 
 
 # ---------------------------------------------------------------------------
