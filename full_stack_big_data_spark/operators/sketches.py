@@ -207,3 +207,44 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, p in enumerate(_QUANT_PS)
     ]
     return agg.select("n_orders", *ok)
+
+
+@register(
+    "q_approx_quantiles_grouped",
+    oracle="SELECT event_type, COUNT(*) AS n_events, TRUE AS p50_ok, "
+           "TRUE AS p90_ok, TRUE AS p99_ok FROM events GROUP BY event_type",
+    description="per-group approx_percentile (p50/p90/p99 of event value "
+                "by event_type), each group hash-proved inside ±2% rank brackets",
+    tags=("sketch", "quantiles", "agg", "events"),
+)
+def q_approx_quantiles_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``q_approx_quantiles``' contract applied PER GROUP — the shape a
+    monitoring pipeline actually runs (latency quantiles per endpoint,
+    value quantiles per event type). One hash exchange on the group key
+    carries bounded sketch summaries, not values: map-side partial
+    sketches merge associatively, so the shuffle payload per group is
+    O(1/err) regardless of group size — at 100 TB the exact per-group
+    percentile would sort every group's full value set instead.
+
+    Hashable surface as in the global variant: per-group booleans
+    asserting each estimate lies inside the exact rank ± 2% bracket,
+    computed Spark-side; the oracle pins group keys, counts and TRUEs.
+    """
+    ev = Catalog(spark, sf_dir).events
+    acc = int(1 / APPROX_PCT_ERR)
+    aps = ",".join(str(p) for p in _QUANT_PS)
+    los = ",".join(str(max(p - _QUANT_SLACK, 0.0)) for p in _QUANT_PS)
+    his = ",".join(str(min(p + _QUANT_SLACK, 1.0)) for p in _QUANT_PS)
+    agg = ev.groupBy("event_type").agg(
+        F.expr(f"approx_percentile(value, array({aps}), {acc})").alias("ap"),
+        F.expr(f"percentile(value, array({los}))").alias("lo"),
+        F.expr(f"percentile(value, array({his}))").alias("hi"),
+        F.count("*").alias("n_events"),
+    )
+    ok = [
+        F.coalesce((F.col("ap")[i] >= F.col("lo")[i])
+                   & (F.col("ap")[i] <= F.col("hi")[i]),
+                   F.col("n_events") == 0).alias(f"p{int(p * 100)}_ok")
+        for i, p in enumerate(_QUANT_PS)
+    ]
+    return agg.select("event_type", "n_events", *ok)

@@ -315,3 +315,62 @@ def test_cdc_upsert_folds_across_multiple_microbatches(spark):
     assert roots, "upsert scratch root missing"
     states = glob.glob(os.path.join(roots[-1], "state_v*"))
     assert len(states) == CDC_STREAM_CHUNKS, states
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Watermark semantics, the part availableNow replay can't show via
+    oracles (the registered window queries replay data that is never
+    late): a straggler arriving after the watermark closed its window
+    is DROPPED, and append mode emits each window exactly once.
+
+    The timeline needs THREE batches because eviction happens at the
+    END of the batch whose start-watermark passes the window (measured
+    on this engine: a straggler landing in that same batch still merges
+    before eviction — the one-batch lag of watermark application):
+    batch 0 advances event time to 14:00, batch 1 (watermark now 13:00)
+    evicts + emits the 10:00 window, batch 2 delivers a 10:20 straggler
+    into the closed window — it must hit numRowsDroppedByWatermark and
+    stay out of the emitted count."""
+    import time as _time
+
+    from pyspark.sql.types import TimestampType
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    schema = StructType([
+        StructField("ts", TimestampType()),
+        StructField("k", StringType()),
+    ])
+
+    def write(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for ts, k in rows:
+                f.write(json.dumps({"ts": ts, "k": k}) + "\n")
+
+    write("b0.json", [("2024-01-01 10:05:00", "a"),
+                      ("2024-01-01 10:10:00", "a"),
+                      ("2024-01-01 14:00:00", "b")])
+    _time.sleep(1.1)  # file source orders batches by modification time
+    write("b1.json", [("2024-01-01 14:30:00", "b")])  # watermark carrier
+    _time.sleep(1.1)
+    write("b2.json", [("2024-01-01 10:20:00", "a")])  # straggler
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).json(src))
+    agg = (stream.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour"), "k").count())
+    sink = f"late_sink_{os.getpid()}"
+    q = (agg.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    dropped = sum(so.get("numRowsDroppedByWatermark", 0)
+                  for p in q.recentProgress
+                  for so in p["stateOperators"])
+    out = spark.table(sink).collect()
+
+    emitted = {(r["window"].start.strftime("%H:%M"), r["k"]): r["count"]
+               for r in out}
+    # the 10:00 'a' window closed with ONLY the two on-time rows, and
+    # the straggler was counted as a watermark drop, not merged
+    assert emitted == {("10:00", "a"): 2}, emitted
+    assert dropped == 1, [p["stateOperators"] for p in q.recentProgress]
