@@ -309,3 +309,72 @@ def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_new").cast("bigint").alias("n_new_users"),
         F.sum("n_new").over(w).cast("bigint").alias("cumulative_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly detection (median / MAD).
+# ---------------------------------------------------------------------------
+
+MAD_K = 1.4826          # MAD → σ consistency constant (normal data)
+MAD_Z = 3.5             # modified z-score cutoff (Iglewicz–Hoaglin)
+
+
+@register(
+    "q_anomaly_mad",
+    oracle=f"""
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.value, abs(e.value - m.med) AS ad
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, median(ad) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type, COUNT(*) AS n_events,
+       ROUND(m.med, 6) AS med_r, ROUND(x.mad, 6) AS mad_r,
+       CAST(SUM(CASE WHEN x.mad > 0
+                      AND d.ad > {MAD_Z} * {MAD_K} * x.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN med m USING (event_type) JOIN mad x USING (event_type)
+GROUP BY d.event_type, m.med, x.mad
+""",
+    description=f"robust per-type outlier counts: modified z-score "
+                f"|v−med| > {MAD_Z}·{MAD_K}·MAD",
+    tags=("events", "anomaly", "robust", "broadcast-join"),
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier detection — the robust complement to
+    ``q_anomaly_zscore``: mean and stddev are themselves dragged by the
+    outliers they're meant to find (one 1000× spike inflates σ until
+    nothing is 3σ out), while the median and the median absolute
+    deviation have a 50% breakdown point. Cutoff is the modified
+    z-score |v − med| > {MAD_Z}·{MAD_K}·MAD.
+
+    Exact medians are inherently rank-based, so this is a TWO-pass
+    operator by problem statement (median of deviations needs the
+    median first). Both per-type stats tables are one row per
+    event_type and broadcast; the event table is scanned, never
+    shuffled on its own size. At 100 TB the one-pass alternative is the
+    sketch path (``q_approx_quantiles_grouped``'s mergeable summaries)
+    with the same downstream modified-z filter — this operator is the
+    exact semantics those sketches approximate.
+    """
+    ev = Catalog(spark, sf_dir).events
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"))
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .select("event_type", "value", "med",
+                   F.abs(F.col("value") - F.col("med")).alias("ad")))
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad"))
+    out = F.when((F.col("mad") > 0)
+                 & (F.col("ad") > MAD_Z * MAD_K * F.col("mad")), 1).otherwise(0)
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(out).cast("bigint").alias("n_outliers"))
+        .select("event_type", "n_events",
+                F.round("med", 6).alias("med_r"),
+                F.round("mad", 6).alias("mad_r"), "n_outliers")
+    )
