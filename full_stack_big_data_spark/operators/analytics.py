@@ -378,3 +378,128 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("med", 6).alias("med_r"),
                 F.round("mad", 6).alias("mad_r"), "n_outliers")
     )
+
+
+# ---------------------------------------------------------------------------
+# Marketing attribution (last-touch).
+# ---------------------------------------------------------------------------
+
+ATTR_TOUCH_TYPES = ("click", "view")
+
+
+@register(
+    "q_attribution_last_touch",
+    oracle=f"""
+WITH t AS (
+  SELECT user_id, ts,
+         MAX(event_id) AS touch_id,
+         arg_max(event_type, event_id) AS touch_type
+  FROM events WHERE event_type IN {ATTR_TOUCH_TYPES!r}
+  GROUP BY user_id, ts
+), p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id AS purchase_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       t.touch_id, t.touch_type,
+       epoch_us(p.ts) - epoch_us(t.ts) AS usecs_since_touch
+FROM p ASOF JOIN t ON p.user_id = t.user_id AND t.ts <= p.ts
+""",
+    description="last-touch attribution: each purchase credited to the user's most recent prior click/view (as-of composition)",
+    tags=("events", "attribution", "asof"),
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credit every purchase to the latest preceding marketing touch
+    (click or view) by the same user — last-touch attribution, the
+    canonical event-stream enrichment a product-analytics warehouse
+    serves. This is an as-of join by construction, so it reuses the
+    union+window composition (``operators/asof.py``): ONE user-keyed
+    shuffle of touches+purchases, a per-key sort, a carry-forward
+    window — zero fan-out on users with thousands of touches, where the
+    naive inequality-join explodes quadratically.
+
+    Touches are deduplicated to one per (user, ts) first (max event_id,
+    its type via max_by) so equal-timestamp carry-forward is
+    deterministic in both engines; the inclusive tie (touch at the
+    purchase instant counts) is pinned by sort order (right side sorts
+    before left at equal ts) and matches DuckDB ASOF's ``<=``.
+    """
+    from .asof import asof_join
+
+    ev = Catalog(spark, sf_dir).events
+    touches = (
+        ev.where(F.col("event_type").isin(*ATTR_TOUCH_TYPES))
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("touch_id"),
+             F.max_by("event_type", "event_id").alias("touch_type"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase")
+    l = purchases.select(F.col("user_id").alias("k"),
+                         F.col("event_id").alias("purchase_id"),
+                         "user_id", "ts")
+    r = touches.select(F.col("user_id").alias("k"),
+                       F.col("ts").alias("touch_ts"),
+                       "touch_id", "touch_type")
+    out = asof_join(l, r, key="k", left_ts="ts", right_ts="touch_ts",
+                    payload=["touch_id", "touch_type", "touch_ts"])
+    # exact integer age — a minutes DIVISION lands doubles on .5e-6
+    # rounding ties where the engines' round() implementations disagree
+    usecs = F.unix_micros("ts") - F.unix_micros("touch_ts")
+    return out.select(
+        "purchase_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        "touch_id", "touch_type",
+        usecs.alias("usecs_since_touch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Active-user accounting (DAU + rolling 7-day).
+# ---------------------------------------------------------------------------
+
+ROLLING_DAYS = 7
+
+
+@register(
+    "q_active_users_rolling",
+    oracle=f"""
+WITH ud AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), dau AS (
+  SELECT day, COUNT(*) AS dau FROM ud GROUP BY day
+), w AS (
+  SELECT DISTINCT ud.user_id, ud.day + CAST(r.i AS INTEGER) AS day
+  FROM ud CROSS JOIN range({ROLLING_DAYS}) r(i)
+), wau AS (
+  SELECT day, COUNT(*) AS wau FROM w GROUP BY day
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau
+FROM dau d JOIN wau w USING (day)
+""",
+    description=f"daily active users + rolling {ROLLING_DAYS}-day actives per day, bounded-explode rolling distinct",
+    tags=("events", "activity", "agg"),
+)
+def q_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU and trailing-{ROLLING_DAYS}-day active users per day. Rolling
+    COUNT DISTINCT cannot merge from daily partials (distinct isn't
+    additive across days), and the naive day-range self-join reads the
+    user-day table once per day in the window. The scalable form:
+    each (user, day) observation contributes to exactly
+    {ROLLING_DAYS} window endpoints, so EXPLODE it onto day..day+6,
+    distinct, and count — fan-out bounded by the window length (a
+    constant), two hash shuffles, no quadratic pass. Days are reported
+    only where the corpus has events (inner join vs the DAU set), so
+    trailing window endpoints past the last day don't fabricate rows.
+    """
+    ev = Catalog(spark, sf_dir).events
+    ud = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    w = (ud.select("user_id",
+                   F.explode(F.sequence(F.lit(0), F.lit(ROLLING_DAYS - 1)))
+                    .alias("i"), "day")
+         .select("user_id", F.date_add("day", F.col("i")).alias("day"))
+         .distinct())
+    wau = w.groupBy("day").agg(F.count("*").alias("wau"))
+    return (dau.join(wau, "day")
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "dau", "wau"))
