@@ -101,6 +101,17 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     changing semantics. At 100 TB you bucket the stream by time and
     stitch bucket boundaries (carry each bucket's last row into the
     next); the fixture's single-window form keeps the oracle exact.
+
+    Exchange budget (top row of PLANAUDIT.md): ~7 exchanges per
+    iteration is inherent to iterative joins in the DataFrame API —
+    each round re-shuffles RANKS against the persisted edges. The
+    at-scale refinement is bucketed storage: write ``edges_deg`` once
+    bucketed+sorted on ``src`` (the ``q_bucketed_join`` pattern) so
+    every iteration's join consumes the bucketed scan with zero
+    edge-side exchange and only the node-cardinality rank table moves
+    per round. Plan shape demonstrated by ``q_bucketed_join``; not
+    duplicated here because the fixture's graph is user-cardinality
+    (tiny) and the oracle pins this form.
     """
     ev = Catalog(spark, sf_dir).events
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")

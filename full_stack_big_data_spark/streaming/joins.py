@@ -108,3 +108,78 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = ev.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"])
     return run_to_completion(deduped, output_mode="append")
+
+
+@register(
+    "stream_dedup_watermarked",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+    description="bounded-state streaming dedup: dropDuplicatesWithinWatermark expires key state past the horizon",
+    tags=("streaming", "dedup", "watermark"),
+)
+def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stream_dedup``'s production variant. Plain ``dropDuplicates``
+    keeps every key it has ever seen — on an unbounded 100 TB stream the
+    state store grows forever. ``dropDuplicatesWithinWatermark`` bounds
+    it: a key's entry is evicted once the watermark passes its event
+    time + delay, so state size ∝ keys per horizon, the only dedup a
+    long-running deployment can actually operate (duplicates in real
+    pipelines — producer retries, at-least-once sources — arrive within
+    seconds, not months).
+
+    The fixture's events span 30 days; the 45-day horizon therefore
+    covers the whole replay, making the emitted key set EXACTLY the
+    batch DISTINCT (the correctness statement) while exercising the
+    bounded-state operator and its watermark plumbing for real. Emits
+    the key projection only — "which duplicate arrived first" is
+    batch-timing-dependent, the key set is not.
+    """
+    ev = _events_stream(spark, sf_dir)
+    deduped = (ev.select("user_id", "event_type", "ts")
+               .withWatermark("ts", "45 days")
+               .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+               .select("user_id", "event_type"))
+    return run_to_completion(deduped, output_mode="append")
+
+
+APPROX_DISTINCT_RSD = 0.05
+
+
+@register(
+    "stream_approx_distinct",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS estimate_ok
+FROM events GROUP BY event_type
+""",
+    description="streaming HLL distinct users per event_type, estimate hash-proved within 5% of exact",
+    tags=("streaming", "sketch", "approx"),
+)
+def stream_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user counting on the stream via HyperLogLog++
+    (``approx_count_distinct``): per-key sketch registers merge
+    associatively across micro-batches, so state per group is O(2^p)
+    REGARDLESS of how many users stream past — the only distinct count
+    an unbounded stream can maintain (exact distinct state grows with
+    the key universe; cf. ``stream_dedup_watermarked`` for the bounded
+    exact alternative when a horizon exists).
+
+    Correctness contract (sketch internals are engine-private, same
+    discipline as ``q_approx_distinct``): the streamed estimate must
+    land within the configured 5% rsd of the EXACT batch recompute over
+    the same replayed input — both sides computed Spark-side, booleans
+    asserted TRUE by the oracle alongside the exact counts.
+    """
+    from ..engine.catalog import Catalog
+
+    ev = _events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", APPROX_DISTINCT_RSD).alias("est"))
+    streamed = run_to_completion(agg, output_mode="complete")
+    exact = (Catalog(spark, sf_dir).events
+             .groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("exact_users")))
+    ok = (F.abs(F.col("est") - F.col("exact_users"))
+          <= F.lit(3 * APPROX_DISTINCT_RSD) * F.col("exact_users"))
+    return (exact.join(streamed, "event_type")
+            .select("event_type", "exact_users", ok.alias("estimate_ok")))
