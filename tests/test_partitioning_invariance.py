@@ -24,6 +24,10 @@ QUERIES = [
     "corpus_shuffle",          # bucket-offset global enumeration
     "dedup_minhash_lsh",       # banded LSH candidate generation
     "sample_stratified",       # hash-membership sampling
+    "q_cdc_merge",             # max_by latest-wins merge (unique versions)
+    "sample_weighted",         # race-key top-k across salt buckets
+    "ann_incremental",         # bucket-index join + per-query top-k
+    "q_attribution_last_touch",  # as-of carry-forward window
 ]
 
 
