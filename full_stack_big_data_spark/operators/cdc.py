@@ -95,6 +95,22 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     double→DECIMAL(18,4) casts are tie-free (no double is exactly at a
     scale-4 rounding boundary), so both engines round identically.
     """
+    snap, chg = _cdc_fixture(spark, sf_dir)
+    merged = (
+        snap.unionByName(chg).groupBy("k")
+        .agg(F.max_by(F.struct("status", "price", "op"), "version").alias("r"))
+        .where(F.col("r.op") != "D")
+    )
+    return merged.select(
+        F.col("k").alias("orderkey"),
+        F.col("r.status").alias("status"),
+        F.col("r.price").cast("double").alias("total_price"),
+    )
+
+
+def _cdc_fixture(spark: SparkSession, sf_dir: str):
+    """(snapshot, changelog) with columns (k, status, price, version, op)
+    — versions unique per key by construction (see module docstring)."""
     o = Catalog(spark, sf_dir).orders
     dec = "decimal(18,4)"
     snap = o.select(
@@ -123,17 +139,47 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.lit("N").alias("status"), "price",
                        F.lit(1).alias("version"), F.lit("I").alias("op")))
     )
-    log = snap.unionByName(chg)
-    merged = (
-        log.groupBy("k")
-        .agg(F.max_by(F.struct("status", "price", "op"), "version").alias("r"))
-        .where(F.col("r.op") != "D")
-    )
-    return merged.select(
-        F.col("k").alias("orderkey"),
-        F.col("r.status").alias("status"),
-        F.col("r.price").cast("double").alias("total_price"),
-    )
+    return snap, chg
+
+
+@register(
+    "q_cdc_merge_incremental",
+    oracle=_CDC_MERGE_SQL,
+    description="two-day incremental CDC fold equals the one-shot apply: merge(merge(snap, day1), day2)",
+    tags=("relational", "cdc", "merge", "incremental"),
+)
+def q_cdc_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property warehouse ingestion actually relies on: DAILY merges
+    compose. ``merge(merge(snapshot, day1), day2)`` must equal the
+    one-shot ``merge(snapshot, day1 ∪ day2)`` — latest-wins max_by over
+    unique versions is associative, so folding the changelog in arrival
+    order (what an hourly/daily MERGE job does) reproduces the full-log
+    answer bit-for-bit. The oracle is deliberately the SAME full-log
+    SQL as ``q_cdc_merge``: the two-step Spark fold vs the one-shot SQL
+    IS the composition proof. Deletes stay in intermediate state as
+    tombstoned rows (dropping them mid-fold would let an older version
+    resurrect the key in a later day — same rule as the streaming
+    upsert's state) and are filtered only at the end.
+
+    Day 1 carries the v1 updates + tombstones; day 2 the v2 updates +
+    inserts — so keys overlap across days and the second fold must
+    override first-fold winners.
+    """
+    snap, chg = _cdc_fixture(spark, sf_dir)
+    # disjoint split (inserts are op 'I' at version 1 — day 2 only)
+    day1 = chg.where((F.col("version") == 1) & (F.col("op") != "I"))
+    day2 = chg.where((F.col("version") == 2) | (F.col("op") == "I"))
+
+    def apply_day(state: DataFrame, day: DataFrame) -> DataFrame:
+        return (state.unionByName(day).groupBy("k")
+                .agg(F.max_by(F.struct("status", "price", "op", "version"),
+                              "version").alias("r"))
+                .select("k", "r.status", "r.price", "r.op", "r.version"))
+
+    final = apply_day(apply_day(snap, day1), day2)
+    return (final.where(F.col("op") != "D")
+            .select(F.col("k").alias("orderkey"), "status",
+                    F.col("price").cast("double").alias("total_price")))
 
 
 # ---------------------------------------------------------------------------
