@@ -348,7 +348,7 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     outliers they're meant to find (one 1000× spike inflates σ until
     nothing is 3σ out), while the median and the median absolute
     deviation have a 50% breakdown point. Cutoff is the modified
-    z-score |v − med| > {MAD_Z}·{MAD_K}·MAD.
+    z-score |v − med| > MAD_Z·MAD_K·MAD (3.5·1.4826).
 
     Exact medians are inherently rank-based, so this is a TWO-pass
     operator by problem statement (median of deviations needs the
@@ -480,12 +480,12 @@ FROM dau d JOIN wau w USING (day)
     tags=("events", "activity", "agg"),
 )
 def q_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DAU and trailing-{ROLLING_DAYS}-day active users per day. Rolling
+    """DAU and trailing-ROLLING_DAYS (7)-day active users per day. Rolling
     COUNT DISTINCT cannot merge from daily partials (distinct isn't
     additive across days), and the naive day-range self-join reads the
     user-day table once per day in the window. The scalable form:
     each (user, day) observation contributes to exactly
-    {ROLLING_DAYS} window endpoints, so EXPLODE it onto day..day+6,
+    ROLLING_DAYS (7) window endpoints, so EXPLODE it onto day..day+6,
     distinct, and count — fan-out bounded by the window length (a
     constant), two hash shuffles, no quadratic pass. Days are reported
     only where the corpus has events (inner join vs the DAU set), so

@@ -112,6 +112,16 @@ def _cdc_fixture(spark: SparkSession, sf_dir: str):
     """(snapshot, changelog) with columns (k, status, price, version, op)
     — versions unique per key by construction (see module docstring)."""
     o = Catalog(spark, sf_dir).orders
+    # The uniqueness invariant requires insert keys to be disjoint from
+    # snapshot keys. Guard it loudly: a colliding key would carry two
+    # version-1 rows with different ops and the merge would break ties
+    # nondeterministically (flaky oracle divergence instead of an
+    # error). Parquet column stats make this max() a metadata-cheap scan.
+    max_k = o.agg(F.max("o_orderkey")).first()[0]
+    if max_k is not None and max_k >= CDC_INS_OFFSET:
+        raise ValueError(
+            f"CDC fixture invariant violated: max o_orderkey {max_k} >= "
+            f"insert-key offset {CDC_INS_OFFSET}; raise CDC_INS_OFFSET")
     dec = "decimal(18,4)"
     snap = o.select(
         F.col("o_orderkey").alias("k"),
@@ -211,14 +221,14 @@ FROM latest WHERE rn = 1 AND event_type <> '{CDC_TOMBSTONE}'
 def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintain "current state per key" from a streamed changelog.
 
-    The events table is staged as {CDC_STREAM_CHUNKS} files and streamed
+    The events table is staged as CDC_STREAM_CHUNKS (4) files and streamed
     with ``maxFilesPerTrigger=1`` so availableNow drains it in multiple
     micro-batches — each ``foreachBatch`` call compacts its batch to one
     row per key (``max_by`` over (ts, event_id)), unions it with the
     previous state version and keeps the per-key maximum again, writing
     a NEW state version (read-your-own-store overwrite is unsafe in any
     engine; versioned state dirs are the append-only-sink upsert
-    pattern). Tombstones (event_type='{CDC_TOMBSTONE}') stay IN the
+    pattern). Tombstones (event_type = CDC_TOMBSTONE, 'error') stay IN the
     state so a later batch can't resurrect a deleted key from an older
     version, and are filtered at serve time.
 
@@ -247,7 +257,6 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(os.path.join(chunk_dir, part),
                    os.path.join(src_dir, f"chunk_{i}.parquet"))
 
-    state_paths: list[str] = []   # closure cell: newest state version last
     # The winning row's FULL ordering key (ts, event_id) travels through
     # the state, so cross-batch folds break equal-timestamp ties exactly
     # like the within-batch fold (and like the oracle's ORDER BY).
@@ -260,14 +269,30 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("user_id", "r.event_type", "r.value", "r.ts",
                         "r.event_id"))
 
+    def _state_path(before_bid: float) -> str | None:
+        """Newest committed state version with batch id < before_bid —
+        recovered from DISK, not a driver-memory list: after a
+        checkpoint restart the closure is fresh but committed batches
+        are skipped, and a memory-tracked chain would silently restart
+        the fold from empty. Reading strictly-earlier versions also
+        makes a same-run batch retry idempotent (it re-reads its
+        predecessor and overwrites its own dir, never the one it is
+        reading)."""
+        import re as _re
+
+        vids = [int(m.group(1)) for d in os.listdir(root)
+                if (m := _re.match(r"state_v(\d+)$", d))
+                and int(m.group(1)) < before_bid]
+        return os.path.join(root, f"state_v{max(vids)}") if vids else None
+
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         b = compact(batch_df)
-        if state_paths:
-            prev = batch_df.sparkSession.read.parquet(state_paths[-1])
-            b = compact(prev.unionByName(b))
-        out = os.path.join(root, f"state_v{batch_id}")
-        b.write.mode("overwrite").parquet(out)
-        state_paths.append(out)
+        prev = _state_path(batch_id)
+        if prev is not None:
+            b = compact(batch_df.sparkSession.read.parquet(prev)
+                        .unionByName(b))
+        b.write.mode("overwrite").parquet(
+            os.path.join(root, f"state_v{batch_id}"))
 
     src = (spark.readStream.schema(ev.schema)
            .option("maxFilesPerTrigger", 1).parquet(src_dir))
@@ -277,7 +302,7 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
          .start())
     q.awaitTermination()
 
-    final = spark.read.parquet(state_paths[-1])
+    final = spark.read.parquet(_state_path(float("inf")))
     return (final.where(F.col("event_type") != CDC_TOMBSTONE)
             .select("user_id",
                     F.col("event_type").alias("last_type"),

@@ -4,7 +4,8 @@ A 100 TB warehouse runs assertion queries as part of every load: key
 uniqueness, referential integrity, derived-column consistency, value
 ranges. Each check here is a single aggregate over the table under
 test — COUNT-based, partial-aggregatable, so the whole suite costs one
-scan per table plus one anti-join per FK check, and the output is a
+scan per table (FK checks fold the match marker from one key join into
+the same aggregate), and the output is a
 tiny (check, examined, violations, passed) table a scheduler can gate
 deploys on. The violation COUNT (not just a boolean) is what an
 operator pages on: "3 orphans" and "30 M orphans" are different
@@ -59,13 +60,16 @@ FROM checks
 def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five representative expectations over the star schema. Shapes:
 
-    - PK uniqueness: ``COUNT(*) − COUNT(DISTINCT pk)`` — one scan, one
-      distinct-agg shuffle on the key.
-    - FK integrity: LEFT ANTI join child→parent, count survivors — the
-      parent side broadcasts when dimension-sized; a fact-fact FK
-      (lineitem→orders) shuffles both sides on the key once.
-    - Derived-column consistency / range: map-side predicates under a
-      COUNT — free at any scale.
+    - PK uniqueness: ``COUNT(*) − COUNT(DISTINCT pk)`` in ONE aggregate
+      — one scan, one distinct-agg shuffle on the key.
+    - FK integrity: LEFT join child→parent with a match marker, then
+      one aggregate counting rows and null-marker rows together — one
+      child scan per check (an anti-join + separate count pass would
+      scan the child twice). The parent side broadcasts when
+      dimension-sized; the fact-fact FK (lineitem→orders) shuffles on
+      the key once.
+    - Derived-column consistency / range: the predicate rides under the
+      same COUNT aggregate as the examined total — one map-side scan.
 
     Every check is its own aggregate; the final result is a 5-row
     union, so the checks run independently (Spark schedules the tiny
@@ -75,28 +79,46 @@ def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     o, li, c = cat.orders, cat.lineitem, cat.customer
     d, ev = cat.documents, cat.events
 
-    def check(name: str, examined: DataFrame, violations: DataFrame) -> DataFrame:
-        ex = examined.agg(F.count("*").alias("examined"))
-        vi = violations.agg(F.count("*").alias("violations"))
-        return (ex.crossJoin(vi)  # two 1-row aggregates
-                .select(F.lit(name).alias("check_name"), "examined",
-                        F.col("violations").cast("bigint").alias("violations"),
-                        (F.col("violations") == 0).alias("passed")))
+    def emit(name: str, agg: DataFrame) -> DataFrame:
+        """(examined, violations) 1-row aggregate → check row."""
+        return agg.select(
+            F.lit(name).alias("check_name"), "examined",
+            F.col("violations").cast("bigint").alias("violations"),
+            (F.col("violations") == 0).alias("passed"))
 
-    pk_dups = (o.groupBy("o_orderkey").agg(F.count("*").alias("n"))
-               .where(F.col("n") > 1)
-               .select(F.explode(F.sequence(F.lit(2), F.col("n"))).alias("_")))
+    def predicate_check(name: str, df: DataFrame, bad) -> DataFrame:
+        """Map-side predicate under ONE aggregate — a single scan
+        computes both the examined count and the violation count."""
+        return emit(name, df.agg(
+            F.count("*").alias("examined"),
+            F.sum(F.when(bad, 1).otherwise(0)).alias("violations")))
+
+    def fk_check(name: str, child: DataFrame, key: str,
+                 parent_keys: DataFrame) -> DataFrame:
+        """LEFT join child→parent with a match marker, then one
+        aggregate: examined = all child rows, violations = unmatched —
+        one child scan, vs. a separate anti-join + count pass."""
+        joined = child.select(key).join(
+            parent_keys.withColumn("_m", F.lit(1)), key, "left")
+        return emit(name, joined.agg(
+            F.count("*").alias("examined"),
+            F.sum(F.when(F.col("_m").isNull(), 1).otherwise(0))
+             .alias("violations")))
+
+    # PK uniqueness in one scan + one distinct-agg:
+    # violations = COUNT(*) − COUNT(DISTINCT pk).
+    pk = emit("orders_pk_unique", o.agg(
+        F.count("*").alias("examined"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("violations")))
     checks = [
-        check("orders_pk_unique", o, pk_dups),
-        check("lineitem_fk_orders", li,
-              li.join(o.select(F.col("o_orderkey").alias("l_orderkey")),
-                      "l_orderkey", "left_anti")),
-        check("orders_fk_customer", o,
-              o.join(F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))),
-                     "o_custkey", "left_anti")),
-        check("documents_nchars_consistent", d,
-              d.where(F.col("n_chars") != F.length("text"))),
-        check("events_value_positive", ev, ev.where(F.col("value") <= 0)),
+        pk,
+        fk_check("lineitem_fk_orders", li, "l_orderkey",
+                 o.select(F.col("o_orderkey").alias("l_orderkey")).distinct()),
+        fk_check("orders_fk_customer", o, "o_custkey",
+                 F.broadcast(c.select(F.col("c_custkey").alias("o_custkey")))),
+        predicate_check("documents_nchars_consistent", d,
+                        F.col("n_chars") != F.length("text")),
+        predicate_check("events_value_positive", ev, F.col("value") <= 0),
     ]
     out = checks[0]
     for ch in checks[1:]:

@@ -730,7 +730,7 @@ def ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus' SRP index — the vector twin of ``dedup_incremental`` and
     the production ANN workflow (embeddings arrive with each crawl
     dump; you never re-bucket the corpus). The fixture carves the batch
-    out by ``vec_id % {ANN_INCR_MOD} == {ANN_INCR_REM}``.
+    out by ``vec_id % ANN_INCR_MOD == ANN_INCR_REM`` (10, 7).
 
     The corpus side's (table_id, bucket) rows are exactly what a
     persisted index stores (computed once per dump at scale); each new

@@ -6,9 +6,10 @@ query, renders the formatted physical plan, and tabulates the
 properties that decide 100 TB behavior —
 
 - exchange count (each one is a full shuffle of its input),
-- ``Exchange SinglePartition`` occurrences (the all-to-one funnel; only
-  acceptable when the input is provably bounded, e.g. k rows after a
-  TakeOrdered or a scalar aggregate),
+- ``SinglePartition`` exchanges (the all-to-one funnel), split into
+  bounded (fed by a partial aggregate — moves O(partitions) rows, the
+  scalar-aggregate shape) vs UNBOUNDED (anything else feeding it — the
+  global-sort-the-corpus shape, which needs a reviewed justification),
 - join strategies chosen (broadcast / shuffled-hash / sort-merge /
   nested-loop),
 - CartesianProduct presence (always a bug in this corpus).
@@ -47,17 +48,53 @@ SF = os.environ.get("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.001")
 SINGLE_PARTITION_OK = {
     # global top-k: the funnel input is k·buckets rows, not the corpus
     "q_sort_limit", "sample_weighted",
-    # scalar/bounded aggregates or k-row merges documented in docstrings
+    # global running sum over DAYS: the funnel input is the day-
+    # cardinality aggregate (a Project over it, so the partial-agg
+    # feeder heuristic can't see it) — bounded by the calendar
+    # (~10⁴ rows at any corpus size), and a prefix sum over time is
+    # inherently sequential
+    "q_cumulative_users",
 }
+
+
+# Feeders that bound a SinglePartition exchange's input by construction:
+# a partial aggregate emits ≤1 row per upstream partition, so the
+# all-to-one funnel moves O(partitions) rows, not the corpus.
+_BOUNDED_FEEDERS = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+
+
+def _unbounded_single_partitions(plan: str) -> tuple[int, int]:
+    """(total SinglePartition exchanges, those NOT fed by a partial
+    aggregate). Node ids whose detail block carries ``Arguments:
+    SinglePartition`` are located in the tree section and their first
+    child (the next tree line) is inspected — the only static signal
+    for whether the funnel's input is bounded."""
+    # stay inside one detail block: never cross the next "(N) Node" header
+    sp_ids = set(re.findall(
+        r"\((\d+)\) Exchange\n(?:(?!\(\d+\) )[^\n]*\n)*?Arguments: SinglePartition",
+        plan))
+    tree = [ln for ln in plan.splitlines()
+            if re.search(r"\(\d+\)\s*$", ln)]  # tree lines end with "(N)"
+    unbounded = 0
+    for i, ln in enumerate(tree):
+        m = re.search(r"Exchange \((\d+)\)\s*$", ln)
+        if not m or m.group(1) not in sp_ids:
+            continue
+        child = tree[i + 1] if i + 1 < len(tree) else ""
+        if not any(f in child for f in _BOUNDED_FEEDERS):
+            unbounded += 1
+    return len(sp_ids), unbounded
 
 
 def audit_one(plan: str) -> dict:
     def nodes(name: str) -> int:
         return len(re.findall(rf"\(\d+\) {name}\b", plan))
 
+    sp_total, sp_unbounded = _unbounded_single_partitions(plan)
     return {
         "exchanges": nodes("Exchange"),
-        "single_part": plan.count("Exchange SinglePartition"),
+        "single_part": sp_total,
+        "sp_unbounded": sp_unbounded,
         "bhj": nodes("BroadcastHashJoin"),
         "smj": nodes("SortMergeJoin"),
         "shj": nodes("ShuffledHashJoin"),
@@ -88,8 +125,9 @@ def main() -> None:
         f"Scale: `{SF}` (plan SHAPES are scale-relevant; sizes are not —",
         "AQE may re-plan exchanges at runtime, counts here are the static",
         "plan). Generated by `scripts/plan_audit.py`; regenerate after any",
-        "operator change. Flags: `1P` = Exchange SinglePartition (all-to-one",
-        "— must be bounded-input by construction), `CART` = cartesian",
+        "operator change. Flags: `1P` = SinglePartition exchanges (all-to-one;",
+        "partial-agg-fed ones are bounded scalar funnels, anything marked",
+        "`unbounded` needs a reviewed allowlist entry), `CART` = cartesian",
         "product (always a defect), `NLJ` = nested-loop join (only sane",
         "broadcast + tiny).",
         "",
@@ -106,11 +144,16 @@ def main() -> None:
         if a["cartesian"]:
             flags.append("CART")
         if a["single_part"]:
+            # bounded funnels (partial-agg-fed) are informational; an
+            # UNBOUNDED one needs the allowlist's reviewed justification
+            suffix = (f" ({a['sp_unbounded']} unbounded)"
+                      if a["sp_unbounded"] else "")
             ok = " (allowlisted)" if name in SINGLE_PARTITION_OK else ""
-            flags.append(f"1P×{a['single_part']}{ok}")
+            flags.append(f"1P×{a['single_part']}{suffix}{ok}")
         if a["bnlj"]:
             flags.append(f"NLJ×{a['bnlj']}")
-        if a["cartesian"] or (a["single_part"] and name not in SINGLE_PARTITION_OK):
+        if a["cartesian"] or (a["sp_unbounded"]
+                              and name not in SINGLE_PARTITION_OK):
             flagged.append(name)
         lines.append(
             f"| {name} | {a['exchanges']} | {a['bhj']} | {a['smj']} | "

@@ -14,8 +14,11 @@ cross-copy tail is empty and the probe isolates engine scaling on
 banding, bucket-join and verify.
 
 Usage: python scripts/scale_probe_embeddings.py [N] [query ...]
-Defaults: N=64, queries = embedding_neardup_banded emb_random_projection
-ann_ivf.
+Defaults: N=64, queries = emb_random_projection ann_ivf
+banded_neardup_pairs (the parametric core at the BANDED_SCALE
+parameterization — NOT the registered ``embedding_neardup_banded``,
+whose pinned 16×4-bit oracle fixture OOMs at probe scale; passing that
+name runs the registered variant as-is).
 """
 
 from __future__ import annotations
@@ -89,7 +92,9 @@ def main() -> None:
                 if name == "banded_neardup_pairs":
                     src = spark.read.parquet(f"{sf}/embeddings.parquet")
                     df = banded_neardup_pairs(src, **BANDED_SCALE)
-                    name_l = f"banded_neardup_pairs[8x12bit]"
+                    name_l = (f"banded_neardup_pairs"
+                              f"[{BANDED_SCALE['tables']}x"
+                              f"{BANDED_SCALE['bits']}bit]")
                 else:
                     df = reg[name].builder(spark, sf)
                     name_l = name
