@@ -89,9 +89,12 @@ def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     def predicate_check(name: str, df: DataFrame, bad) -> DataFrame:
         """Map-side predicate under ONE aggregate — a single scan
         computes both the examined count and the violation count."""
+        # coalesce: SUM over zero rows is NULL, and an empty table has
+        # zero violations, not unknown ones (empty-corpus gauntlet)
         return emit(name, df.agg(
             F.count("*").alias("examined"),
-            F.sum(F.when(bad, 1).otherwise(0)).alias("violations")))
+            F.coalesce(F.sum(F.when(bad, 1).otherwise(0)), F.lit(0))
+             .alias("violations")))
 
     def fk_check(name: str, child: DataFrame, key: str,
                  parent_keys: DataFrame) -> DataFrame:
@@ -102,8 +105,8 @@ def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             parent_keys.withColumn("_m", F.lit(1)), key, "left")
         return emit(name, joined.agg(
             F.count("*").alias("examined"),
-            F.sum(F.when(F.col("_m").isNull(), 1).otherwise(0))
-             .alias("violations")))
+            F.coalesce(F.sum(F.when(F.col("_m").isNull(), 1).otherwise(0)),
+                       F.lit(0)).alias("violations")))
 
     # PK uniqueness in one scan + one distinct-agg:
     # violations = COUNT(*) − COUNT(DISTINCT pk).
