@@ -405,3 +405,77 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (grouped_topk(counts, ["n"], [F.desc("cnt"), F.asc("gram")],
                          NGRAM_TOP_K, F.xxhash64("gram"))
             .select("n", "gram", "cnt", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# Model-scored quality filtering (the learned-classifier seam).
+# ---------------------------------------------------------------------------
+
+# "Trained" logistic weights over the engineered features — literals so
+# both engines score identically; a real deployment swaps these for the
+# exported coefficients of a fastText/linear quality classifier.
+QM_BIAS = -2.0
+QM_W_STOP = 6.0     # stopword density ⇒ natural prose
+QM_W_SYM = -8.0     # symbol soup ⇒ boilerplate/markup
+QM_W_LEN = 0.35     # log-length prior
+
+
+@register(
+    "text_quality_model",
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id,
+         ROUND(CAST({_stopword_hits_sql('en')} AS DOUBLE)
+               / greatest(len({tokens_sql('text')}), 1), 6) AS stop_r,
+         ROUND(CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+               / greatest(length(text), 1), 6) AS sym_r,
+         len({tokens_sql('text')}) AS n_tokens
+  FROM documents
+), z AS (
+  SELECT doc_id,
+         {QM_BIAS} + {QM_W_STOP} * stop_r - {-QM_W_SYM} * sym_r
+         + {QM_W_LEN} * ln(1.0 + n_tokens) AS z
+  FROM f
+)
+SELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)), 6) AS score,
+       CAST(CASE WHEN z >= 0 THEN 1 ELSE 0 END AS INT) AS keep
+FROM z
+""",
+    description="logistic quality classifier over engineered features (literal weights), map-only scoring",
+    tags=("text", "quality", "model", "map-only"),
+)
+def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the pattern behind fastText/
+    linear quality classifiers in corpus pipelines (score every doc,
+    keep above threshold), with the model reduced to literal logistic
+    weights over the same engineered features ``text_quality`` exposes.
+    The seam a real deployment fills is the WEIGHTS, not the plan: the
+    scoring stays a map-only whole-stage-codegen projection (no UDF, no
+    shuffle, no model server in the hot path), which is what makes
+    classifier filtering affordable at 100 TB.
+
+    Determinism: features are the rounded-6 ratios (engine-identical by
+    the ``text_quality`` precedent); the keep decision compares z ≥ 0
+    (no sigmoid tie), and the reported sigmoid rounds at 1e-6, far
+    above ln/exp's ulp-level engine divergence.
+    """
+    d = Catalog(spark, sf_dir).documents
+    tok = tokens("text")
+    en_hits = _stopword_hits_spark("en")
+    f = d.select(
+        "doc_id",
+        F.round(en_hits.cast("double") / F.greatest(F.size(tok), F.lit(1)), 6)
+         .alias("stop_r"),
+        F.round(F.regexp_count("text", F.lit("[^a-z0-9 ]")).cast("double")
+                / F.greatest(F.length("text"), F.lit(1)), 6).alias("sym_r"),
+        F.size(tok).alias("n_tokens"),
+    )
+    z = (F.lit(QM_BIAS) + QM_W_STOP * F.col("stop_r")
+         - (-QM_W_SYM) * F.col("sym_r")
+         + QM_W_LEN * F.log(F.lit(1.0) + F.col("n_tokens")))
+    zc = f.select("doc_id", z.alias("z"))
+    return zc.select(
+        "doc_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6).alias("score"),
+        F.when(F.col("z") >= 0, 1).otherwise(0).cast("int").alias("keep"),
+    )
