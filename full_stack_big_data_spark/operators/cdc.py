@@ -46,6 +46,8 @@ CDC_UPD_MOD = 5               # o_orderkey % 5 == 1 → updated (twice)
 CDC_DEL_MOD = 5               # o_orderkey % 5 == 0 → deleted
 CDC_INS_MOD = 11              # o_orderkey % 11 == 3 → cloned as an insert
 
+_GUARDED_DIRS: set[str] = set()  # sf_dirs whose key range passed the guard
+
 _CDC_MERGE_SQL = f"""
 WITH snap AS (
   SELECT o_orderkey AS k, o_orderstatus AS status,
@@ -116,12 +118,16 @@ def _cdc_fixture(spark: SparkSession, sf_dir: str):
     # snapshot keys. Guard it loudly: a colliding key would carry two
     # version-1 rows with different ops and the merge would break ties
     # nondeterministically (flaky oracle divergence instead of an
-    # error). Parquet column stats make this max() a metadata-cheap scan.
-    max_k = o.agg(F.max("o_orderkey")).first()[0]
-    if max_k is not None and max_k >= CDC_INS_OFFSET:
-        raise ValueError(
-            f"CDC fixture invariant violated: max o_orderkey {max_k} >= "
-            f"insert-key offset {CDC_INS_OFFSET}; raise CDC_INS_OFFSET")
+    # error). Parquet column stats make the max() metadata-cheap, and
+    # the verdict is memoized per dataset so repeated fixture builds
+    # (both CDC queries, parity replays) don't re-run the job.
+    if sf_dir not in _GUARDED_DIRS:
+        max_k = o.agg(F.max("o_orderkey")).first()[0]
+        if max_k is not None and max_k >= CDC_INS_OFFSET:
+            raise ValueError(
+                f"CDC fixture invariant violated: max o_orderkey {max_k} >= "
+                f"insert-key offset {CDC_INS_OFFSET}; raise CDC_INS_OFFSET")
+        _GUARDED_DIRS.add(sf_dir)
     dec = "decimal(18,4)"
     snap = o.select(
         F.col("o_orderkey").alias("k"),

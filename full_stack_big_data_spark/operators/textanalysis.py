@@ -61,15 +61,36 @@ def _stopword_hits_sql(lang: str) -> str:
     return f"len(regexp_extract_all(lower(text), '{pat}'))"
 
 
+# Quality-feature expression twins, shared by text_quality and
+# text_quality_model so the feature definitions cannot drift between
+# the heuristic gate and the learned scorer.
+
+def _stop_ratio_spark():
+    tok = tokens("text")
+    return F.round(_stopword_hits_spark("en").cast("double")
+                   / F.greatest(F.size(tok), F.lit(1)), 6)
+
+
+_STOP_RATIO_SQL = (f"ROUND(CAST({_stopword_hits_sql('en')} AS DOUBLE)"
+                   f" / greatest(len({tokens_sql('text')}), 1), 6)")
+
+
+def _symbol_ratio_spark():
+    return F.round(F.regexp_count("text", F.lit("[^a-z0-9 ]")).cast("double")
+                   / F.greatest(F.length("text"), F.lit(1)), 6)
+
+
+_SYM_RATIO_SQL = ("ROUND(CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)"
+                  " / greatest(length(text), 1), 6)")
+
+
 @register(
     "text_quality",
     oracle=f"""
 SELECT doc_id, n_chars,
        len({tokens_sql('text')}) AS n_tokens,
-       ROUND(CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
-             / greatest(length(text), 1), 6) AS symbol_ratio,
-       ROUND(CAST({_stopword_hits_sql('en')} AS DOUBLE)
-             / greatest(len({tokens_sql('text')}), 1), 6) AS stopword_ratio,
+       {_SYM_RATIO_SQL} AS symbol_ratio,
+       {_STOP_RATIO_SQL} AS stopword_ratio,
        CASE WHEN len({tokens_sql('text')}) >= 20
               AND {_stopword_hits_sql('en')} > 0 THEN 1 ELSE 0 END AS quality_ok
 FROM documents
@@ -84,12 +105,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", "n_chars",
         F.size(tok).alias("n_tokens"),
-        F.round(
-            F.regexp_count("text", F.lit("[^a-z0-9 ]")).cast("double")
-            / F.greatest(F.length("text"), F.lit(1)), 6,
-        ).alias("symbol_ratio"),
-        F.round(en_hits.cast("double") / F.greatest(F.size(tok), F.lit(1)), 6)
-         .alias("stopword_ratio"),
+        _symbol_ratio_spark().alias("symbol_ratio"),
+        _stop_ratio_spark().alias("stopword_ratio"),
         F.when((F.size(tok) >= 20) & (en_hits > 0), 1).otherwise(0).alias("quality_ok"),
     )
 
@@ -425,10 +442,8 @@ QM_W_LEN = 0.35     # log-length prior
     oracle=f"""
 WITH f AS (
   SELECT doc_id,
-         ROUND(CAST({_stopword_hits_sql('en')} AS DOUBLE)
-               / greatest(len({tokens_sql('text')}), 1), 6) AS stop_r,
-         ROUND(CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
-               / greatest(length(text), 1), 6) AS sym_r,
+         {_STOP_RATIO_SQL} AS stop_r,
+         {_SYM_RATIO_SQL} AS sym_r,
          len({tokens_sql('text')}) AS n_tokens
   FROM documents
 ), z AS (
@@ -460,15 +475,11 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     above ln/exp's ulp-level engine divergence.
     """
     d = Catalog(spark, sf_dir).documents
-    tok = tokens("text")
-    en_hits = _stopword_hits_spark("en")
     f = d.select(
         "doc_id",
-        F.round(en_hits.cast("double") / F.greatest(F.size(tok), F.lit(1)), 6)
-         .alias("stop_r"),
-        F.round(F.regexp_count("text", F.lit("[^a-z0-9 ]")).cast("double")
-                / F.greatest(F.length("text"), F.lit(1)), 6).alias("sym_r"),
-        F.size(tok).alias("n_tokens"),
+        _stop_ratio_spark().alias("stop_r"),
+        _symbol_ratio_spark().alias("sym_r"),
+        F.size(tokens("text")).alias("n_tokens"),
     )
     z = (F.lit(QM_BIAS) + QM_W_STOP * F.col("stop_r")
          - (-QM_W_SYM) * F.col("sym_r")
