@@ -143,3 +143,55 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                        WEIGHTED_K, F.col("doc_id"))
     return top.select(F.col("rank").cast("bigint").alias("rank"),
                       "doc_id", "n_chars", "race_key")
+
+
+DOMAIN_CAP = 15        # max docs kept per source/domain
+
+
+@register(
+    "sample_domain_cap",
+    oracle=f"""
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {hex64_sql("'domcap|' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rn <= {DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn <= {DOMAIN_CAP} THEN n_chars ELSE 0 END) AS BIGINT)
+         AS chars_kept
+FROM ranked GROUP BY source
+""",
+    description=f"per-domain quota: keep <= {DOMAIN_CAP} docs per source in "
+                "content-hash order, report kept/total per domain",
+    tags=("sampling", "curation", "agg"),
+)
+def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota enforcement — the curation step that stops a few
+    crawler-heavy domains from dominating the training mixture: keep at
+    most DOMAIN_CAP documents per source, chosen in content-hash order
+    (deterministic, layout-independent, stable under appends — a doc
+    already kept stays kept unless hash-earlier docs arrive), and report
+    kept vs total per domain so the mixture shift is auditable.
+
+    Scale: membership is the salted two-phase per-group top-k
+    (``functions/skew.py::grouped_topk``) — hot domains are exactly the
+    skew case the salt fixes, since a crawl's domain histogram is
+    Zipfian. The kept-side aggregate is domain-sized and broadcast back
+    onto the domain totals; no row-level join, no global sort.
+    """
+    from ..functions.skew import grouped_topk
+    d = Catalog(spark, sf_dir).documents
+    h = hex64(F.concat(F.lit("domcap|"), F.col("doc_id").cast("string")))
+    kept = grouped_topk(d.select("source", "doc_id", "n_chars"),
+                        ["source"], [h.asc(), F.col("doc_id").asc()],
+                        DOMAIN_CAP, F.col("doc_id"))
+    kept_agg = (kept.groupBy("source")
+                .agg(F.count("*").alias("n_kept"),
+                     F.sum("n_chars").alias("chars_kept")))
+    totals = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return (totals.join(F.broadcast(kept_agg), "source")
+            .select("source", "n_docs", "n_kept",
+                    F.col("chars_kept").cast("bigint").alias("chars_kept")))

@@ -490,3 +490,188 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6).alias("score"),
         F.when(F.col("z") >= 0, 1).otherwise(0).cast("int").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary construction (the token-id table behind a trained tokenizer).
+# ---------------------------------------------------------------------------
+
+VOCAB_SIZE = 30
+
+
+def _vocab_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT g AS token FROM documents, UNNEST({tokens_sql('text')}) AS u(g)
+), counts AS (
+  SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+), total AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM counts
+), ranked AS (
+  SELECT token, cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS token_id,
+         CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM counts
+)
+SELECT token_id, token, CAST(cnt AS BIGINT) AS cnt,
+       CAST(ROUND(CAST(cum AS DOUBLE) / (SELECT tot FROM total), 6) AS DOUBLE)
+         AS cum_frac
+FROM ranked WHERE token_id < {VOCAB_SIZE}
+"""
+
+
+@register(
+    "vocab_build",
+    oracle=_vocab_oracle(),
+    description=f"top-{VOCAB_SIZE} token vocabulary: dense contiguous ids by "
+                "(count desc, token) plus cumulative corpus coverage",
+    tags=("text", "vocab", "agg"),
+)
+def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frequency-ranked vocabulary table a tokenizer training run
+    starts from: dense token ids 0..V-1 assigned by (count desc, token)
+    and the cumulative coverage fraction that picks V in practice
+    ("smallest V covering 99.5% of tokens").
+
+    Scale: the token count is ONE shuffle with map-side partial agg;
+    the corpus total re-aggregates the (vocabulary-sized, Heaps-law
+    small) count table, not the corpus. Top-V is TakeOrderedAndProject
+    — per-partition heaps, one V-row merge, never a global sort. The
+    id/coverage window runs over exactly V surviving rows, so its
+    single-partition sort is bounded by the constant V, not the corpus
+    (same bound-justified 1P as q_sort_limit; PLANAUDIT.md).
+    """
+    d = Catalog(spark, sf_dir).documents
+    counts = (d.select(F.explode(tokens("text")).alias("token"))
+              .groupBy("token").agg(F.count("*").alias("cnt")))
+    total = counts.agg(F.sum("cnt").alias("tot"))
+    top = counts.orderBy(F.col("cnt").desc(), "token").limit(VOCAB_SIZE)
+    w = Window.orderBy(F.col("cnt").desc(), "token")
+    ranked = (top.withColumn("token_id", (F.row_number().over(w) - 1).cast("bigint"))
+              .withColumn("cum", F.sum("cnt").over(
+                  w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (ranked.crossJoin(F.broadcast(total))
+            .select("token_id", "token", F.col("cnt").cast("bigint").alias("cnt"),
+                    F.round(F.col("cum").cast("double") / F.col("tot"), 6)
+                     .alias("cum_frac")))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level boilerplate detection (C4-style frequent-fragment mining).
+# ---------------------------------------------------------------------------
+
+BP_N = 2           # fragment order (token bigrams)
+BP_DF_PCT = 8      # doc-frequency threshold, percent of corpus
+
+
+def _boilerplate_oracle() -> str:
+    from ..functions.text import token_ngrams_sql
+    return f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, g AS gram
+  FROM documents, UNNEST({token_ngrams_sql(tokens_sql('text'), BP_N)}) AS u(g)
+), dfreq AS (
+  SELECT gram, COUNT(*) AS doc_freq FROM grams GROUP BY gram
+), nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT gram, doc_freq,
+       CAST(ROUND(CAST(doc_freq AS DOUBLE) / (SELECT n_docs FROM nd), 6) AS DOUBLE)
+         AS df_frac
+FROM dfreq
+WHERE doc_freq * 100 >= {BP_DF_PCT} * (SELECT n_docs FROM nd)
+"""
+
+
+@register(
+    "text_boilerplate_ngrams",
+    oracle=_boilerplate_oracle(),
+    description=f"boilerplate fragments: token {BP_N}-grams appearing in "
+                f">= {BP_DF_PCT}% of documents (doc-frequency mining)",
+    tags=("text", "ngram", "boilerplate", "agg"),
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate mining — the detection half of C4-style
+    cleaning: fragments (token n-grams) whose DOCUMENT frequency exceeds
+    a corpus-fraction threshold are navigation chrome / license headers /
+    templated text, and downstream cleaning strips them.
+
+    Scale: grams are deduped WITHIN each document map-side
+    (``array_distinct`` before the explode), so the one shuffle counts
+    each (doc, gram) once — doc-frequency, not term-frequency — with
+    map-side partial agg. The corpus size joins in as a broadcast scalar
+    and the threshold compares integers (doc_freq*100 >= pct*n_docs):
+    no float in the keep decision. Output is bounded by the distinct-
+    gram count above the threshold — corpus-fraction thresholds are
+    scale-free, so the result stays boilerplate-sized as the corpus
+    grows.
+    """
+    d = Catalog(spark, sf_dir).documents
+    grams = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(token_ngrams(tokens("text"), BP_N)))
+         .alias("gram"))
+    dfreq = grams.groupBy("gram").agg(F.count("*").alias("doc_freq"))
+    nd = d.agg(F.count("*").alias("n_docs"))
+    return (dfreq.crossJoin(F.broadcast(nd))
+            .where(F.col("doc_freq") * 100 >= BP_DF_PCT * F.col("n_docs"))
+            .select("gram", "doc_freq",
+                    F.round(F.col("doc_freq").cast("double") / F.col("n_docs"), 6)
+                     .alias("df_frac")))
+
+
+# ---------------------------------------------------------------------------
+# Per-language percentile-threshold filtering (stratified curation).
+# ---------------------------------------------------------------------------
+
+QS_PCT = 0.5       # per-language percentile cut (median)
+
+
+@register(
+    "text_quality_stratified",
+    oracle=f"""
+WITH med AS (
+  SELECT lang,
+         CAST(ROUND(2 * quantile_cont(n_chars, {QS_PCT}), 0) AS BIGINT) AS thr_x2
+  FROM documents GROUP BY lang
+)
+SELECT d.lang, m.thr_x2, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN 2 * d.n_chars >= m.thr_x2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN 2 * d.n_chars >= m.thr_x2 THEN d.n_chars ELSE 0 END) AS BIGINT)
+         AS chars_kept
+FROM documents d JOIN med m USING (lang)
+GROUP BY d.lang, m.thr_x2
+""",
+    description="per-language median-threshold filter report: a stratified "
+                "quality cut that can't starve low-resource languages",
+    tags=("text", "quality", "stratified", "agg"),
+)
+def text_quality_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified quality filtering: cut each LANGUAGE at its own score
+    percentile instead of one global threshold — the curation step that
+    keeps low-resource languages from being starved by a global cut
+    calibrated on the dominant language. Reports per-language kept/total
+    so the mixture shift is visible before committing the filter.
+
+    Determinism: the threshold is 2x the interpolated median — integer-
+    exact in double for integer scores (midpoints are .5), rounded and
+    compared as BIGINT, so Spark `percentile` and DuckDB `quantile_cont`
+    agree bit-for-bit and the keep decision never touches a float.
+
+    Scale: exact percentile state is bounded by DISTINCT SCORE VALUES
+    (integer scores → histogram-sized, corpus-size-free); the per-lang
+    threshold table is broadcast back, so the report is one corpus scan
+    + one tiny exchange. For unbounded-cardinality scores swap in
+    `percentile_approx` (q_approx_quantiles shows the contract).
+    """
+    d = Catalog(spark, sf_dir).documents
+    med = (d.groupBy("lang")
+           .agg(F.round(2 * F.percentile("n_chars", F.lit(QS_PCT)), 0)
+                 .cast("bigint").alias("thr_x2")))
+    kept = F.when(2 * F.col("n_chars") >= F.col("thr_x2"), 1).otherwise(0)
+    return (d.join(F.broadcast(med), "lang")
+            .groupBy("lang", "thr_x2")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(kept).alias("n_kept"),
+                 F.sum(F.when(2 * F.col("n_chars") >= F.col("thr_x2"),
+                              F.col("n_chars")).otherwise(0)).alias("chars_kept")))

@@ -228,3 +228,99 @@ def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_chars").alias("total_chars"),
                  F.sum(hex64(F.col("text")) % 1000000007).alias("text_checksum")))
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustered layout (multi-dimensional data clustering for pruning).
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 8     # per-dimension grid resolution (256 cells)
+ZORDER_FILES = 64   # output files; each covers a 1/64 morton range
+
+
+def _morton2(a, b):
+    """Interleave the low ZORDER_BITS of two non-negative int columns
+    (a -> even bits, b -> odd bits). Pure Catalyst bit ops."""
+    z = F.lit(0)
+    for i in range(ZORDER_BITS):
+        z = z.bitwiseOR(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
+        z = z.bitwiseOR(F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return z
+
+
+def zorder_write(ev: DataFrame, out_dir: str) -> None:
+    """Write events z-order clustered on (user_id, hour-of-ts).
+
+    A range partition on ONE column gives perfect pruning on that column
+    and none on any other; interleaving the bits of both dimensions'
+    grid cells (morton code) makes every contiguous z-range — hence
+    every output file — cover a NARROW rectangle in (user, time) space,
+    so row-group min/max stats prune scans filtered on EITHER dimension
+    or both. This is the layout trick behind Delta/Iceberg OPTIMIZE
+    ZORDER, built from stock Spark: scale dims to a 2^bits grid against
+    broadcast min/max stats, interleave bits, repartitionByRange +
+    sortWithinPartitions on the morton code, drop the helper column at
+    write. One stats pass + ONE data exchange — same cost shape as any
+    clustered rewrite, layout-independent output.
+    """
+    stats = ev.agg(
+        F.min("user_id").alias("umin"), F.max("user_id").alias("umax"),
+        F.min(F.floor(F.unix_timestamp("ts") / 3600)).alias("hmin"),
+        F.max(F.floor(F.unix_timestamp("ts") / 3600)).alias("hmax"))
+    grid = 1 << ZORDER_BITS
+    # Integer DIV end-to-end: double division rounds above 2^53, which a
+    # 100 TB id space can reach; DIV keeps the cell index exact always.
+    scaled = (ev.crossJoin(F.broadcast(stats))
+              .withColumn("_hrs", F.unix_timestamp("ts").cast("bigint") / F.lit(3600))
+              .withColumn("_hrs", F.floor("_hrs").cast("bigint"))
+              .withColumn("_ub", F.expr(
+                  f"CAST(((user_id - umin) * {grid}) DIV (umax - umin + 1) AS INT)"))
+              .withColumn("_hb", F.expr(
+                  f"CAST(((_hrs - hmin) * {grid}) DIV (hmax - hmin + 1) AS INT)"))
+              .withColumn("_z", _morton2(F.col("_ub"), F.col("_hb"))))
+    (scaled.repartitionByRange(ZORDER_FILES, "_z")
+     .sortWithinPartitions("_z")
+     .select("event_id", "ts", "user_id", "event_type", "value")
+     .write.mode("overwrite").parquet(out_dir))
+
+
+@register(
+    "layout_zorder",
+    oracle="""
+WITH s AS (
+  SELECT MIN(user_id) AS umin, MAX(user_id) AS umax, MIN(ts) AS tmin FROM events
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+FROM events, s
+WHERE user_id <= umin + (umax - umin) // 4
+  AND ts < tmin + INTERVAL 6 HOUR
+GROUP BY event_type
+""",
+    description="z-order clustered rewrite of events; 2-D-filtered read-back "
+                "must equal the unclustered scan (layout never changes results)",
+    tags=("storage", "layout", "zorder"),
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rewrite events z-ordered on (user_id, hour), then answer a
+    two-dimensional slice (first quarter of the user range AND first six
+    hours) FROM THE CLUSTERED COPY. The oracle runs the same slice on
+    the original table: the hash match proves the layout rewrite is
+    content-exact, and the per-file min/max narrowness that makes the
+    clustered copy prunable is pinned in tests/test_sinks.py.
+    """
+    from ..engine.scratch import scratch_dir
+    ev = Catalog(spark, sf_dir).events
+    out = scratch_dir("fsbd_zorder_")
+    zorder_write(ev, out)
+    back = spark.read.parquet(out)
+    stats = ev.agg(F.min("user_id").alias("umin"), F.max("user_id").alias("umax"),
+                   F.min("ts").alias("tmin"))
+    return (back.crossJoin(F.broadcast(stats))
+            .where((F.col("user_id")
+                    <= F.col("umin") + F.floor((F.col("umax") - F.col("umin")) / 4))
+                   & (F.col("ts") < F.timestamp_add("HOUR", F.lit(6), F.col("tmin"))))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+                  .cast("double").alias("sum_value")))

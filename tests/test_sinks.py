@@ -146,3 +146,52 @@ def test_catalog_sizes_nested_layouts(spark, tmp_path):
     cat = Catalog(spark, sf)
     assert cat._size("lineitem") > 0
     assert cat._est_splits("lineitem") >= 3  # one file per partition dir
+
+
+def test_zorder_files_are_narrow_in_both_dims(spark, tmp_path):
+    """operators/wire.py::zorder_write — the layout property the morton
+    interleave buys: every output file covers a narrow rectangle in
+    (user_id, hour) space, so min/max stats prune 2-D slices. A 1-D
+    range layout would make one dimension perfectly narrow and leave the
+    other at full width; z-order bounds BOTH."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from full_stack_big_data_spark.operators.wire import zorder_write
+
+    ev = Catalog(spark, SF_SMOKE).events
+    out = str(tmp_path / "events_z")
+    zorder_write(ev, out)
+
+    gu_min, gu_max, gh_min, gh_max = ev.select(
+        F.min("user_id"), F.max("user_id"),
+        F.min(F.floor(F.unix_timestamp("ts") / 3600)),
+        F.max(F.floor(F.unix_timestamp("ts") / 3600))).first()
+    u_span = gu_max - gu_min + 1
+    h_span = gh_max - gh_min + 1
+
+    u_frac, h_frac, files = [], [], sorted(glob.glob(f"{out}/*.parquet"))
+    assert len(files) > 8, "z-write should emit many range files"
+    for f in files:
+        t = pq.read_table(f, columns=["user_id", "ts"])
+        u = t.column("user_id").to_pylist()
+        hs = [v.timestamp() // 3600 for v in t.column("ts").to_pylist()]
+        u_frac.append((max(u) - min(u) + 1) / u_span)
+        h_frac.append((max(hs) - min(hs) + 1) / h_span)
+
+    avg_u, avg_h = sum(u_frac) / len(u_frac), sum(h_frac) / len(h_frac)
+    # Each morton range of 1/64 of z-space spans <= ~1/4 of each dim;
+    # assert well under full width on BOTH dims simultaneously.
+    assert avg_u < 0.55 and avg_h < 0.55, (avg_u, avg_h)
+
+    # File-level pruning estimate for the registered 2-D slice: files
+    # whose stats rectangle misses the predicate would be skipped.
+    u_cut = gu_min + (gu_max - gu_min) // 4
+    h_cut = gh_min + 6
+    overlapping = sum(
+        1 for f in files
+        if (lambda t: min(t.column("user_id").to_pylist()) <= u_cut
+            and min(v.timestamp() // 3600 for v in t.column("ts").to_pylist()) < h_cut)
+        (pq.read_table(f, columns=["user_id", "ts"])))
+    assert overlapping < len(files), "2-D slice should not touch every file"
