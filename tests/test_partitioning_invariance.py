@@ -28,6 +28,10 @@ QUERIES = [
     "sample_weighted",         # race-key top-k across salt buckets
     "ann_incremental",         # bucket-index join + per-query top-k
     "q_attribution_last_touch",  # as-of carry-forward window
+    "sample_domain_cap",       # per-domain quota via salted top-k
+    "vocab_build",             # TakeOrdered top-V + bounded 1P window
+    "text_boilerplate_ngrams",  # doc-frequency threshold vs broadcast scalar
+    "layout_zorder",           # range-partitioned rewrite + filtered read-back
 ]
 
 
