@@ -630,3 +630,54 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     return min_label_components(pairs)
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+WITH comp AS (
+  {components_oracle(f"SELECT doc_a, doc_b FROM ({_minhash_oracle()}) mh")}
+), j AS (
+  SELECT c.cluster_id, d.doc_id, d.n_chars
+  FROM comp c JOIN documents d USING (doc_id)
+), ranked AS (
+  SELECT cluster_id, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM j
+)
+SELECT cluster_id, doc_id AS best_doc_id,
+       CAST(n_chars AS BIGINT) AS best_n_chars,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+""",
+    description="quality-canonical dedup: per near-dup cluster keep the "
+                "longest member (not the min-id), the keep-best curation policy",
+    tags=("dedup", "custom", "iterative"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection by QUALITY: where ``dedup_clusters``
+    keeps the min-id member (stable, arbitrary), production curation
+    keeps the BEST member of each near-dup cluster — here the longest
+    (``n_chars`` as the quality proxy; swap in ``text_quality_model``'s
+    score for a learned policy), ties broken by doc_id.
+
+    Scale: the component labels are bounded by the PAIR list (clusters
+    only exist where near-dups exist), so the labels->documents join is
+    a broadcast of the small side onto one corpus scan, and the argmax
+    per cluster is a struct-max aggregate — map-side combinable, no
+    window over the corpus.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = min_label_components(pairs).select("doc_id", "cluster_id")
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "n_chars")
+    j = d.join(F.broadcast(labels), "doc_id")
+    best = F.max(F.struct(F.col("n_chars"),
+                          (-F.col("doc_id")).alias("neg"))).alias("b")
+    return (j.groupBy("cluster_id")
+            .agg(best, F.count("*").alias("n_members"))
+            .select("cluster_id",
+                    (-F.col("b.neg")).cast("bigint").alias("best_doc_id"),
+                    F.col("b.n_chars").cast("bigint").alias("best_n_chars"),
+                    F.col("n_members").cast("bigint").alias("n_members")))

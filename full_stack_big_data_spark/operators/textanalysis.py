@@ -561,8 +561,8 @@ def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Corpus-level boilerplate detection (C4-style frequent-fragment mining).
 # ---------------------------------------------------------------------------
 
-BP_N = 2           # fragment order (token bigrams)
-BP_DF_PCT = 8      # doc-frequency threshold, percent of corpus
+BP_N = 2            # fragment order (token bigrams)
+BP_DF_PERMILLE = 65  # doc-frequency threshold, per-mille of corpus
 
 
 def _boilerplate_oracle() -> str:
@@ -578,7 +578,7 @@ SELECT gram, doc_freq,
        CAST(ROUND(CAST(doc_freq AS DOUBLE) / (SELECT n_docs FROM nd), 6) AS DOUBLE)
          AS df_frac
 FROM dfreq
-WHERE doc_freq * 100 >= {BP_DF_PCT} * (SELECT n_docs FROM nd)
+WHERE doc_freq * 1000 >= {BP_DF_PERMILLE} * (SELECT n_docs FROM nd)
 """
 
 
@@ -586,7 +586,7 @@ WHERE doc_freq * 100 >= {BP_DF_PCT} * (SELECT n_docs FROM nd)
     "text_boilerplate_ngrams",
     oracle=_boilerplate_oracle(),
     description=f"boilerplate fragments: token {BP_N}-grams appearing in "
-                f">= {BP_DF_PCT}% of documents (doc-frequency mining)",
+                f">= {BP_DF_PERMILLE}\u2030 of documents (doc-frequency mining)",
     tags=("text", "ngram", "boilerplate", "agg"),
 )
 def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -599,7 +599,7 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``array_distinct`` before the explode), so the one shuffle counts
     each (doc, gram) once — doc-frequency, not term-frequency — with
     map-side partial agg. The corpus size joins in as a broadcast scalar
-    and the threshold compares integers (doc_freq*100 >= pct*n_docs):
+    and the threshold compares integers (doc_freq*1000 >= permille*n_docs):
     no float in the keep decision. Output is bounded by the distinct-
     gram count above the threshold — corpus-fraction thresholds are
     scale-free, so the result stays boilerplate-sized as the corpus
@@ -613,7 +613,7 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = grams.groupBy("gram").agg(F.count("*").alias("doc_freq"))
     nd = d.agg(F.count("*").alias("n_docs"))
     return (dfreq.crossJoin(F.broadcast(nd))
-            .where(F.col("doc_freq") * 100 >= BP_DF_PCT * F.col("n_docs"))
+            .where(F.col("doc_freq") * 1000 >= BP_DF_PERMILLE * F.col("n_docs"))
             .select("gram", "doc_freq",
                     F.round(F.col("doc_freq").cast("double") / F.col("n_docs"), 6)
                      .alias("df_frac")))
