@@ -222,3 +222,48 @@ def test_sample_weighted_heap_topk(spark, reg):
     assert "TakeOrderedAndProject" in plan, plan[:3000]
     assert "WindowGroupLimit" in plan, plan[:3000]
     assert plan.count("Exchange") <= 2, plan[:3000]
+
+
+def test_bm25_scoring_is_map_only_with_takeordered(spark, reg):
+    """retrieval.py::text_bm25_topk — corpus stats broadcast as one row;
+    scoring adds NO row-level join or extra shuffle; ranking is
+    TakeOrdered, never a global sort."""
+    plan = plan_string(reg["text_bm25_topk"].builder(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 1
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Scale posture: Spark's runtime row-level filtering can guard the
+    fact side of a selective fact-fact join with a bloom filter built
+    from the small side — the 100 TB lever that prunes shuffle input
+    before the exchange. Thresholds are lowered to fire on test data;
+    on a cluster the defaults (10 MB creation side) govern."""
+    from pyspark.sql import functions as F
+
+    from full_stack_big_data_spark.engine.catalog import Catalog
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    before = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        cat = Catalog(spark, SF)
+        li = cat.lineitem
+        o = cat.orders.where(F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan.lower() or "mightcontain" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in before.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
