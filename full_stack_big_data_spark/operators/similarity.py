@@ -327,12 +327,13 @@ def ivf_cells(df: DataFrame, vec_col: str = "embedding",
     return df.withColumn("cells", _cells(F.col(vec_col)))
 
 
-def _ivf_oracle() -> str:
-    """DuckDB twin of the full IVF pipeline. Cell ranking replays the
-    integer comparator from :func:`ivf_cells` as pairwise wins (sign
-    first, then BIGINT d²·n cross-multiplication — exact, no division or
-    sqrt anywhere), so assignment and probe sets match Spark's bit-for-
-    bit; candidate join + exact cosine re-rank as in the brute oracle."""
+def _ivf_assign_prefix() -> str:
+    """Shared CTE prefix replaying :func:`ivf_cells`'s integer
+    comparator in SQL: ``ranked_cells(vec_id, cell, r)`` ranks every
+    cell per vector (sign first, then BIGINT d²·n cross-multiplication
+    — exact, no division or sqrt anywhere) and ``corpus(vec_id, cell)``
+    is the r=1 assignment. Used by the ANN oracle and the k-means-step
+    oracle so the assignment definition cannot diverge."""
     w = _ivf_centroids()
     n2 = (w * w).sum(axis=1)
     rows = ",\n".join(
@@ -363,7 +364,14 @@ WITH cents(cell, w, n2) AS (VALUES
   FROM wins
 ), corpus AS (
   SELECT vec_id, cell FROM ranked_cells WHERE r = 1
-), qcells AS (
+)"""
+
+
+def _ivf_oracle() -> str:
+    """DuckDB twin of the full IVF ANN pipeline: the shared assignment
+    prefix, then probe sets, candidate join and exact cosine re-rank as
+    in the brute oracle."""
+    return _ivf_assign_prefix() + f""", qcells AS (
   SELECT vec_id AS query_id, cell FROM ranked_cells
   WHERE vec_id < {N_QUERIES} AND r <= {IVF_PROBES}
 ), cand AS (
@@ -842,3 +850,59 @@ def embedding_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("n_dropped"),
                 "survivor_id_sum")
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means Lloyd update step (the training half of the IVF index).
+# ---------------------------------------------------------------------------
+
+def _kmeans_step_oracle() -> str:
+    mean_cols = ",\n         ".join(
+        f"CAST(ROUND(SUM(v[{i + 1}]) / COUNT(*), 6) AS DOUBLE)"
+        for i in range(SRP_DIM))
+    return _ivf_assign_prefix() + f""", j AS (
+  SELECT c.cell, e.v FROM corpus c JOIN eq e USING (vec_id)
+)
+SELECT cell, COUNT(*) AS n_members,
+       [{mean_cols}] AS centroid
+FROM j GROUP BY cell
+"""
+
+
+@register(
+    "emb_kmeans_step",
+    oracle=_kmeans_step_oracle(),
+    description=f"k-means Lloyd step over the {IVF_CELLS}-cell IVF assignment: "
+                "per-cell count + exact mean of the quantized vectors",
+    tags=("similarity", "clustering", "agg"),
+)
+def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means — the step that TRAINS the IVF
+    coarse quantizer (``ann_ivf`` consumes the resulting centroids):
+    assign every vector to its nearest centroid (the exact integer
+    comparator of :func:`ivf_cells`), then emit each cell's size and new
+    centroid. A full training run is this step iterated; one step is the
+    right registry unit because it is deterministic and oracle-checkable
+    while the loop is just repetition (the ``q_pagerank`` precedent).
+
+    Scale: assignment is a map-only Arrow-batched matmul against
+    broadcast centroids; the update is ONE shuffle of (cell, partial
+    vector sums) — the mean is SRP_DIM scalar SUM aggregates, all
+    map-side combinable, state C·dim per task. No explode (a per-dim
+    explode would shuffle dim× the corpus rows for the same answer).
+
+    Determinism: sums run over floor(x·100) quantized values — integers
+    exact in double in ANY order — and the mean divides two exact
+    numbers, rounding at 1e-6 only for display.
+    """
+    e = Catalog(spark, sf_dir).embeddings
+    assigned = (ivf_cells(e, probes=1)
+                .select(F.col("cells")[0].alias("cell"), "embedding"))
+    dim_sums = [F.sum(F.floor(F.col("embedding")[i] * 100)).alias(f"_s{i}")
+                for i in range(SRP_DIM)]
+    agg = assigned.groupBy("cell").agg(F.count("*").alias("n_members"), *dim_sums)
+    centroid = F.array(*[
+        F.round(F.col(f"_s{i}") / F.col("n_members"), 6).cast("double")
+        for i in range(SRP_DIM)])
+    return agg.select("cell", F.col("n_members").cast("bigint").alias("n_members"),
+                      centroid.alias("centroid"))
