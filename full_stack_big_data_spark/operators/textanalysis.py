@@ -545,6 +545,14 @@ def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     counts = (d.select(F.explode(tokens("text")).alias("token"))
               .groupBy("token").agg(F.count("*").alias("cnt")))
+    return vocab_from_counts(counts)
+
+
+def vocab_from_counts(counts: DataFrame) -> DataFrame:
+    """Rank a (token, cnt) table into the vocabulary result. Shared by
+    the batch build and the streaming partial-merge path
+    (``streaming/queries.py::stream_vocab_merge``) so the two cannot
+    diverge in ranking, id assignment, or coverage arithmetic."""
     total = counts.agg(F.sum("cnt").alias("tot"))
     top = counts.orderBy(F.col("cnt").desc(), "token").limit(VOCAB_SIZE)
     w = Window.orderBy(F.col("cnt").desc(), "token")
