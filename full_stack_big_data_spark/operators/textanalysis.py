@@ -681,5 +681,4 @@ def text_quality_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("lang", "thr_x2")
             .agg(F.count("*").alias("n_docs"),
                  F.sum(kept).alias("n_kept"),
-                 F.sum(F.when(2 * F.col("n_chars") >= F.col("thr_x2"),
-                              F.col("n_chars")).otherwise(0)).alias("chars_kept")))
+                 F.sum(kept * F.col("n_chars")).alias("chars_kept")))

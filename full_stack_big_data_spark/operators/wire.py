@@ -248,8 +248,9 @@ def _morton2(a, b):
     return z
 
 
-def zorder_write(ev: DataFrame, out_dir: str) -> None:
-    """Write events z-order clustered on (user_id, hour-of-ts).
+def zorder_write(ev: DataFrame, out_dir: str):
+    """Write events z-order clustered on (user_id, hour-of-ts); returns
+    the collected stats row (umin, umax, hmin, hmax, tmin).
 
     A range partition on ONE column gives perfect pruning on that column
     and none on any other; interleaving the bits of both dimensions'
@@ -258,30 +259,40 @@ def zorder_write(ev: DataFrame, out_dir: str) -> None:
     so row-group min/max stats prune scans filtered on EITHER dimension
     or both. This is the layout trick behind Delta/Iceberg OPTIMIZE
     ZORDER, built from stock Spark: scale dims to a 2^bits grid against
-    broadcast min/max stats, interleave bits, repartitionByRange +
+    min/max stats, interleave bits, repartitionByRange +
     sortWithinPartitions on the morton code, drop the helper column at
-    write. One stats pass + ONE data exchange — same cost shape as any
-    clustered rewrite, layout-independent output.
+    write. The stats are one tiny driver-side row collected at write
+    time — layout planning, the same class as ``compact_parquet``'s file
+    sizing — so the rewrite itself is one stats scan + ONE data exchange,
+    and callers reuse the returned row instead of re-scanning.
+
+    Integer DIV end-to-end for the cell indices: double division rounds
+    above 2^53, which a 100 TB id space can reach. ``DIV`` truncates
+    toward zero — identical to floor division for the non-negative
+    post-epoch offsets here; a corpus with pre-1970 timestamps would
+    shift ``hmin`` first (the offset ``_hrs - hmin`` is what's gridded,
+    so any consistent convention works).
     """
     stats = ev.agg(
         F.min("user_id").alias("umin"), F.max("user_id").alias("umax"),
-        F.min(F.floor(F.unix_timestamp("ts") / 3600)).alias("hmin"),
-        F.max(F.floor(F.unix_timestamp("ts") / 3600)).alias("hmax"))
+        F.min(F.expr("unix_timestamp(ts) DIV 3600")).alias("hmin"),
+        F.max(F.expr("unix_timestamp(ts) DIV 3600")).alias("hmax"),
+        F.min("ts").alias("tmin")).first()
     grid = 1 << ZORDER_BITS
-    # Integer DIV end-to-end: double division rounds above 2^53, which a
-    # 100 TB id space can reach; DIV keeps the cell index exact always.
-    scaled = (ev.crossJoin(F.broadcast(stats))
-              .withColumn("_hrs", F.unix_timestamp("ts").cast("bigint") / F.lit(3600))
-              .withColumn("_hrs", F.floor("_hrs").cast("bigint"))
+    scaled = (ev
+              .withColumn("_hrs", F.expr("unix_timestamp(ts) DIV 3600"))
               .withColumn("_ub", F.expr(
-                  f"CAST(((user_id - umin) * {grid}) DIV (umax - umin + 1) AS INT)"))
+                  f"CAST(((user_id - {stats.umin}) * {grid}) "
+                  f"DIV {stats.umax - stats.umin + 1} AS INT)"))
               .withColumn("_hb", F.expr(
-                  f"CAST(((_hrs - hmin) * {grid}) DIV (hmax - hmin + 1) AS INT)"))
+                  f"CAST(((_hrs - {stats.hmin}) * {grid}) "
+                  f"DIV {stats.hmax - stats.hmin + 1} AS INT)"))
               .withColumn("_z", _morton2(F.col("_ub"), F.col("_hb"))))
     (scaled.repartitionByRange(ZORDER_FILES, "_z")
      .sortWithinPartitions("_z")
      .select("event_id", "ts", "user_id", "event_type", "value")
      .write.mode("overwrite").parquet(out_dir))
+    return stats
 
 
 @register(
@@ -312,14 +323,13 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..engine.scratch import scratch_dir
     ev = Catalog(spark, sf_dir).events
     out = scratch_dir("fsbd_zorder_")
-    zorder_write(ev, out)
+    stats = zorder_write(ev, out)   # reuse the write-time stats row
     back = spark.read.parquet(out)
-    stats = ev.agg(F.min("user_id").alias("umin"), F.max("user_id").alias("umax"),
-                   F.min("ts").alias("tmin"))
-    return (back.crossJoin(F.broadcast(stats))
-            .where((F.col("user_id")
-                    <= F.col("umin") + F.floor((F.col("umax") - F.col("umin")) / 4))
-                   & (F.col("ts") < F.timestamp_add("HOUR", F.lit(6), F.col("tmin"))))
+    u_cut = stats.umin + (stats.umax - stats.umin) // 4
+    return (back
+            .where((F.col("user_id") <= F.lit(u_cut))
+                   & (F.col("ts") < F.timestamp_add("HOUR", F.lit(6),
+                                                    F.lit(stats.tmin))))
             .groupBy("event_type")
             .agg(F.count("*").alias("n_events"),
                  F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..engine.session import tune_session
 from ..operators.registry import register
+from ..operators.textanalysis import _vocab_oracle
 from ..operators.wordcount import _WC_SQL
 from .core import run_to_completion, stream_table
 from .identity import identity_pipe_json
@@ -267,52 +268,47 @@ def stream_lambda_merged_wordcount(spark: SparkSession, sf_dir: str) -> DataFram
             .groupBy("word").agg(F.sum("cnt").alias("cnt")))
 
 
-def _register_stream_vocab():
-    from ..operators.textanalysis import _vocab_oracle
+@register(
+    "stream_vocab_merge",
+    oracle=_vocab_oracle(),
+    description="incrementally maintained vocabulary: streaming token-count "
+                "partials merged to the exact batch top-V table",
+    tags=("streaming", "text", "vocab"),
+)
+def stream_vocab_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vocabulary table maintained INCREMENTALLY from a document
+    stream: each micro-batch writes its own (token, cnt) partial under
+    a batch-keyed directory (the idempotent exactly-once layout of
+    ``streaming/rollup.py`` — a replayed batch overwrites itself), and
+    the served vocabulary re-aggregates the partials and ranks them
+    with the SAME code as the batch build
+    (``textanalysis.vocab_from_counts``). The oracle is the batch
+    vocabulary oracle verbatim, so the driver hash proves ingest →
+    partial store → merge → rank equals the one-shot batch build
+    exactly — integer counts re-aggregate losslessly under SUM in any
+    batch split. This is how a 100 TB corpus keeps its tokenizer
+    stats current without re-scanning history: new shards append
+    partials, ranking reads vocabulary-sized tables only.
+    """
+    from pyspark.sql import functions as F
 
-    @register(
-        "stream_vocab_merge",
-        oracle=_vocab_oracle(),
-        description="incrementally maintained vocabulary: streaming token-count "
-                    "partials merged to the exact batch top-V table",
-        tags=("streaming", "text", "vocab"),
-    )
-    def stream_vocab_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """The vocabulary table maintained INCREMENTALLY from a document
-        stream: each micro-batch writes its own (token, cnt) partial under
-        a batch-keyed directory (the idempotent exactly-once layout of
-        ``streaming/rollup.py`` — a replayed batch overwrites itself), and
-        the served vocabulary re-aggregates the partials and ranks them
-        with the SAME code as the batch build
-        (``textanalysis.vocab_from_counts``). The oracle is the batch
-        vocabulary oracle verbatim, so the driver hash proves ingest →
-        partial store → merge → rank equals the one-shot batch build
-        exactly — integer counts re-aggregate losslessly under SUM in any
-        batch split. This is how a 100 TB corpus keeps its tokenizer
-        stats current without re-scanning history: new shards append
-        partials, ranking reads vocabulary-sized tables only.
-        """
-        from pyspark.sql import functions as F
+    from ..engine.scratch import scratch_dir
+    from ..functions.text import tokens
+    from ..operators.textanalysis import vocab_from_counts
 
-        from ..engine.scratch import scratch_dir
-        from ..functions.text import tokens
-        from ..operators.textanalysis import vocab_from_counts
+    src = _stream(spark, sf_dir, "documents")
+    store = scratch_dir("fsbd_vocab_store_")
 
-        src = _stream(spark, sf_dir, "documents")
-        store = scratch_dir("fsbd_vocab_store_")
+    def write_partials(df: DataFrame, bid: int) -> None:
+        (df.select(F.explode(tokens("text")).alias("token"))
+         .groupBy("token").agg(F.count("*").alias("cnt"))
+         .write.mode("overwrite").parquet(f"{store}/batch_id={bid}"))
 
-        def write_partials(df: DataFrame, bid: int) -> None:
-            (df.select(F.explode(tokens("text")).alias("token"))
-             .groupBy("token").agg(F.count("*").alias("cnt"))
-             .write.mode("overwrite").parquet(f"{store}/batch_id={bid}"))
+    q = (src.writeStream.foreachBatch(write_partials)
+         .option("checkpointLocation", scratch_dir("fsbd_vocab_ckp_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    merged = (spark.read.parquet(store)
+              .groupBy("token").agg(F.sum("cnt").alias("cnt")))
+    return vocab_from_counts(merged)
 
-        q = (src.writeStream.foreachBatch(write_partials)
-             .option("checkpointLocation", scratch_dir("fsbd_vocab_ckp_"))
-             .trigger(availableNow=True).start())
-        q.awaitTermination()
-        merged = (spark.read.parquet(store)
-                  .groupBy("token").agg(F.sum("cnt").alias("cnt")))
-        return vocab_from_counts(merged)
-
-
-_register_stream_vocab()
