@@ -906,3 +906,84 @@ def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(SRP_DIM)])
     return agg.select("cell", F.col("n_members").cast("bigint").alias("n_members"),
                       centroid.alias("centroid"))
+
+
+# ---------------------------------------------------------------------------
+# Label-outlier detection (supervised-data QA over the labeled embeddings).
+# ---------------------------------------------------------------------------
+
+OUTLIERS_PER_LABEL = 5
+
+
+def _label_outlier_oracle() -> str:
+    s_cols = ", ".join(f"SUM(v[{i + 1}]) AS s{i}" for i in range(SRP_DIM))
+    d2 = " + ".join(
+        f"(n * v[{i + 1}] - s{i}) * (n * v[{i + 1}] - s{i})"
+        for i in range(SRP_DIM))
+    return f"""
+WITH eq AS (
+  SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[], x -> CAST(FLOOR(x * 100) AS BIGINT)) AS v
+  FROM embeddings
+), sums AS (
+  SELECT label, COUNT(*) AS n, {s_cols} FROM eq GROUP BY label
+), scored AS (
+  SELECT e.vec_id, e.label, CAST({d2} AS BIGINT) AS dist2_xn2
+  FROM eq e JOIN sums s USING (label)
+), ranked AS (
+  SELECT label, vec_id, dist2_xn2,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY dist2_xn2 DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT label, CAST(rank AS BIGINT) AS rank, vec_id, dist2_xn2
+FROM ranked WHERE rank <= {OUTLIERS_PER_LABEL}
+"""
+
+
+@register(
+    "emb_label_outliers",
+    oracle=_label_outlier_oracle(),
+    description=f"label QA: top-{OUTLIERS_PER_LABEL} per-label outliers by "
+                "integer-exact distance to the label centroid",
+    tags=("similarity", "quality", "labels"),
+)
+def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabeled-example detection — the supervised-data QA pass: rank
+    each vector by distance to its OWN label's centroid and surface the
+    top outliers per label (far-from-centroid members are the label
+    noise a human reviews before training).
+
+    Determinism without floats: the centroid is s/n (rational); distance
+    ranking multiplies through by n² so the compared quantity is the
+    INTEGER Σ(n·x_i - s_i)² — exact in both engines in any order.
+    Headroom: dim·(n·|eq|max)² < 2⁶³ holds to n ≈ 4·10⁷ rows per label
+    at this corpus's |eq| ≤ 53; a larger corpus scales the quantization
+    down or accepts tolerance-ranked doubles (the documented contract
+    family of ``q_approx_quantiles``).
+
+    Scale: per-label sums are ONE shuffle with map-side partial agg
+    (state = labels·dim); the centroid table broadcasts back onto a
+    second scan; the outlier rank is the salted two-phase top-k — no
+    corpus-wide window, nothing quadratic.
+    """
+    e = Catalog(spark, sf_dir).embeddings
+    eq = e.select(
+        "vec_id", "label",
+        F.transform("embedding",
+                    lambda x: F.floor(x * 100).cast("bigint")).alias("v"))
+    sums = eq.groupBy("label").agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(SRP_DIM)])
+    scored = eq.join(F.broadcast(sums), "label")
+    d2 = None
+    for i in range(SRP_DIM):
+        term = (F.col("n") * F.col("v")[i] - F.col(f"s{i}"))
+        term = term * term
+        d2 = term if d2 is None else d2 + term
+    scored = scored.select("label", "vec_id", d2.cast("bigint").alias("dist2_xn2"))
+    return (grouped_topk(scored, ["label"],
+                         [F.desc("dist2_xn2"), F.asc("vec_id")],
+                         OUTLIERS_PER_LABEL, F.col("vec_id"))
+            .select("label", F.col("rank").cast("bigint").alias("rank"),
+                    "vec_id", "dist2_xn2"))
