@@ -873,3 +873,76 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("y0") / F.lit(_RP_SCALE)).alias("p0"),
         (F.col("y1") / F.lit(_RP_SCALE)).alias("p1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer application (vocabulary -> materialized id sequences).
+# ---------------------------------------------------------------------------
+
+TOKENIZE_PREFIX = 10   # id-sequence sample kept per doc
+OOV_ID = -1
+
+
+def _tokenize_oracle() -> str:
+    from .textanalysis import _vocab_oracle
+    return f"""
+WITH vocab AS (
+  {_vocab_oracle()}
+), toks AS (
+  SELECT doc_id, {tokens_sql('text')} AS t FROM documents
+), tok AS (
+  SELECT doc_id, t[CAST(i AS INT)] AS token, CAST(i - 1 AS BIGINT) AS pos
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+), j AS (
+  SELECT t.doc_id, t.pos, COALESCE(v.token_id, {OOV_ID}) AS tid
+  FROM tok t LEFT JOIN vocab v USING (token)
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN tid < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM((pos + 1) * tid) AS BIGINT) AS id_checksum,
+       (list(tid ORDER BY pos))[1:{TOKENIZE_PREFIX}] AS prefix_ids
+FROM j GROUP BY doc_id
+"""
+
+
+@register(
+    "tokenize_corpus",
+    oracle=_tokenize_oracle(),
+    description="tokenizer application: map every token to its vocab id "
+                f"(OOV={OOV_ID}), per-doc counts + position-weighted checksum",
+    tags=("text", "vocab", "pipeline"),
+)
+def tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the built vocabulary (``vocab_build``) to the corpus — the
+    materialization step that turns text into the id sequences a
+    training run consumes. Out-of-vocabulary tokens map to OOV_ID; the
+    result is summarized per document (counts, OOV counts, a
+    position-weighted integer checksum that pins ORDER, and the first
+    TOKENIZE_PREFIX ids) so the driver hash covers sequence content
+    without shipping full sequences through the compare.
+
+    Scale: the vocabulary is vocabulary-sized → the id lookup is a
+    BROADCAST left join onto the exploded token stream (map-side, no
+    pre-shuffle); the one real exchange is the per-doc reassembly
+    groupBy, which any sequence materialization pays. The checksum is
+    Σ(pos+1)·id — exact integers, order-independent as a SUM while
+    encoding order in the weights, so engines agree bit-for-bit.
+    """
+    from .textanalysis import vocab_build
+    d = Catalog(spark, sf_dir).documents
+    vocab = vocab_build(spark, sf_dir).select("token", "token_id")
+    tok = d.select("doc_id", F.posexplode(tokens("text")).alias("pos", "token"))
+    j = (tok.join(F.broadcast(vocab), "token", "left")
+         .select("doc_id", "pos",
+                 F.coalesce("token_id", F.lit(OOV_ID)).alias("tid")))
+    prefix = F.slice(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                    lambda x: x.tid),
+        1, TOKENIZE_PREFIX)
+    return (j.groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum(F.when(F.col("tid") < 0, 1).otherwise(0)).alias("n_oov"),
+                 F.sum((F.col("pos") + 1) * F.col("tid")).cast("bigint")
+                  .alias("id_checksum"),
+                 prefix.alias("prefix_ids")))
