@@ -32,6 +32,10 @@ QUERIES = [
     "vocab_build",             # TakeOrdered top-V + bounded 1P window
     "text_boilerplate_ngrams",  # doc-frequency threshold vs broadcast scalar
     "layout_zorder",           # range-partitioned rewrite + filtered read-back
+    "tokenize_corpus",         # position-weighted checksum pins sequence order
+    "emb_kmeans_step",         # integer partial vector sums in any order
+    "emb_label_outliers",      # n^2-scaled integer distance ranking
+    "text_bm25_topk",          # broadcast-stats scoring + TakeOrdered
 ]
 
 
