@@ -38,7 +38,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import ArrayType, IntegerType
+from pyspark.sql.types import ArrayType, IntegerType, LongType
 
 from ..engine.catalog import Catalog
 from ..functions.skew import grouped_topk
@@ -987,3 +987,118 @@ def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                          OUTLIERS_PER_LABEL, F.col("vec_id"))
             .select("label", F.col("rank").cast("bigint").alias("rank"),
                     "vec_id", "dist2_xn2"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (the vector-compression half of a 100 TB ANN index).
+# ---------------------------------------------------------------------------
+
+PQ_SUBSPACES = 8                      # 64 dims -> 8 sub-vectors of 8
+PQ_SUBDIM = SRP_DIM // PQ_SUBSPACES
+PQ_CELLS = 16                         # 4-bit codes
+_PQ_SEED = 11
+
+
+def _pq_codebooks() -> np.ndarray:
+    """Deterministic INTEGER codebooks, shape (SUBSPACES, CELLS, SUBDIM),
+    weights in [-100, 100] from the shared multiplicative LCG (own seed
+    chain) — the embed-the-literals discipline of the SRP/IVF families."""
+    state = _PQ_SEED
+    w = np.empty((PQ_SUBSPACES, PQ_CELLS, PQ_SUBDIM), dtype=np.int64)
+    for s in range(PQ_SUBSPACES):
+        for j in range(PQ_CELLS):
+            for d in range(PQ_SUBDIM):
+                state = (state * 48271) % _SRP_P
+                w[s, j, d] = state % 201 - 100
+    return w
+
+
+def _pq_oracle() -> str:
+    cb = _pq_codebooks()
+    n2 = (cb * cb).sum(axis=2)                            # (S, C)
+    rows = ",\n".join(
+        f"  ({s}, {j}, [{', '.join(str(int(x)) for x in cb[s, j])}]::DOUBLE[], "
+        f"{int(n2[s, j])}::BIGINT)"
+        for s in range(PQ_SUBSPACES) for j in range(PQ_CELLS))
+    return f"""
+WITH cents(sub, cell, w, n2) AS (VALUES
+{rows}
+), eq AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> FLOOR(x * 100)) AS v
+  FROM embeddings
+), costs AS (
+  SELECT e.vec_id, c.sub, c.cell,
+         c.n2 - 2 * CAST(list_dot_product(
+           list_slice(e.v, c.sub * {PQ_SUBDIM} + 1,
+                      c.sub * {PQ_SUBDIM} + {PQ_SUBDIM}), c.w) AS BIGINT) AS cost
+  FROM eq e CROSS JOIN cents c
+), best AS (
+  SELECT vec_id, sub, cell, cost,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                            ORDER BY cost, cell) AS r
+  FROM costs
+), vnorm AS (
+  SELECT vec_id, CAST(list_dot_product(v, v) AS BIGINT) AS vn FROM eq
+)
+SELECT b.vec_id,
+       list(b.cell ORDER BY b.sub) AS codes,
+       CAST(SUM(b.cost) + ANY_VALUE(n.vn) AS BIGINT) AS err_x
+FROM best b JOIN vnorm n USING (vec_id)
+WHERE b.r = 1
+GROUP BY b.vec_id
+"""
+
+
+@register(
+    "emb_pq_encode",
+    oracle=_pq_oracle(),
+    description=f"product quantization: {PQ_SUBSPACES}x{PQ_CELLS}-cell integer "
+                "codebooks -> 4-bit codes + exact reconstruction error",
+    tags=("similarity", "quantization", "pq"),
+)
+def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding — the compression that makes
+    billion-vector ANN serveable: each vector becomes SUBSPACES 4-bit
+    codes (here 8×4 bits = 4 bytes per 64-dim vector, 64× smaller than
+    float32) plus its exact scaled reconstruction error Σ|v_s - c_s|²
+    (in quantized units; the quantity PQ training minimizes). A real
+    deployment trains the codebooks with ``emb_kmeans_step``'s machinery
+    per subspace; the LITERAL codebooks here keep the oracle exact.
+
+    Determinism without floats: argmin |v_s - c|² per subspace compares
+    |c|² - 2·(v_s·c) — integers under the floor(x·100) quantization, no
+    division or sqrt — with ties broken by cell id (numpy's first-min ==
+    SQL's ORDER BY cost, cell). The error adds the code-independent
+    |v_s|² once per vector.
+
+    Scale: one Arrow-batched integer matmul per batch (all subspaces in
+    one (n,64)@(64,128) product), map-only, zero exchanges — encoding
+    streams the corpus. Codes are the payload an IVF-PQ index stores
+    alongside ``ivf_cells`` assignments.
+    """
+    cb = _pq_codebooks()
+    flat = cb.reshape(PQ_SUBSPACES * PQ_CELLS, PQ_SUBDIM)  # (S*C, 8)
+    n2 = (cb * cb).sum(axis=2)                             # (S, C)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _encode(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        eq = np.floor(mat * 100.0).astype(np.int64)        # (n, 64) exact
+        sub = eq.reshape(len(mat), PQ_SUBSPACES, PQ_SUBDIM)
+        # all subspace dot products at once: (n, S, C)
+        d = np.einsum("nsd,scd->nsc", sub, cb)
+        cost = n2[None, :, :] - 2 * d                      # (n, S, C)
+        codes = cost.argmin(axis=2)                        # first min = low cell
+        best = np.take_along_axis(cost, codes[:, :, None], 2)[:, :, 0]
+        err = best.sum(axis=1) + (eq * eq).sum(axis=1)
+        out = np.concatenate([codes, err[:, None]], axis=1)  # (n, S+1)
+        return pd.Series(list(out.astype(np.int64)))
+
+    e = Catalog(spark, sf_dir).embeddings
+    enc = e.select("vec_id", _encode("embedding").alias("ce"))
+    return enc.select(
+        "vec_id",
+        F.transform(F.slice("ce", 1, PQ_SUBSPACES),
+                    lambda x: x.cast("int")).alias("codes"),
+        F.element_at("ce", PQ_SUBSPACES + 1).alias("err_x"))
