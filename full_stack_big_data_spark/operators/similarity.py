@@ -1013,7 +1013,11 @@ def _pq_codebooks() -> np.ndarray:
     return w
 
 
-def _pq_oracle() -> str:
+def _pq_code_prefix() -> str:
+    """Shared CTE prefix: codebook literals, quantized vectors, per-
+    subspace assignment costs, and ``best`` (r = 1 rows are the codes).
+    Used by the encode oracle and the ADC-search oracle so the code
+    definition cannot diverge."""
     cb = _pq_codebooks()
     n2 = (cb * cb).sum(axis=2)                            # (S, C)
     rows = ",\n".join(
@@ -1038,7 +1042,11 @@ WITH cents(sub, cell, w, n2) AS (VALUES
          ROW_NUMBER() OVER (PARTITION BY vec_id, sub
                             ORDER BY cost, cell) AS r
   FROM costs
-), vnorm AS (
+)"""
+
+
+def _pq_oracle() -> str:
+    return _pq_code_prefix() + f""", vnorm AS (
   SELECT vec_id, CAST(list_dot_product(v, v) AS BIGINT) AS vn FROM eq
 )
 SELECT b.vec_id,
@@ -1102,3 +1110,93 @@ def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.slice("ce", 1, PQ_SUBSPACES),
                     lambda x: x.cast("int")).alias("codes"),
         F.element_at("ce", PQ_SUBSPACES + 1).alias("err_x"))
+
+
+def _pq_adc_oracle() -> str:
+    return _pq_code_prefix() + f""", lut AS (
+  SELECT e.vec_id AS query_id, c.sub, c.cell,
+         c.n2
+         - 2 * CAST(list_dot_product(
+             list_slice(e.v, c.sub * {PQ_SUBDIM} + 1,
+                        c.sub * {PQ_SUBDIM} + {PQ_SUBDIM}), c.w) AS BIGINT)
+         + CAST(list_dot_product(
+             list_slice(e.v, c.sub * {PQ_SUBDIM} + 1,
+                        c.sub * {PQ_SUBDIM} + {PQ_SUBDIM}),
+             list_slice(e.v, c.sub * {PQ_SUBDIM} + 1,
+                        c.sub * {PQ_SUBDIM} + {PQ_SUBDIM})) AS BIGINT) AS cost
+  FROM eq e CROSS JOIN cents c
+  WHERE e.vec_id < {N_QUERIES}
+), adc AS (
+  SELECT l.query_id, b.vec_id, CAST(SUM(l.cost) AS BIGINT) AS adc_x
+  FROM best b JOIN lut l ON l.sub = b.sub AND l.cell = b.cell
+  WHERE b.r = 1 AND b.vec_id <> l.query_id
+  GROUP BY l.query_id, b.vec_id
+), ranked AS (
+  SELECT query_id, vec_id, adc_x,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_x, vec_id) AS rank
+  FROM adc
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id, adc_x
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "ann_pq_adc",
+    oracle=_pq_adc_oracle(),
+    description=f"PQ asymmetric-distance search: top-{TOP_K} by integer ADC "
+                "lookup over the 4-byte codes, no vector touched at query time",
+    tags=("similarity", "ann", "pq"),
+)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric distance computation — the query path PQ exists for:
+    the corpus is only its 4-byte codes; each query precomputes a
+    (subspace × cell) lookup table of exact integer distances to every
+    codebook entry, and a corpus vector's approximate distance is the
+    SUM of eight table lookups. No corpus vector is touched at query
+    time — this is what serving a billion-vector index from RAM means.
+
+    Scale shape, all stock DataFrame ops: the LUT is queries × S·C rows
+    (tiny, broadcast); codes explode to S rows per vector and join the
+    LUT map-side; the per-(query, vector) sum partial-aggregates before
+    its one exchange; ranking is the salted top-k. The ranking is
+    approximate vs exact cosine BY DESIGN (that's PQ's trade), but
+    bit-deterministic — integer LUT entries, integer sums — so the
+    oracle match is exact. Recall vs the exact path is the codebook's
+    quality knob (train with ``emb_kmeans_step`` machinery per
+    subspace).
+    """
+    e = Catalog(spark, sf_dir).embeddings
+    codes = (emb_pq_encode(spark, sf_dir)
+             .select("vec_id", F.posexplode("codes").alias("sub", "cell")))
+
+    cb = _pq_codebooks()
+    n2 = (cb * cb).sum(axis=2)
+    cents = spark.createDataFrame(
+        [(s, j, [int(x) for x in cb[s, j]], int(n2[s, j]))
+         for s in range(PQ_SUBSPACES) for j in range(PQ_CELLS)],
+        "sub int, cell int, w array<bigint>, n2 bigint")
+
+    q = (e.where(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.transform("embedding",
+                             lambda x: F.floor(x * 100).cast("bigint")).alias("qv")))
+    qs = F.slice("qv", F.col("sub") * PQ_SUBDIM + 1, PQ_SUBDIM)
+    dot = F.aggregate(F.zip_with(qs, "w", lambda a, b: a * b),
+                      F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    qn = F.aggregate(F.zip_with(qs, qs, lambda a, b: a * b),
+                     F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    lut = (q.crossJoin(cents)
+           .select("query_id", "sub", "cell",
+                   (F.col("n2") - 2 * dot + qn).alias("cost")))
+
+    adc = (codes.join(F.broadcast(lut), ["sub", "cell"])
+           .where(F.col("vec_id") != F.col("query_id"))
+           .groupBy("query_id", "vec_id")
+           .agg(F.sum("cost").cast("bigint").alias("adc_x")))
+    return (grouped_topk(adc, ["query_id"],
+                         [F.asc("adc_x"), F.asc("vec_id")],
+                         TOP_K, F.col("vec_id"))
+            .select("query_id", F.col("rank").cast("bigint").alias("rank"),
+                    F.col("vec_id").alias("neighbor_id"), "adc_x"))
