@@ -36,6 +36,8 @@ QUERIES = [
     "emb_kmeans_step",         # integer partial vector sums in any order
     "emb_label_outliers",      # n^2-scaled integer distance ranking
     "text_bm25_topk",          # broadcast-stats scoring + TakeOrdered
+    "emb_pq_encode",           # map-only integer codes
+    "ann_pq_adc",              # LUT-join partial sums + salted top-k
 ]
 
 
