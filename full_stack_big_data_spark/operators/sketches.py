@@ -248,3 +248,120 @@ def q_approx_quantiles_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, p in enumerate(_QUANT_PS)
     ]
     return agg.select("event_type", "n_events", *ok)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable frequency estimates with a provable bound.
+# ---------------------------------------------------------------------------
+
+CMS_ROWS = 4            # depth d: independent hash rows
+CMS_WIDTH = 256         # width w: overcount <= bound with pr 1-(1/3)^d
+CMS_PROBES = ("the", "data", "spark", "table", "row", "merge")
+
+
+def _cms_oracle() -> str:
+    from ..functions.text import tokens_sql
+    toks = tokens_sql("text")
+    tok_h = [hex64_sql("'cms%d|' || tok" % r) for r in range(CMS_ROWS)]
+    probe_h = [hex64_sql("'cms%d|' || token" % r) for r in range(CMS_ROWS)]
+    rb = "\n  UNION ALL\n  ".join(
+        f"SELECT {r} AS r, {tok_h[r]} % {CMS_WIDTH} AS b, cnt FROM tc"
+        for r in range(CMS_ROWS))
+    probes = ", ".join(f"('{t}')" for t in CMS_PROBES)
+    prb = "\n  UNION ALL\n  ".join(
+        f"SELECT token, {r} AS r, {probe_h[r]} % {CMS_WIDTH} AS b FROM probes"
+        for r in range(CMS_ROWS))
+    return f"""
+WITH tok AS (
+  SELECT g AS tok FROM documents, UNNEST({toks}) AS u(g)
+), tc AS (
+  SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok
+), rb AS (
+  {rb}
+), totals AS (
+  SELECT r, b, CAST(SUM(cnt) AS BIGINT) AS total FROM rb GROUP BY r, b
+), n AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM tc
+), probes(token) AS (VALUES {probes}
+), prb AS (
+  {prb}
+), est AS (
+  SELECT p.token, MIN(COALESCE(t.total, 0)) AS cms_est
+  FROM prb p LEFT JOIN totals t ON t.r = p.r AND t.b = p.b
+  GROUP BY p.token
+), tru AS (
+  SELECT p.token, COALESCE(c.cnt, 0) AS true_cnt
+  FROM probes p LEFT JOIN tc c ON c.tok = p.token
+)
+SELECT e.token, CAST(e.cms_est AS BIGINT) AS cms_est,
+       CAST(t.true_cnt AS BIGINT) AS true_cnt,
+       CAST(e.cms_est - t.true_cnt AS BIGINT) AS overcount,
+       CAST(e.cms_est >= t.true_cnt AS INTEGER) AS ok_lower,
+       CAST(e.cms_est - t.true_cnt
+            <= 3 * (SELECT n_tokens FROM n) / {CMS_WIDTH} AS INTEGER) AS ok_bound
+FROM est e JOIN tru t USING (token)
+"""
+
+
+@register(
+    "q_sketch_cms",
+    oracle=_cms_oracle(),
+    description=f"count-min sketch ({CMS_ROWS}x{CMS_WIDTH}): point estimates "
+                "for probe tokens with the one-sided error bound checked",
+    tags=("sketch", "frequency", "custom"),
+)
+def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch — the MERGEABLE frequency summary (Misra-Gries
+    in ``q_heavy_hitters`` is exact-after-recount but merge-hostile;
+    CMS cells add, so shards/days/streams combine by cell-wise sum —
+    why production pipelines keep CMS beside heavy hitters). The sketch
+    is d×w bucket totals; a token estimate is the MIN over its d row
+    buckets — never below the true count, overshooting by at most
+    3·N/w here (checked as a column, not assumed).
+
+    Exactness: the hash family is the engine's portable md5 path with
+    literal row salts, so bucket assignment and every cell total are
+    integers both engines compute identically — the sketch itself is
+    hash-exact, not just its contract.
+
+    Scale: the 4× bucket explode partial-aggregates to <= d·w cells per
+    task BEFORE its one exchange (the whole shuffle payload is the
+    1024-cell table), probes join the broadcast cell table, and the
+    true-count side touches only probe tokens. State is O(d·w),
+    corpus-size-free — the CMS property.
+    """
+    from ..functions.text import tokens
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select(F.explode(tokens("text")).alias("tok"))
+
+    def bucket(col, r):
+        return hex64(F.concat(F.lit(f"cms{r}|"), col)) % CMS_WIDTH
+
+    pairs = toks.select(F.explode(F.array(*[
+        F.struct(F.lit(r).alias("r"), bucket(F.col("tok"), r).alias("b"))
+        for r in range(CMS_ROWS)])).alias("rb")).select("rb.r", "rb.b")
+    totals = pairs.groupBy("r", "b").agg(F.count("*").alias("total"))
+
+    probes = spark.createDataFrame([(t,) for t in CMS_PROBES], "token string")
+    prb = probes.select("token", F.explode(F.array(*[
+        F.struct(F.lit(r).alias("r"), bucket(F.col("token"), r).alias("b"))
+        for r in range(CMS_ROWS)])).alias("rb")).select("token", "rb.r", "rb.b")
+    est = (prb.join(F.broadcast(totals), ["r", "b"], "left")
+           .groupBy("token")
+           .agg(F.min(F.coalesce("total", F.lit(0))).alias("cms_est")))
+
+    tru = (probes.join(toks.groupBy("tok").agg(F.count("*").alias("cnt")),
+                       probes.token == F.col("tok"), "left")
+           .select("token", F.coalesce("cnt", F.lit(0)).alias("true_cnt")))
+    n = toks.agg(F.count("*").alias("n_tokens"))
+    return (est.join(tru, "token").crossJoin(F.broadcast(n))
+            .select("token",
+                    F.col("cms_est").cast("bigint").alias("cms_est"),
+                    F.col("true_cnt").cast("bigint").alias("true_cnt"),
+                    (F.col("cms_est") - F.col("true_cnt")).cast("bigint")
+                     .alias("overcount"),
+                    (F.col("cms_est") >= F.col("true_cnt")).cast("int")
+                     .alias("ok_lower"),
+                    ((F.col("cms_est") - F.col("true_cnt"))
+                     <= 3 * F.col("n_tokens") / CMS_WIDTH).cast("int")
+                     .alias("ok_bound")))
