@@ -365,3 +365,63 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ((F.col("cms_est") - F.col("true_cnt"))
                      <= 3 * F.col("n_tokens") / CMS_WIDTH).cast("int")
                      .alias("ok_bound")))
+
+
+@register(
+    "q_sketch_cms_merge",
+    oracle=_cms_oracle(),
+    description="CMS mergeability proof: per-source sketches summed cell-wise "
+                "equal the one-shot global sketch (same oracle)",
+    tags=("sketch", "frequency", "merge", "custom"),
+)
+def q_sketch_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes CMS the production frequency sketch: a
+    sketch PER SOURCE (shard / day / stream partition), merged by
+    cell-wise addition, is byte-identical to sketching the whole corpus
+    at once — so frequency monitoring never rescans history. This query
+    builds the per-source sketches explicitly, merges them, and serves
+    the same probe estimates as ``q_sketch_cms``; the oracle is the
+    one-shot oracle VERBATIM, so the driver hash IS the merge proof
+    (the ``q_sketch_kmv_merge`` pattern).
+
+    Scale: the per-source pass adds `source` to the cell key — state
+    sources x d x w, still corpus-size-free — and the merge is a second
+    tiny aggregation over cell partials.
+    """
+    from ..functions.text import tokens
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select("source", F.explode(tokens("text")).alias("tok"))
+
+    def bucket(col, r):
+        return hex64(F.concat(F.lit(f"cms{r}|"), col)) % CMS_WIDTH
+
+    pairs = toks.select("source", F.explode(F.array(*[
+        F.struct(F.lit(r).alias("r"), bucket(F.col("tok"), r).alias("b"))
+        for r in range(CMS_ROWS)])).alias("rb")).select("source", "rb.r", "rb.b")
+    per_source = pairs.groupBy("source", "r", "b").agg(
+        F.count("*").alias("total"))
+    merged = per_source.groupBy("r", "b").agg(F.sum("total").alias("total"))
+
+    probes = spark.createDataFrame([(t,) for t in CMS_PROBES], "token string")
+    prb = probes.select("token", F.explode(F.array(*[
+        F.struct(F.lit(r).alias("r"), bucket(F.col("token"), r).alias("b"))
+        for r in range(CMS_ROWS)])).alias("rb")).select("token", "rb.r", "rb.b")
+    est = (prb.join(F.broadcast(merged), ["r", "b"], "left")
+           .groupBy("token")
+           .agg(F.min(F.coalesce("total", F.lit(0))).alias("cms_est")))
+
+    tru = (probes.join(toks.groupBy("tok").agg(F.count("*").alias("cnt")),
+                       probes.token == F.col("tok"), "left")
+           .select("token", F.coalesce("cnt", F.lit(0)).alias("true_cnt")))
+    n = toks.agg(F.count("*").alias("n_tokens"))
+    return (est.join(tru, "token").crossJoin(F.broadcast(n))
+            .select("token",
+                    F.col("cms_est").cast("bigint").alias("cms_est"),
+                    F.col("true_cnt").cast("bigint").alias("true_cnt"),
+                    (F.col("cms_est") - F.col("true_cnt")).cast("bigint")
+                     .alias("overcount"),
+                    (F.col("cms_est") >= F.col("true_cnt")).cast("int")
+                     .alias("ok_lower"),
+                    ((F.col("cms_est") - F.col("true_cnt"))
+                     <= 3 * F.col("n_tokens") / CMS_WIDTH).cast("int")
+                     .alias("ok_bound")))
