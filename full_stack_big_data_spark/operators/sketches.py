@@ -281,7 +281,7 @@ WITH tok AS (
 ), totals AS (
   SELECT r, b, CAST(SUM(cnt) AS BIGINT) AS total FROM rb GROUP BY r, b
 ), n AS (
-  SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM tc
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tok
 ), probes(token) AS (VALUES {probes}
 ), prb AS (
   {prb}
