@@ -6,7 +6,8 @@
   the hash is the engine-portable md5 ``hex64`` and the k-th smallest of
   a fixed set is deterministic, the ESTIMATE itself is differentially
   checkable against DuckDB — unlike ``approx_count_distinct``, whose
-  HLL internals are engine-private (that operator stays rows-only).
+  HLL internals are engine-private (``q_approx_distinct`` is instead
+  checked through its self-validating bounded-error contract).
   At scale the k-smallest pass is a per-partition top-k merged on one
   tiny reducer: no global sort, state = k values per partition.
 
