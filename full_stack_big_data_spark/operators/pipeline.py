@@ -936,10 +936,13 @@ def tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (tok.join(F.broadcast(vocab), "token", "left")
          .select("doc_id", "pos",
                  F.coalesce("token_id", F.lit(OOV_ID)).alias("tid")))
-    prefix = F.slice(
-        F.transform(F.array_sort(F.collect_list(F.struct("pos", "tid"))),
-                    lambda x: x.tid),
-        1, TOKENIZE_PREFIX)
+    # Collect ONLY prefix positions (collect_list drops nulls), so the
+    # agg buffer and shuffle carry <= TOKENIZE_PREFIX structs per doc —
+    # not the full sequence — for a byte-identical result.
+    prefix = F.transform(
+        F.array_sort(F.collect_list(
+            F.when(F.col("pos") < TOKENIZE_PREFIX, F.struct("pos", "tid")))),
+        lambda x: x.tid)
     return (j.groupBy("doc_id")
             .agg(F.count("*").alias("n_tokens"),
                  F.sum(F.when(F.col("tid") < 0, 1).otherwise(0)).alias("n_oov"),

@@ -957,8 +957,9 @@ def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism without floats: the centroid is s/n (rational); distance
     ranking multiplies through by n² so the compared quantity is the
     INTEGER Σ(n·x_i - s_i)² — exact in both engines in any order.
-    Headroom: dim·(n·|eq|max)² < 2⁶³ holds to n ≈ 4·10⁷ rows per label
-    at this corpus's |eq| ≤ 53; a larger corpus scales the quantization
+    Headroom: each term is (n·x_i - s_i)² with |n·x_i - s_i| ≤ n·2·|eq|max
+    ≈ 106n at this corpus's |eq| ≤ 53, so dim·(106n)² < 2⁶³ bounds
+    n ≲ 3.6·10⁶ rows per label; a larger corpus scales the quantization
     down or accepts tolerance-ranked doubles (the documented contract
     family of ``q_approx_quantiles``).
 

@@ -304,6 +304,44 @@ FROM est e JOIN tru t USING (token)
 """
 
 
+def _cms_bucket(col, r):
+    return hex64(F.concat(F.lit(f"cms{r}|"), col)) % CMS_WIDTH
+
+
+def _cms_probe_report(spark: SparkSession, toks: DataFrame,
+                      totals: DataFrame) -> DataFrame:
+    """Shared probe-estimate tail for the CMS twins: estimates from the
+    cell-totals table, TRUE counts from a probe-FILTERED token stream
+    (the 6-token IN-filter pushes into the scan — no vocabulary-wide
+    aggregate), and the corpus size read off the sketch itself (row 0's
+    cells partition all token occurrences), so serving adds no extra
+    corpus pass."""
+    probes = spark.createDataFrame([(t,) for t in CMS_PROBES], "token string")
+    prb = probes.select("token", F.explode(F.array(*[
+        F.struct(F.lit(r).alias("r"), _cms_bucket(F.col("token"), r).alias("b"))
+        for r in range(CMS_ROWS)])).alias("rb")).select("token", "rb.r", "rb.b")
+    est = (prb.join(F.broadcast(totals), ["r", "b"], "left")
+           .groupBy("token")
+           .agg(F.min(F.coalesce("total", F.lit(0))).alias("cms_est")))
+    tru = (probes.join(toks.where(F.col("tok").isin(*CMS_PROBES))
+                       .groupBy("tok").agg(F.count("*").alias("cnt")),
+                       probes.token == F.col("tok"), "left")
+           .select("token", F.coalesce("cnt", F.lit(0)).alias("true_cnt")))
+    n = (totals.where(F.col("r") == 0)
+         .agg(F.coalesce(F.sum("total"), F.lit(0)).alias("n_tokens")))
+    return (est.join(tru, "token").crossJoin(F.broadcast(n))
+            .select("token",
+                    F.col("cms_est").cast("bigint").alias("cms_est"),
+                    F.col("true_cnt").cast("bigint").alias("true_cnt"),
+                    (F.col("cms_est") - F.col("true_cnt")).cast("bigint")
+                     .alias("overcount"),
+                    (F.col("cms_est") >= F.col("true_cnt")).cast("int")
+                     .alias("ok_lower"),
+                    ((F.col("cms_est") - F.col("true_cnt"))
+                     <= 3 * F.col("n_tokens") / CMS_WIDTH).cast("int")
+                     .alias("ok_bound")))
+
+
 @register(
     "q_sketch_cms",
     oracle=_cms_oracle(),
@@ -334,38 +372,11 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokens
     d = Catalog(spark, sf_dir).documents
     toks = d.select(F.explode(tokens("text")).alias("tok"))
-
-    def bucket(col, r):
-        return hex64(F.concat(F.lit(f"cms{r}|"), col)) % CMS_WIDTH
-
     pairs = toks.select(F.explode(F.array(*[
-        F.struct(F.lit(r).alias("r"), bucket(F.col("tok"), r).alias("b"))
+        F.struct(F.lit(r).alias("r"), _cms_bucket(F.col("tok"), r).alias("b"))
         for r in range(CMS_ROWS)])).alias("rb")).select("rb.r", "rb.b")
     totals = pairs.groupBy("r", "b").agg(F.count("*").alias("total"))
-
-    probes = spark.createDataFrame([(t,) for t in CMS_PROBES], "token string")
-    prb = probes.select("token", F.explode(F.array(*[
-        F.struct(F.lit(r).alias("r"), bucket(F.col("token"), r).alias("b"))
-        for r in range(CMS_ROWS)])).alias("rb")).select("token", "rb.r", "rb.b")
-    est = (prb.join(F.broadcast(totals), ["r", "b"], "left")
-           .groupBy("token")
-           .agg(F.min(F.coalesce("total", F.lit(0))).alias("cms_est")))
-
-    tru = (probes.join(toks.groupBy("tok").agg(F.count("*").alias("cnt")),
-                       probes.token == F.col("tok"), "left")
-           .select("token", F.coalesce("cnt", F.lit(0)).alias("true_cnt")))
-    n = toks.agg(F.count("*").alias("n_tokens"))
-    return (est.join(tru, "token").crossJoin(F.broadcast(n))
-            .select("token",
-                    F.col("cms_est").cast("bigint").alias("cms_est"),
-                    F.col("true_cnt").cast("bigint").alias("true_cnt"),
-                    (F.col("cms_est") - F.col("true_cnt")).cast("bigint")
-                     .alias("overcount"),
-                    (F.col("cms_est") >= F.col("true_cnt")).cast("int")
-                     .alias("ok_lower"),
-                    ((F.col("cms_est") - F.col("true_cnt"))
-                     <= 3 * F.col("n_tokens") / CMS_WIDTH).cast("int")
-                     .alias("ok_bound")))
+    return _cms_probe_report(spark, toks, totals)
 
 
 @register(
@@ -391,38 +402,14 @@ def q_sketch_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..functions.text import tokens
     d = Catalog(spark, sf_dir).documents
-    toks = d.select("source", F.explode(tokens("text")).alias("tok"))
-
-    def bucket(col, r):
-        return hex64(F.concat(F.lit(f"cms{r}|"), col)) % CMS_WIDTH
-
-    pairs = toks.select("source", F.explode(F.array(*[
-        F.struct(F.lit(r).alias("r"), bucket(F.col("tok"), r).alias("b"))
+    toks = d.select(F.explode(tokens("text")).alias("tok"))
+    src_toks = d.select("source", F.explode(tokens("text")).alias("tok"))
+    pairs = src_toks.select("source", F.explode(F.array(*[
+        F.struct(F.lit(r).alias("r"), _cms_bucket(F.col("tok"), r).alias("b"))
         for r in range(CMS_ROWS)])).alias("rb")).select("source", "rb.r", "rb.b")
     per_source = pairs.groupBy("source", "r", "b").agg(
         F.count("*").alias("total"))
     merged = per_source.groupBy("r", "b").agg(F.sum("total").alias("total"))
+    return _cms_probe_report(spark, toks, merged)
 
-    probes = spark.createDataFrame([(t,) for t in CMS_PROBES], "token string")
-    prb = probes.select("token", F.explode(F.array(*[
-        F.struct(F.lit(r).alias("r"), bucket(F.col("token"), r).alias("b"))
-        for r in range(CMS_ROWS)])).alias("rb")).select("token", "rb.r", "rb.b")
-    est = (prb.join(F.broadcast(merged), ["r", "b"], "left")
-           .groupBy("token")
-           .agg(F.min(F.coalesce("total", F.lit(0))).alias("cms_est")))
 
-    tru = (probes.join(toks.groupBy("tok").agg(F.count("*").alias("cnt")),
-                       probes.token == F.col("tok"), "left")
-           .select("token", F.coalesce("cnt", F.lit(0)).alias("true_cnt")))
-    n = toks.agg(F.count("*").alias("n_tokens"))
-    return (est.join(tru, "token").crossJoin(F.broadcast(n))
-            .select("token",
-                    F.col("cms_est").cast("bigint").alias("cms_est"),
-                    F.col("true_cnt").cast("bigint").alias("true_cnt"),
-                    (F.col("cms_est") - F.col("true_cnt")).cast("bigint")
-                     .alias("overcount"),
-                    (F.col("cms_est") >= F.col("true_cnt")).cast("int")
-                     .alias("ok_lower"),
-                    ((F.col("cms_est") - F.col("true_cnt"))
-                     <= 3 * F.col("n_tokens") / CMS_WIDTH).cast("int")
-                     .alias("ok_bound")))
