@@ -681,3 +681,82 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (-F.col("b.neg")).cast("bigint").alias("best_doc_id"),
                     F.col("b.n_chars").cast("bigint").alias("best_n_chars"),
                     F.col("n_members").cast("bigint").alias("n_members")))
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-span statistics (the scalable form of exact substring dedup).
+# ---------------------------------------------------------------------------
+
+SPAN_N = 4             # span length in tokens; production runs ~50
+
+
+@register(
+    "dedup_span_stats",
+    oracle=f"""
+WITH sp AS (
+  SELECT doc_id, unnest({token_ngrams_sql(tokens_sql('text'), SPAN_N)}) AS g
+  FROM documents
+), cnt AS (
+  SELECT g, COUNT(*) AS c FROM sp GROUP BY g
+), per AS (
+  SELECT sp.doc_id,
+         COUNT(*) AS n_spans,
+         CAST(SUM(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+  FROM sp JOIN cnt USING (g)
+  GROUP BY sp.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(per.n_spans, 0) AS n_spans,
+       COALESCE(per.n_dup_spans, 0) AS n_dup_spans,
+       ROUND(CAST(COALESCE(per.n_dup_spans, 0) AS DOUBLE)
+             / greatest(COALESCE(per.n_spans, 0), 1), 6) AS dup_span_ratio
+FROM documents d LEFT JOIN per USING (doc_id)
+""",
+    description=f"per-document duplicated token-{SPAN_N}-span statistics "
+                "(fixed-window exact substring dedup)",
+    tags=("dedup", "text", "agg"),
+)
+def dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-SPAN detection — the fixed-window form of
+    exact substring deduplication (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): any token window of length
+    ``SPAN_N`` occurring more than once in the corpus (across documents
+    OR repeated within one) marks its covering documents. Document-level
+    dedup misses this entirely — boilerplate headers, license blocks,
+    and quoted passages duplicate text between documents that are
+    globally unique. Emits per-document span counts and the duplicated
+    fraction, the signal a curation pipeline thresholds on (or feeds to
+    a span-removal rewrite). ``SPAN_N`` is 4 against the tiny synthetic
+    vocabulary; production uses ~50-token windows.
+
+    Scale: the suffix-array construction in the paper is replaced by the
+    MapReduce-friendly fixed-window plan — explode spans map-side, ONE
+    shuffle counts them, one gram-keyed shuffle join marks each
+    occurrence, per-doc re-aggregation map-side combines. No driver
+    state, no quadratic candidate set (counting touches each occurrence
+    once, however hot the span). At 100 TB the join key would be
+    ``hex64(g)`` instead of the raw string (the md5-portable helpers) to
+    cut shuffle width; kept raw here so the oracle stays a plain SQL
+    twin. The trailing LEFT JOIN keeps sub-``SPAN_N`` documents in the
+    result (ratio 0) — the corpus scan side is the broadcastable
+    doc_id projection only when the per-doc agg is large, and Catalyst
+    picks that direction itself.
+    """
+    d = Catalog(spark, sf_dir).documents
+    sp = d.select("doc_id",
+                  F.explode(token_ngrams(tokens("text"), SPAN_N)).alias("g"))
+    cnt = sp.groupBy("g").agg(F.count("*").alias("c"))
+    per = (sp.join(cnt, "g")
+           .groupBy("doc_id")
+           .agg(F.count("*").alias("n_spans"),
+                F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+                 .cast("bigint").alias("n_dup_spans")))
+    n_spans = F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint")
+    n_dup = F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("bigint")
+    return (d.select("doc_id").join(per, "doc_id", "left")
+            .select("doc_id",
+                    n_spans.alias("n_spans"),
+                    n_dup.alias("n_dup_spans"),
+                    F.round(n_dup.cast("double")
+                            / F.greatest(n_spans, F.lit(1)), 6)
+                     .alias("dup_span_ratio")))

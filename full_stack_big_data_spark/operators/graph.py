@@ -151,3 +151,107 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("bigint").alias("r"))
         ).persist()
     return r.select(F.col("u").alias("user_id"), F.col("r").alias("rank_fp"))
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-oriented — the MPC-scalable orientation).
+# ---------------------------------------------------------------------------
+
+_UND_SQL = """
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM (
+    SELECT user_id AS src,
+           lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+    FROM events)
+  WHERE dst IS NOT NULL AND dst <> src
+"""
+
+
+@register(
+    "q_triangle_count",
+    oracle=f"""
+WITH und AS ({_UND_SQL}),
+deg AS (
+  SELECT u, COUNT(*) AS deg
+  FROM (SELECT a AS u FROM und UNION ALL SELECT b FROM und) GROUP BY u
+),
+tri AS (
+  SELECT COUNT(*) AS t
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+wed AS (SELECT CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS w FROM deg)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM und) AS n_edges,
+       CAST(t AS BIGINT) AS n_triangles,
+       w AS n_wedges,
+       ROUND(CAST(3 * t AS DOUBLE) / greatest(w, 1), 6) AS clustering
+FROM tri CROSS JOIN wed
+""",
+    description="degree-oriented triangle count + global clustering "
+                "coefficient over the event succession graph",
+    tags=("graph", "join"),
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count and global clustering coefficient of the
+    (undirected) event-succession graph.
+
+    Scale: the naive three-way edge self-join explodes on hot nodes — a
+    degree-d vertex contributes C(d,2) wedge rows, quadratic on the
+    celebrity nodes every real graph has. The classic fix (compact-
+    forward / MPC triangle counting) is DEGREE ORIENTATION: point every
+    edge from its (deg, id)-smaller endpoint to the larger, making the
+    graph a DAG where each triangle has exactly one apex and every
+    vertex's OUT-degree is bounded by O(√m) (arboricity) — the wedge
+    join then fans out quadratically only in out-degree, never in raw
+    degree. The oracle stays the brute a<b<c three-way join, so the
+    orientation's exactness (not just its speed) is what's checked.
+    Exchanges: degree agg, orientation join, wedge self-join keyed by
+    apex, and one wedge↔edge semi-join — all hash-partitioned,
+    map-side combinable where aggregating, no cartesian anywhere.
+    """
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    dir_edges = (
+        ev.select(F.col("user_id").alias("src"),
+                  F.lead("user_id").over(w).alias("dst"))
+        .where(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+    )
+    und = (dir_edges
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .distinct().persist())
+    deg = (und.select(F.col("a").alias("u"))
+           .unionAll(und.select(F.col("b").alias("u")))
+           .groupBy("u").agg(F.count("*").alias("deg")))
+    # orient: (deg, id)-smaller endpoint -> larger; carry head's key for
+    # the wedge ordering below
+    ed = (und
+          .join(deg.select(F.col("u").alias("a"), F.col("deg").alias("da")), "a")
+          .join(deg.select(F.col("u").alias("b"), F.col("deg").alias("db")), "b"))
+    a_first = (F.col("da") < F.col("db")) | \
+              ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    o = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).persist()
+    o1 = o.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    o2 = o.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    wedge_lt = (F.col("d1") < F.col("d2")) | \
+               ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    wedges = o1.join(o2, "u").where(wedge_lt).select("v1", "v2")
+    closing = o.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = (wedges.join(closing, ["v1", "v2"], "left_semi")
+           .agg(F.count("*").cast("bigint").alias("n_triangles")))
+    n_nodes = deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
+    n_edges = und.agg(F.count("*").cast("bigint").alias("n_edges"))
+    wed = deg.agg(F.sum(F.expr("(deg * (deg - 1)) div 2"))
+                  .cast("bigint").alias("n_wedges"))
+    return (n_nodes.crossJoin(F.broadcast(n_edges))
+            .crossJoin(F.broadcast(tri))
+            .crossJoin(F.broadcast(wed))
+            .select("n_nodes", "n_edges", "n_triangles", "n_wedges",
+                    F.round((3 * F.col("n_triangles")).cast("double")
+                            / F.greatest(F.col("n_wedges"), F.lit(1)), 6)
+                     .alias("clustering")))

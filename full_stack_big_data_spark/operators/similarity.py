@@ -1210,3 +1210,192 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
                          TOP_K, F.col("vec_id"))
             .select("query_id", F.col("rank").cast("bigint").alias("rank"),
                     F.col("vec_id").alias("neighbor_id"), "adc_x"))
+
+
+# ---------------------------------------------------------------------------
+# Power iteration: the top principal direction of the embedding cloud.
+# ---------------------------------------------------------------------------
+
+POWER_ITERS = 3
+
+
+def _pca_prefix() -> str:
+    """Shared CTE chain replaying the integer power-iteration steps —
+    same quantization, same trunc-division rescale, exact arithmetic.
+    Ends with ``fin(v, n2)``: the final direction and its squared norm.
+    Used by the direction oracle and the projection oracle so the
+    learned direction cannot diverge between them."""
+    ones = ", ".join("1" for _ in range(SRP_DIM))
+    parts = [f"""
+WITH eq AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> CAST(FLOOR(x * 100) AS BIGINT)) AS x
+  FROM embeddings
+), it0 AS (SELECT [{ones}]::BIGINT[] AS v)"""]
+    prev = "it0"
+    for k in range(1, POWER_ITERS + 1):
+        y_cols = ", ".join(
+            f"CAST(SUM(dot * x[{i + 1}]) AS BIGINT)" for i in range(SRP_DIM))
+        parts.append(f""", d{k} AS (
+  SELECT x,
+         list_sum(list_transform(range(1, {SRP_DIM + 1}), i -> x[i] * v[i])) AS dot
+  FROM eq CROSS JOIN {prev}
+), y{k} AS (
+  SELECT [{y_cols}] AS y FROM d{k}
+), it{k} AS (
+  SELECT list_transform(y, e -> (e * 100 - (e * 100) % m) // m) AS v
+  FROM (SELECT y,
+               greatest(list_max(list_transform(y, e -> abs(e))), 1) AS m
+        FROM y{k})
+)""")
+        prev = f"it{k}"
+    parts.append(f""", fin AS (
+  SELECT v,
+         greatest(CAST(list_sum(list_transform(v, e -> e * e)) AS BIGINT), 1) AS n2
+  FROM {prev}
+)""")
+    return "".join(parts)
+
+
+def _pca_oracle() -> str:
+    return _pca_prefix() + f"""
+SELECT CAST(u.i - 1 AS INTEGER) AS dim,
+       v[u.i] AS component_q,
+       ROUND(v[u.i] / sqrt(n2), 6) AS component
+FROM fin, UNNEST(range(1, {SRP_DIM + 1})) AS u(i)"""
+
+
+@register(
+    "emb_pca_power_iter",
+    oracle=_pca_oracle(),
+    description=f"top principal direction of the embedding cloud: "
+                f"{POWER_ITERS} integer power-iteration steps, exact in any "
+                "partitioning",
+    tags=("similarity", "linalg", "agg"),
+)
+def emb_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top spectral direction of the embedding second-moment matrix by
+    power iteration — the step behind embedding whitening, ABTT
+    ("all-but-the-top" post-processing), and PCA-guided dimension
+    reduction in curation pipelines. Each iteration computes
+    y = Σᵣ (xᵣ·v)·xᵣ without ever materializing the dim×dim covariance:
+    one pass over the corpus, a dim-vector of partial sums per task.
+
+    Determinism (the ``emb_kmeans_step`` convention, taken further):
+    vectors are floor(x·100) integer-quantized, v starts at all-ones,
+    and after every iteration v is rescaled to max-abs 100 by
+    TRUNC-division on integers (remainder subtracted first, so Spark's
+    truncating ``div`` and DuckDB's flooring ``//`` agree exactly) —
+    every number in the loop is an integer, exact in ANY partitioning
+    and summation order. Floats appear only in the final unit-norm
+    display column (sqrt and one division, both IEEE
+    correctly-rounded). Exactness bound: |y_i·100| ≤ N·64·53·100·100
+    must stay under 2⁶³ — holds to N ≈ 5·10⁹ vectors at this corpus's
+    |x| ≤ 0.53; a larger corpus drops the rescale target (100 → 10)
+    or the quantization scale.
+
+    Scale: ``POWER_ITERS`` scans of the persisted quantized corpus,
+    each a map-side dot product + 64 map-side-combinable scalar SUMs
+    into a 1-row result — no shuffle of vector data at all; v moves
+    between iterations as a 1-row broadcast. The convergence-iteration
+    count is the ``q_pagerank`` precedent (fixed steps = deterministic,
+    oracle-checkable; more iterations is repetition, and each adds one
+    scan).
+    """
+    eq = _pca_quantized(spark, sf_dir).persist()
+    vdf = _power_direction(eq)
+    return (vdf.select(F.posexplode("v").alias("dim", "component_q"), "n2")
+            .select(F.col("dim").cast("int").alias("dim"),
+                    "component_q",
+                    F.round(F.col("component_q") / F.sqrt("n2"), 6)
+                     .alias("component")))
+
+
+def _pca_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, x): the floor(x·100) integer quantization of the corpus."""
+    e = Catalog(spark, sf_dir).embeddings
+    xq = F.transform(F.col("embedding").cast("array<double>"),
+                     lambda c: F.floor(c * 100).cast("long"))
+    return e.select("vec_id", xq.alias("x"))
+
+
+def _dot_v(x="x", v="v"):
+    """Integer dot product of two long-array columns (exact, any order)."""
+    return F.aggregate(F.zip_with(x, v, lambda a, b: a * b),
+                       F.lit(0).cast("long"), lambda acc, t: acc + t)
+
+
+def _power_direction(eq: DataFrame) -> DataFrame:
+    """Run the POWER_ITERS integer power-iteration loop over ``eq.x``;
+    returns a 1-row frame (v: array<long>, n2: long) — the final
+    direction and its squared norm. Shared by the direction query and
+    the projection query (the twin of the oracle's ``_pca_prefix``).
+
+    Each iteration's 1-row v is materialized to engine scratch parquet
+    (the ``q_pagerank`` persist-per-iteration idea taken one step
+    further, ``wire``-module precedent for the write): WITHOUT lineage
+    truncation the next iteration's plan embeds the previous one — the
+    64-wide aggregate nests three deep and the generated code blew a
+    default-sized driver heap (caught by the vanilla-session verify
+    sweep). Writing 1 row per iteration costs nothing at any scale and
+    keeps every iteration's plan the same small shape.
+    """
+    from ..engine.scratch import scratch_dir
+
+    spark = eq.sparkSession
+    vdf = spark.range(1).select(
+        F.array([F.lit(1).cast("long")] * SRP_DIM).alias("v"))
+    for it in range(POWER_ITERS):
+        d = (eq.crossJoin(F.broadcast(vdf))
+             .select("x", _dot_v().alias("dot")))
+        y = d.agg(*[F.sum(F.col("dot") * F.col("x")[i]).cast("long")
+                    .alias(f"y{i}") for i in range(SRP_DIM)])
+        m = F.greatest(*[F.abs(F.col(f"y{i}")) for i in range(SRP_DIM)],
+                       F.lit(1).cast("long"))
+        vdf = y.withColumn("m", m).select(
+            F.array(*[F.expr(f"(y{i} * 100 - ((y{i} * 100) % m)) div m")
+                      for i in range(SRP_DIM)]).alias("v"))
+        path = scratch_dir(f"fsbd_pca_v{it}_")
+        vdf.write.mode("overwrite").parquet(path)
+        vdf = spark.read.parquet(path)
+    n2 = F.greatest(
+        F.aggregate("v", F.lit(0).cast("long"), lambda acc, t: acc + t * t),
+        F.lit(1).cast("long"))
+    return vdf.select("v", n2.alias("n2"))
+
+
+@register(
+    "emb_pca_project",
+    oracle=_pca_prefix() + f"""
+SELECT eq.vec_id,
+       CAST(list_sum(list_transform(range(1, {SRP_DIM + 1}),
+                                    i -> x[i] * v[i])) AS BIGINT) AS proj_q,
+       ROUND(CAST(list_sum(list_transform(range(1, {SRP_DIM + 1}),
+                                          i -> x[i] * v[i])) AS BIGINT)
+             / (100 * sqrt(n2)), 6) AS proj
+FROM eq CROSS JOIN fin
+""",
+    description="per-vector projection onto the power-iteration principal "
+                "direction (the whitening / ABTT application step)",
+    tags=("similarity", "linalg", "map-only"),
+)
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned spectral direction: every vector's scalar
+    projection onto v̂ — the feature a whitening/ABTT step subtracts
+    and an outlier screen thresholds. ``proj`` is in original embedding
+    units ((x·v)/(100·|v|), undoing the floor(x·100) quantization
+    scale); ``proj_q`` is the exact integer dot against the integer
+    direction, the portable value.
+
+    Scale: the direction is the ``POWER_ITERS``-scan training pass
+    (:func:`_power_direction`, shared with ``emb_pca_power_iter``);
+    application is ONE more map-only pass — corpus ⨯ broadcast 1-row v,
+    an integer dot per vector, zero shuffles.
+    """
+    eq = _pca_quantized(spark, sf_dir).persist()
+    vdf = _power_direction(eq.select("x"))
+    return (eq.crossJoin(F.broadcast(vdf))
+            .select("vec_id",
+                    _dot_v().alias("proj_q"),
+                    F.round(_dot_v() / (100 * F.sqrt("n2")), 6)
+                     .alias("proj")))

@@ -14,8 +14,8 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..engine.catalog import Catalog
 from ..functions.text import (
-    STOPWORDS_BY_LANG, char_ngrams, char_ngrams_sql, token_ngrams, tokens,
-    tokens_sql,
+    STOPWORDS_BY_LANG, char_ngrams, char_ngrams_sql, token_ngrams,
+    token_ngrams_sql, tokens, tokens_sql,
 )
 from .registry import register
 
@@ -682,3 +682,163 @@ def text_quality_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_docs"),
                  F.sum(kept).alias("n_kept"),
                  F.sum(kept * F.col("n_chars")).alias("chars_kept")))
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training: the pair-count/merge-decision step.
+# ---------------------------------------------------------------------------
+
+BPE_TOP_PAIRS = 20
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=f"""
+WITH wc AS (
+  SELECT g AS word, COUNT(*) AS cnt
+  FROM documents, UNNEST({tokens_sql('text')}) AS u(g)
+  GROUP BY g
+), pairs AS (
+  SELECT unnest({char_ngrams_sql("word || '_'", 2)}) AS pair, cnt FROM wc
+), agg AS (
+  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS cnt FROM pairs GROUP BY pair
+), ranked AS (
+  SELECT pair, cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank
+  FROM agg
+)
+SELECT rank, pair, cnt FROM ranked WHERE rank <= {BPE_TOP_PAIRS}
+""",
+    description=f"BPE training step: corpus-weighted adjacent-symbol pair "
+                f"counts, top-{BPE_TOP_PAIRS} merge candidates",
+    tags=("text", "vocab", "agg"),
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE tokenizer-training step: count adjacent symbol pairs over
+    the corpus (char level, ``_`` as the end-of-word marker) and rank
+    the merge candidates — rank 1 IS the next BPE merge. A full
+    training run iterates this with the chosen merge applied to the
+    symbol sequences (the ``emb_kmeans_step``/``q_pagerank`` precedent:
+    one deterministic oracle-checkable step is the registry unit; the
+    loop is repetition).
+
+    Scale: this is why real BPE trainers (SentencePiece, HF tokenizers)
+    are feasible at all — pair counting runs over the DISTINCT-WORD
+    table weighted by word frequency, not over the corpus. The corpus
+    is touched exactly once (the word count, one shuffle, map-side
+    combinable); the pair explode and second shuffle see only the
+    Heaps-law vocabulary (≪ corpus, and it only shrinks as merges
+    apply). Top-K is TakeOrderedAndProject; the rank window runs over K
+    rows (bounded 1P, ``vocab_build`` precedent).
+    """
+    d = Catalog(spark, sf_dir).documents
+    wc = (d.select(F.explode(tokens("text")).alias("word"))
+          .groupBy("word").agg(F.count("*").alias("cnt")))
+    pairs = wc.select(
+        F.explode(char_ngrams(F.concat(F.col("word"), F.lit("_")), 2))
+         .alias("pair"),
+        "cnt")
+    agg = pairs.groupBy("pair").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    top = agg.orderBy(F.col("cnt").desc(), "pair").limit(BPE_TOP_PAIRS)
+    w = Window.orderBy(F.col("cnt").desc(), "pair")
+    return (top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .select("rank", "pair", "cnt"))
+
+
+# ---------------------------------------------------------------------------
+# N-gram LM document scoring (the perplexity-filter step).
+# ---------------------------------------------------------------------------
+
+LM_QUANT = 1000   # per-bigram log-prob quantized to 1e-3
+
+
+@register(
+    "text_lm_score",
+    oracle=f"""
+WITH bg AS (
+  SELECT doc_id, g, string_split(g, ' ')[1] AS w1
+  FROM (SELECT doc_id,
+               unnest({token_ngrams_sql(tokens_sql('text'), 2)}) AS g
+        FROM documents)
+), uni AS (
+  SELECT g AS w, COUNT(*) AS c1
+  FROM documents, UNNEST({tokens_sql('text')}) AS u(g)
+  GROUP BY g
+), vv AS (
+  SELECT COUNT(*) AS v FROM uni
+), bgc AS (
+  SELECT g, COUNT(*) AS c12 FROM bg GROUP BY g
+), scored AS (
+  SELECT bg.doc_id,
+         CAST(FLOOR({LM_QUANT} * ln((bgc.c12 + 1.0) / (uni.c1 + vv.v)))
+              AS BIGINT) AS qlp
+  FROM bg JOIN bgc USING (g) JOIN uni ON bg.w1 = uni.w CROSS JOIN vv
+), per AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         CAST(SUM(qlp) AS BIGINT) AS sum_qlogp
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(per.n_bigrams, 0) AS n_bigrams,
+       COALESCE(per.sum_qlogp, 0) AS sum_qlogp,
+       CASE WHEN per.n_bigrams > 0
+            THEN ROUND(CAST(per.sum_qlogp AS DOUBLE)
+                       / ({LM_QUANT} * per.n_bigrams), 6)
+       END AS avg_logprob
+FROM documents d LEFT JOIN per USING (doc_id)
+""",
+    description="add-one-smoothed bigram-LM document scoring (quantized "
+                "log-probs), the perplexity-filter step",
+    tags=("text", "ngram", "agg"),
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document under a bigram LM trained on the corpus
+    itself — the CCNet/Gopher perplexity-filtering step (there a KenLM
+    5-gram; the estimator here is add-one-smoothed
+    p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V), same plan shape). Low
+    ``avg_logprob`` = improbable token transitions = the documents a
+    perplexity threshold drops.
+
+    Determinism: each per-bigram log-prob is quantized to 1e-3
+    (``floor(1000·ln p)``) BEFORE summation, so cross-engine agreement
+    needs only that both ``ln``s (≤1 ulp apart on identical rational
+    inputs — the division is correctly rounded in both) land in the
+    same 1e-3 cell; the per-doc sum is then exact integer arithmetic in
+    any order (the ``emb_kmeans_step`` convention), and the final
+    average divides two exact integers.
+
+    Scale: the LM "training" (unigram+bigram counts) is two map-side
+    combinable shuffles; scoring re-joins each bigram occurrence to its
+    counts — gram-keyed shuffle joins, the exact shape of the
+    ``dedup_span_stats`` mark-join (at 100 TB the LM tables would
+    instead be trained once, truncated to a vocabulary, and broadcast —
+    the counts-join-back shape here is the self-trained variant). V is
+    a 1-row broadcast. The per-doc re-aggregation map-side combines.
+    """
+    d = Catalog(spark, sf_dir).documents
+    tok = tokens("text")
+    bg = (d.select("doc_id", F.explode(token_ngrams(tok, 2)).alias("g"))
+          .withColumn("w1", F.split("g", " ")[0]))
+    uni = (d.select(F.explode(tok).alias("w"))
+           .groupBy("w").agg(F.count("*").alias("c1")))
+    vv = uni.agg(F.count("*").alias("v"))
+    bgc = bg.groupBy("g").agg(F.count("*").alias("c12"))
+    qlp = F.floor(LM_QUANT * F.log((F.col("c12") + F.lit(1.0))
+                                   / (F.col("c1") + F.col("v")))).cast("bigint")
+    scored = (bg.join(bgc, "g")
+              .join(uni, bg["w1"] == uni["w"])
+              .crossJoin(F.broadcast(vv))
+              .select("doc_id", qlp.alias("qlp")))
+    per = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("qlp").cast("bigint").alias("sum_qlogp"))
+    n_bg = F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint")
+    return (d.select("doc_id").join(per, "doc_id", "left")
+            .select("doc_id",
+                    n_bg.alias("n_bigrams"),
+                    F.coalesce(F.col("sum_qlogp"), F.lit(0)).cast("bigint")
+                     .alias("sum_qlogp"),
+                    F.when(F.col("n_bigrams") > 0,
+                           F.round(F.col("sum_qlogp").cast("double")
+                                   / (LM_QUANT * F.col("n_bigrams")), 6))
+                     .alias("avg_logprob")))
