@@ -760,3 +760,83 @@ def dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(n_dup.cast("double")
                             / F.greatest(n_spans, F.lit(1)), 6)
                      .alias("dup_span_ratio")))
+
+
+@register(
+    "dedup_span_rewrite",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {tokens_sql('text')} AS tok FROM documents
+), sp AS (
+  SELECT t.doc_id, r.i - 1 AS p0, g[r.i] AS gram
+  FROM (SELECT doc_id, {token_ngrams_sql(tokens_sql('text'), SPAN_N)} AS g
+        FROM documents) t,
+       UNNEST(range(1, len(t.g) + 1)) AS r(i)
+), cnt AS (
+  SELECT gram, COUNT(*) AS c FROM sp GROUP BY gram
+), covered AS (
+  SELECT DISTINCT sp.doc_id, sp.p0 + rk.k AS p
+  FROM sp JOIN cnt USING (gram), UNNEST(range(0, {SPAN_N})) AS rk(k)
+  WHERE cnt.c >= 2
+), pos AS (
+  SELECT toks.doc_id, r.i - 1 AS p, tok[r.i] AS tokval
+  FROM toks, UNNEST(range(1, len(tok) + 1)) AS r(i)
+), keptpos AS (
+  SELECT pos.doc_id, pos.p, pos.tokval
+  FROM pos LEFT JOIN covered ON pos.doc_id = covered.doc_id AND pos.p = covered.p
+  WHERE covered.p IS NULL
+), kept AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tokval, ' ' ORDER BY p) AS clean
+  FROM keptpos GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.tok) AS BIGINT) AS n_tokens,
+       CAST(len(t.tok) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+       md5(COALESCE(k.clean, '')) AS clean_fp
+FROM toks t LEFT JOIN kept k USING (doc_id)
+""",
+    description=f"span-removal rewrite: drop every token covered by a "
+                f"corpus-duplicated {SPAN_N}-token span, fingerprint the rest",
+    tags=("dedup", "text", "custom"),
+)
+def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLICATION step of :func:`dedup_span_stats`: rewrite each
+    document with every token covered by a corpus-duplicated span
+    removed (what exact substring dedup actually does to training data
+    — Lee et al. cut the duplicated bytes, not the whole document).
+    Emits per-document kept/removed counts and the md5 fingerprint of
+    the cleaned token stream, so the oracle checks the REWRITTEN TEXT
+    itself, not just the bookkeeping.
+
+    Scale: spans explode map-side with their position; one shuffle
+    counts them; the mark-join is gram-keyed (``dedup_span_stats``'s
+    shape); covered positions explode at most SPAN_N× the duplicated
+    spans, collapse through a distinct, and re-aggregate into a per-doc
+    position set whose size is bounded by DOCUMENT LENGTH — never
+    corpus-sized state. The rewrite itself is a map-side lambda filter
+    over the token array (position ∉ covered set), no Python anywhere.
+    """
+    d = Catalog(spark, sf_dir).documents
+    tok = tokens("text")
+    toks = d.select("doc_id", tok.alias("tok"))
+    sp = toks.select(
+        "doc_id", F.posexplode(token_ngrams(F.col("tok"), SPAN_N))
+        .alias("p0", "gram"))
+    cnt = sp.groupBy("gram").agg(F.count("*").alias("c"))
+    covered = (sp.join(cnt, "gram").where(F.col("c") >= 2)
+               .select("doc_id",
+                       F.explode(F.sequence(F.col("p0"),
+                                            F.col("p0") + (SPAN_N - 1)))
+                       .alias("p"))
+               .distinct()
+               .groupBy("doc_id").agg(F.collect_set("p").alias("cov")))
+    cov = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    kept = F.filter(F.col("tok"),
+                    lambda t, i: ~F.array_contains(cov, i.cast("int")))
+    return (toks.join(covered, "doc_id", "left")
+            .select("doc_id",
+                    F.size("tok").cast("bigint").alias("n_tokens"),
+                    (F.size("tok") - F.size(kept)).cast("bigint")
+                    .alias("n_removed"),
+                    F.md5(F.concat_ws(" ", kept)).alias("clean_fp")))

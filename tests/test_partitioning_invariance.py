@@ -39,6 +39,7 @@ QUERIES = [
     "emb_pq_encode",           # map-only integer codes
     "ann_pq_adc",              # LUT-join partial sums + salted top-k
     "dedup_span_stats",        # gram-keyed mark-join + per-doc re-agg
+    "dedup_span_rewrite",      # covered-position set + ordered rebuild
     "text_lm_score",           # pre-quantized log-prob integer sums
     "emb_pca_power_iter",      # iterated integer matvec + trunc rescale
     "q_triangle_count",        # degree-oriented wedge join
