@@ -503,3 +503,85 @@ def q_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (dau.join(wau, "day")
             .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
                     "dau", "wau"))
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline) — the multi-objective curation filter.
+# ---------------------------------------------------------------------------
+
+SKYLINE_BUCKETS = 32
+
+
+@register(
+    "q_skyline_2d",
+    oracle="""
+WITH pts0 AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS d1,
+         len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''))) AS d2
+  FROM documents
+), pts AS (
+  SELECT d1, d2, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         MIN(doc_id) AS example_doc_id
+  FROM pts0 GROUP BY d1, d2
+)
+SELECT CAST(d1 AS BIGINT) AS n_tokens, CAST(d2 AS BIGINT) AS n_distinct,
+       n_docs, example_doc_id
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.d1 >= p.d1 AND q.d2 >= p.d2 AND (q.d1 > p.d1 OR q.d2 > p.d2))
+""",
+    description="2-D Pareto frontier (skyline) of documents on "
+                "(token count, distinct-token count), bucketed two-phase",
+    tags=("analytics", "custom"),
+)
+def q_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-objective curation filter: the Pareto frontier of documents
+    over two quality axes — no kept point is beaten on BOTH token count
+    and vocabulary richness. Single-axis thresholds (the
+    ``text_quality_stratified`` shape) trade the axes off by fiat; the
+    skyline is the "no-regret" candidate set a curator tunes between.
+
+    Scale (the distributive-skyline plan): (1) collapse the corpus to
+    DISTINCT value pairs (one map-side-combinable shuffle — the pair
+    table, not the corpus, is what skyline cost depends on); (2) LOCAL
+    frontier per hash bucket via one sorted window (dominated iff a
+    preceding pair in (d1 desc, d2 desc) order carries d2 ≥ mine —
+    exact for distinct pairs). Filtering is safe because skyline is
+    distributive: a global-frontier point is undominated in every
+    subset. (3) GLOBAL frontier over the ≤ buckets·frontier survivors
+    — the one unbucketed window runs on the reduced set, the standard
+    two-phase skyline; adversarially anti-correlated data degrades
+    that bound and would take a third phase, noted not needed here.
+    The bucket hash never reaches results (engine-local ``xxhash64``
+    is fine — any bucketing yields the same frontier).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    d = Catalog(spark, sf_dir).documents
+    tok = tokens("text")
+    pts = (d.select("doc_id",
+                    F.size(tok).cast("bigint").alias("d1"),
+                    F.size(F.array_distinct(tok)).cast("bigint").alias("d2"))
+           .groupBy("d1", "d2")
+           .agg(F.count("*").cast("bigint").alias("n_docs"),
+                F.min("doc_id").alias("example_doc_id")))
+    prec = Window.orderBy(F.col("d1").desc(), F.col("d2").desc()) \
+                 .rowsBetween(Window.unboundedPreceding, -1)
+    local_w = Window.partitionBy("bucket") \
+                    .orderBy(F.col("d1").desc(), F.col("d2").desc()) \
+                    .rowsBetween(Window.unboundedPreceding, -1)
+    local = (pts.withColumn("bucket",
+                            F.pmod(F.xxhash64("d1", "d2"),
+                                   F.lit(SKYLINE_BUCKETS)))
+             .withColumn("mx", F.max("d2").over(local_w))
+             .where(F.col("mx").isNull() | (F.col("mx") < F.col("d2")))
+             .drop("bucket", "mx"))
+    return (local.withColumn("mx", F.max("d2").over(prec))
+            .where(F.col("mx").isNull() | (F.col("mx") < F.col("d2")))
+            .select(F.col("d1").alias("n_tokens"),
+                    F.col("d2").alias("n_distinct"),
+                    "n_docs", "example_doc_id"))

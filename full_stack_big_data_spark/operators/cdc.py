@@ -315,3 +315,71 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("value", 6).alias("last_value"),
                     F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
                      .alias("last_ts")))
+
+
+CDC_AS_OF = 1   # time-travel target: state after the version-1 wave
+
+
+@register(
+    "q_cdc_snapshot_at",
+    oracle=f"""
+WITH snap AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(o_totalprice AS DECIMAL(18,4)) AS price,
+         0 AS version, 'I' AS op
+  FROM orders
+), chg AS (
+  SELECT k, 'U1' AS status, CAST(price + 50 AS DECIMAL(18,4)) AS price,
+         1 AS version, 'U' AS op
+  FROM snap WHERE k % {CDC_UPD_MOD} = 1
+  UNION ALL
+  SELECT k, 'U2', CAST(price + 100 AS DECIMAL(18,4)), 2, 'U'
+  FROM snap WHERE k % {CDC_UPD_MOD} = 1
+  UNION ALL
+  SELECT k, CAST(NULL AS VARCHAR), CAST(NULL AS DECIMAL(18,4)), 1, 'D'
+  FROM snap WHERE k % {CDC_DEL_MOD} = 0
+  UNION ALL
+  SELECT k + {CDC_INS_OFFSET}, 'N', price, 1, 'I'
+  FROM snap WHERE k % {CDC_INS_MOD} = 3
+), log AS (
+  SELECT * FROM snap UNION ALL SELECT * FROM chg
+), latest AS (
+  SELECT k, status, price, op,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+  FROM log WHERE version <= {CDC_AS_OF}
+)
+SELECT k AS orderkey, status, CAST(price AS DOUBLE) AS total_price
+FROM latest WHERE rn = 1 AND op <> 'D'
+""",
+    description=f"time travel: reconstruct table state AS OF changelog "
+                f"version {CDC_AS_OF} (before the version-2 update wave)",
+    tags=("relational", "cdc", "merge"),
+)
+def q_cdc_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel read over the changelog — the ``VERSION AS OF``
+    query a table format (Delta/Iceberg/Hudi) answers from its commit
+    log, answered here directly from the CDC event stream: filter the
+    log to versions ≤ T, then the same latest-wins merge as
+    :func:`q_cdc_merge`. At version 1 the first update wave and the
+    tombstones are visible but the version-2 wave is not, so the result
+    provably differs from both the base snapshot and the final state
+    (U1 statuses survive only here).
+
+    Scale: identical plan to ``q_cdc_merge`` — the version predicate
+    pushes into the log scan (on a version-partitioned changelog it
+    prunes whole files), then ONE hash exchange with ``max_by``
+    map-side combine. Time travel costs nothing beyond the merge.
+    """
+    snap, chg = _cdc_fixture(spark, sf_dir)
+    merged = (
+        snap.unionByName(chg)
+        .where(F.col("version") <= CDC_AS_OF)
+        .groupBy("k")
+        .agg(F.max_by(F.struct("status", "price", "op"), "version").alias("r"))
+        .where(F.col("r.op") != "D")
+    )
+    return merged.select(
+        F.col("k").alias("orderkey"),
+        F.col("r.status").alias("status"),
+        F.col("r.price").cast("double").alias("total_price"),
+    )

@@ -258,6 +258,46 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_join_full_outer",
+    oracle="""
+WITH od AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+), ld AS (
+  SELECT strftime(l_shipdate, '%Y-%m-%d') AS d, COUNT(*) AS n_shipped
+  FROM lineitem GROUP BY 1
+)
+SELECT COALESCE(od.d, ld.d) AS d,
+       COALESCE(od.n_orders, 0) AS n_orders,
+       COALESCE(ld.n_shipped, 0) AS n_shipped
+FROM od FULL OUTER JOIN ld ON od.d = ld.d
+""",
+    description="full outer join: daily order starts vs daily shipments, "
+                "each side's unmatched days preserved",
+    tags=("join",),
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the outer-join family (left/semi/anti are above): the
+    shipment calendar extends past the order calendar and vice versa, so
+    both null sides are genuinely exercised. Both inputs are pre-
+    aggregated to day grain BEFORE the full join — at scale the join is
+    calendar-sized, not fact-sized (two map-side-combinable shuffles
+    plus a tiny join), the shape a naive fact-to-fact full join misses.
+    """
+    cat = Catalog(spark, sf_dir)
+    od = (cat.orders
+          .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"))
+          .agg(F.count("*").alias("n_orders")))
+    ld = (cat.lineitem
+          .groupBy(F.date_format("l_shipdate", "yyyy-MM-dd").alias("d"))
+          .agg(F.count("*").alias("n_shipped")))
+    return (od.join(ld, od["d"] == ld["d"], "full")
+            .select(F.coalesce(od["d"], ld["d"]).alias("d"),
+                    F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+                    F.coalesce("n_shipped", F.lit(0)).alias("n_shipped")))
+
+
 # ---------------------------------------------------------------------------
 # Aggregation variants: distinct, rollup, cube.
 # ---------------------------------------------------------------------------

@@ -1399,3 +1399,64 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _dot_v().alias("proj_q"),
                     F.round(_dot_v() / (100 * F.sqrt("n2")), 6)
                      .alias("proj")))
+
+
+# ---------------------------------------------------------------------------
+# Per-cluster representative selection (coreset / diverse-subset step).
+# ---------------------------------------------------------------------------
+
+@register(
+    "emb_cell_representatives",
+    oracle=_ivf_assign_prefix() + """, mem AS (
+  SELECT c.cell, c.vec_id, d.d
+  FROM corpus c JOIN dots d ON d.vec_id = c.vec_id AND d.cell = c.cell
+), reps AS (
+  SELECT cell, vec_id, d,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY d DESC, vec_id) AS rn,
+         COUNT(*) OVER (PARTITION BY cell) AS n_members
+  FROM mem
+)
+SELECT cell, vec_id AS rep_vec_id, CAST(d AS BIGINT) AS rep_dot,
+       CAST(n_members AS BIGINT) AS n_members
+FROM reps WHERE rn = 1
+""",
+    description="diverse-subset selection: per IVF cell, the most "
+                "centroid-aligned member plus the cell population",
+    tags=("similarity", "clustering", "agg"),
+)
+def emb_cell_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreset/diverse-subset selection over the embedding cloud: one
+    representative per IVF cell — the member with the largest integer
+    dot against its cell centroid (alignment mass; on the L2-normalized
+    embeddings a real pipeline feeds this, dot IS cosine), ties to the
+    smaller vec_id — plus the cell population the sampler weights by.
+    This is the semantic-diversity counterpart of ``dedup_keep_best``:
+    keep one exemplar per REGION of embedding space rather than per
+    near-dup cluster.
+
+    Scale: assignment is the map-only Arrow-batched ``ivf_cells``
+    matmul; the dot re-uses the broadcast integer centroid table (C·dim
+    values); the per-cell argmax is ONE ``max_by`` shuffle with
+    map-side combine — state C structs per task, never a window over
+    the corpus. All arithmetic integer (the ``emb_kmeans_step``
+    convention), so the result is partitioning-invariant.
+    """
+    cents = _ivf_centroids()
+    cent_rows = [(int(j), [int(x) for x in cents[j]])
+                 for j in range(IVF_CELLS)]
+    cdf = spark.createDataFrame(cent_rows, "cell int, w array<bigint>")
+    e = Catalog(spark, sf_dir).embeddings
+    xq = F.transform(F.col("embedding").cast("array<double>"),
+                     lambda c: F.floor(c * 100).cast("long"))
+    assigned = (ivf_cells(e, probes=1)
+                .select("vec_id", F.col("cells")[0].alias("cell"),
+                        xq.alias("x")))
+    j = assigned.join(F.broadcast(cdf), "cell")
+    scored = j.select("cell", "vec_id", _dot_v("x", "w").alias("d"))
+    best = F.max(F.struct(F.col("d"), (-F.col("vec_id")).alias("nid")))
+    return (scored.groupBy("cell")
+            .agg(best.alias("b"), F.count("*").alias("n_members"))
+            .select("cell",
+                    (-F.col("b.nid")).cast("bigint").alias("rep_vec_id"),
+                    F.col("b.d").cast("bigint").alias("rep_dot"),
+                    F.col("n_members").cast("bigint").alias("n_members")))

@@ -43,6 +43,8 @@ QUERIES = [
     "text_lm_score",           # pre-quantized log-prob integer sums
     "emb_pca_power_iter",      # iterated integer matvec + trunc rescale
     "q_triangle_count",        # degree-oriented wedge join
+    "emb_cell_representatives",  # broadcast-centroid dot + max_by argmax
+    "q_skyline_2d",            # bucketed two-phase Pareto frontier
 ]
 
 
