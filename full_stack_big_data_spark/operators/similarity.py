@@ -1460,3 +1460,74 @@ def emb_cell_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (-F.col("b.nid")).cast("bigint").alias("rep_vec_id"),
                     F.col("b.d").cast("bigint").alias("rep_dot"),
                     F.col("n_members").cast("bigint").alias("n_members")))
+
+
+# ---------------------------------------------------------------------------
+# kNN-graph construction (the ANN-graph build step).
+# ---------------------------------------------------------------------------
+
+KNN_K = 5
+
+
+@register(
+    "emb_knn_graph",
+    oracle=_srp_bucket_prefix() + f""", cp AS (
+  SELECT DISTINCT a.vec_id AS src_id, x.vec_id AS neighbor_id
+  FROM b a JOIN b x ON a.table_id = x.table_id AND a.bucket = x.bucket
+                   AND a.vec_id <> x.vec_id
+), scored AS (
+  SELECT c.src_id, c.neighbor_id,
+         list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS cos
+  FROM cp c
+  JOIN embeddings ea ON ea.vec_id = c.src_id
+  JOIN embeddings eb ON eb.vec_id = c.neighbor_id
+), ranked AS (
+  SELECT src_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY src_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT src_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       ROUND(cos, 6) AS cosine
+FROM ranked WHERE rank <= {KNN_K}
+""",
+    description=f"kNN-graph build: per-vector top-{KNN_K} neighbors from "
+                "SRP bucket collisions, exact cosine re-rank",
+    tags=("similarity", "ann", "lsh"),
+)
+def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN-GRAPH construction — every vector's top-k
+    neighbor list, the artifact NN-descent refines, an HNSW base layer
+    ingests, and semantic-dedup clustering walks. ``ann_srp_lsh``
+    answers k queries; this materializes the all-vectors edge list
+    from ONE bucket self-join, which is why graph builds are batch
+    jobs, not query loops.
+
+    Scale: candidates are SRP bucket collisions carrying ids only
+    (``banded_neardup_pairs`` discipline), so cost ∝ collisions, never
+    N²; the exact-cosine verify joins each side's embedding once; the
+    top-k window partitions by src_id — CORPUS-cardinality groups, so
+    (unlike the ``ann_brute_topk`` few-queries case that needs the
+    salted two-phase) the plain window is already fully parallel.
+    Vectors whose buckets collide with fewer than k others emit fewer
+    edges — exactly the candidate set, no silent padding.
+    """
+    src = Catalog(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    buckets = (srp_buckets(src).select(
+        "vec_id", F.posexplode("buckets").alias("table_id", "bucket")))
+    cand = (buckets.select(F.col("vec_id").alias("src_id"), "table_id", "bucket")
+            .join(buckets, ["table_id", "bucket"])
+            .where(F.col("src_id") != F.col("vec_id"))
+            .select("src_id", F.col("vec_id").alias("neighbor_id"))
+            .distinct())
+    ea = src.select(F.col("vec_id").alias("src_id"), F.col("embedding").alias("emb_a"))
+    eb = src.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_b"))
+    scored = (cand.join(ea, "src_id").join(eb, "neighbor_id")
+              .select("src_id", "neighbor_id",
+                      cosine_sim(F.col("emb_a"), F.col("emb_b")).alias("cos")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("src_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rank") <= KNN_K)
+            .select("src_id", "rank", "neighbor_id",
+                    F.round("cos", 6).alias("cosine")))

@@ -334,3 +334,57 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_events"),
                  F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
                   .cast("double").alias("sum_value")))
+
+
+# ---------------------------------------------------------------------------
+# Parquet schema evolution (mergeSchema read over mixed-schema files).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_schema_evolution",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_v2,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS quality_sum
+FROM documents
+GROUP BY lang
+""",
+    description="parquet schema evolution: v1 files without + v2 files "
+                "with a new column, one mergeSchema read",
+    tags=("source", "format", "schema"),
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution, the storage property every long-lived dataset
+    hits: files written before a column existed must stay readable
+    after it is added. Half the corpus (even doc_ids) is written with
+    the v1 schema, half (odd) with v2 adding a ``quality`` column; ONE
+    ``mergeSchema`` read returns the union schema with nulls for v1
+    rows, and the aggregate pins exactly which rows carry the new
+    column — so silent column loss, misalignment, or default-filling
+    all break the hash.
+
+    Scale: mergeSchema's cost is footer sampling at planning time;
+    the data path stays a plain columnar scan with pushdown. On a
+    production lake the same contract is enforced once in the table
+    format's metadata instead of per-read (the Delta/Iceberg seam);
+    the read semantics pinned here are identical.
+    """
+    from ..engine.scratch import scratch_dir
+
+    d = Catalog(spark, sf_dir).documents
+    path = scratch_dir("fsbd_schema_evo_")
+    v1 = (d.where(F.col("doc_id") % 2 == 0)
+          .select("doc_id", "text", "lang"))
+    v2 = (d.where(F.col("doc_id") % 2 == 1)
+          .select("doc_id", "text", "lang",
+                  F.col("n_chars").cast("double").alias("quality")))
+    v1.write.mode("append").parquet(path)
+    v2.write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", True).parquet(path)
+    return (back.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.count("quality").cast("bigint").alias("n_v2"),
+                 F.coalesce(F.sum(F.col("quality").cast("bigint")), F.lit(0))
+                  .cast("bigint").alias("quality_sum")))

@@ -45,6 +45,7 @@ QUERIES = [
     "q_triangle_count",        # degree-oriented wedge join
     "emb_cell_representatives",  # broadcast-centroid dot + max_by argmax
     "q_skyline_2d",            # bucketed two-phase Pareto frontier
+    "emb_knn_graph",           # bucket-collision candidates + per-src window
 ]
 
 
