@@ -388,3 +388,62 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("quality").cast("bigint").alias("n_v2"),
                  F.coalesce(F.sum(F.col("quality").cast("bigint")), F.lit(0))
                   .cast("bigint").alias("quality_sum")))
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition overwrite (incremental partition-level correction).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_partition_overwrite_dynamic",
+    oracle="""
+WITH ev AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_id
+  FROM events
+), d0 AS (SELECT MIN(day) AS d0 FROM ev)
+SELECT day,
+       COUNT(*) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum
+FROM ev CROSS JOIN d0
+WHERE day <> d0 OR event_id % 2 = 0
+GROUP BY day
+""",
+    description="dynamic partition overwrite: rewrite ONE day's "
+                "partition, every other day provably untouched",
+    tags=("source", "storage", "partitioned"),
+)
+def q_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partition-level correction pattern every dated lake table
+    lives by: land a corrected copy of one day WITHOUT rewriting (or
+    losing) the others. The events table is written partitioned by day;
+    a correction batch containing only the earliest day (keeping even
+    event_ids) is applied with ``partitionOverwriteMode=dynamic`` —
+    only partitions PRESENT in the batch are replaced. The read-back
+    per-day aggregate pins both effects at once: day₀ holds exactly the
+    corrected rows, and every other day still holds its full id_sum —
+    static-overwrite semantics (wiping absent partitions) or an
+    append-instead-of-replace both break the hash.
+
+    Scale: the initial write shuffles once on the partition column;
+    the correction touches one partition's files; the read back prunes
+    by partition. This composes with ``compact_parquet`` (same files,
+    layout pass) and is the idempotent-backfill primitive: re-running
+    the correction batch converges to the same state.
+    """
+    from ..engine.scratch import scratch_dir
+
+    ev = (Catalog(spark, sf_dir).events
+          .select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_id"))
+    path = scratch_dir("fsbd_dyn_overwrite_")
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    d0 = ev.agg(F.min("day").alias("day"))
+    corr = (ev.join(F.broadcast(d0), "day")
+            .where(F.col("event_id") % 2 == 0))
+    (corr.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("day").parquet(path))
+    back = spark.read.parquet(path)
+    return (back.withColumn("day", F.col("day").cast("string"))
+            .groupBy("day")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("event_id").cast("bigint").alias("id_sum")))
