@@ -1512,8 +1512,20 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Vectors whose buckets collide with fewer than k others emit fewer
     edges — exactly the candidate set, no silent padding.
     """
-    src = Catalog(spark, sf_dir).embeddings.select("vec_id", "embedding")
-    buckets = (srp_buckets(src).select(
+    return knn_graph_edges(Catalog(spark, sf_dir).embeddings)
+
+
+def knn_graph_edges(src: DataFrame, k: int = KNN_K,
+                    tables: int = SRP_TABLES,
+                    bits: int = SRP_BITS) -> DataFrame:
+    """Parametric kNN-graph core (semantics: the registered query
+    above). Like :func:`banded_neardup_pairs`, ``tables``/``bits`` are
+    the scale knob: per-bucket occupancy N/2^bits drives the
+    quadratic-in-occupancy collision join, so a growing corpus raises
+    ``bits`` to hold occupancy constant (the registered 16×4 default is
+    right for the 2 k fixture and catastrophic at 128 k — probed)."""
+    src = src.select("vec_id", "embedding")
+    buckets = (srp_buckets(src, tables=tables, bits=bits).select(
         "vec_id", F.posexplode("buckets").alias("table_id", "bucket")))
     cand = (buckets.select(F.col("vec_id").alias("src_id"), "table_id", "bucket")
             .join(buckets, ["table_id", "bucket"])
@@ -1528,6 +1540,6 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     w = Window.partitionBy("src_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-            .where(F.col("rank") <= KNN_K)
+            .where(F.col("rank") <= k)
             .select("src_id", "rank", "neighbor_id",
                     F.round("cos", 6).alias("cosine")))

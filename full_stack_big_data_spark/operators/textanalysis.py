@@ -842,3 +842,67 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.round(F.col("sum_qlogp").cast("double")
                                    / (LM_QUANT * F.col("n_bigrams")), 6))
                      .alias("avg_logprob")))
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth feature binning (discretization for downstream models).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_feature_binning_equidepth",
+    oracle="""
+WITH q AS (
+  SELECT CAST(ROUND(4 * quantile_cont(n_chars, 0.25), 0) AS BIGINT) AS q1_x4,
+         CAST(ROUND(4 * quantile_cont(n_chars, 0.50), 0) AS BIGINT) AS q2_x4,
+         CAST(ROUND(4 * quantile_cont(n_chars, 0.75), 0) AS BIGINT) AS q3_x4
+  FROM documents
+)
+SELECT CASE WHEN 4 * d.n_chars < q.q1_x4 THEN 0
+            WHEN 4 * d.n_chars < q.q2_x4 THEN 1
+            WHEN 4 * d.n_chars < q.q3_x4 THEN 2
+            ELSE 3 END AS bin,
+       COUNT(*) AS n_docs,
+       CAST(MIN(d.n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(d.n_chars) AS BIGINT) AS max_chars
+FROM documents d CROSS JOIN q
+GROUP BY 1
+""",
+    description="equi-depth quartile binning of document length: "
+                "broadcast exact boundaries, map-side bin assignment",
+    tags=("text", "quality", "agg"),
+)
+def q_feature_binning_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature discretization — equi-depth (quartile) binning of a
+    numeric feature, the preprocessing step behind monotone-binned
+    quality tiers, stratified samplers, and GBDT-style feature
+    bucketing. The naive plan (``ntile`` over a global sort) funnels
+    the corpus through one task; the scalable plan computes the k-1
+    boundaries once and assigns bins map-side.
+
+    Determinism: quartile interpolation positions are quarters, so 4×
+    the interpolated value is integer-exact in double for an integer
+    feature; boundaries compare as BIGINT against 4·n_chars and the
+    bin decision never touches a float (the ``text_quality_stratified``
+    2× trick, at 4× because quartile fractions are k/4).
+
+    Scale: exact-percentile state is bounded by distinct feature
+    values (histogram-sized); the 1-row boundary table broadcasts; bin
+    assignment is map-side; the report is ONE corpus scan + one 4-group
+    aggregate. Unbounded-cardinality features swap in
+    ``percentile_approx`` (the ``q_approx_quantiles`` contract).
+    """
+    d = Catalog(spark, sf_dir).documents
+    q = d.agg(*[
+        F.round(4 * F.percentile("n_chars", F.lit(p)), 0).cast("bigint")
+         .alias(a)
+        for p, a in ((0.25, "q1_x4"), (0.50, "q2_x4"), (0.75, "q3_x4"))])
+    n4 = 4 * F.col("n_chars")
+    bin_ = (F.when(n4 < F.col("q1_x4"), 0)
+            .when(n4 < F.col("q2_x4"), 1)
+            .when(n4 < F.col("q3_x4"), 2)
+            .otherwise(3))
+    return (d.crossJoin(F.broadcast(q))
+            .groupBy(bin_.alias("bin"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("n_chars").cast("bigint").alias("min_chars"),
+                 F.max("n_chars").cast("bigint").alias("max_chars")))

@@ -79,7 +79,7 @@ def main() -> None:
     spark = get_spark(app_name="scale-probe-embeddings")
     reg = load_all()
     from full_stack_big_data_spark.operators.similarity import (
-        banded_neardup_pairs)
+        banded_neardup_pairs, knn_graph_edges)
     out_dir = tempfile.mkdtemp(prefix=f"fsbd_escale{n_copies}x_")
     try:
         t0 = time.time()
@@ -93,6 +93,14 @@ def main() -> None:
                     src = spark.read.parquet(f"{sf}/embeddings.parquet")
                     df = banded_neardup_pairs(src, **BANDED_SCALE)
                     name_l = (f"banded_neardup_pairs"
+                              f"[{BANDED_SCALE['tables']}x"
+                              f"{BANDED_SCALE['bits']}bit]")
+                elif name == "knn_graph_edges":
+                    # same scale rule as the banded path: bits grow with
+                    # the corpus so bucket occupancy stays constant
+                    src = spark.read.parquet(f"{sf}/embeddings.parquet")
+                    df = knn_graph_edges(src, **BANDED_SCALE)
+                    name_l = (f"knn_graph_edges"
                               f"[{BANDED_SCALE['tables']}x"
                               f"{BANDED_SCALE['bits']}bit]")
                 else:

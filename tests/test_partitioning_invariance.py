@@ -46,6 +46,7 @@ QUERIES = [
     "emb_cell_representatives",  # broadcast-centroid dot + max_by argmax
     "q_skyline_2d",            # bucketed two-phase Pareto frontier
     "emb_knn_graph",           # bucket-collision candidates + per-src window
+    "q_feature_binning_equidepth",  # broadcast quartile bounds, map-side bins
 ]
 
 
