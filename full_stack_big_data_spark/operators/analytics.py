@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..engine.catalog import Catalog
+from ..functions.text import tokens_sql
 from .registry import register
 
 Z_THRESHOLD = 3.0
@@ -514,11 +515,11 @@ SKYLINE_BUCKETS = 32
 
 @register(
     "q_skyline_2d",
-    oracle="""
+    oracle=f"""
 WITH pts0 AS (
   SELECT doc_id,
-         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS d1,
-         len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''))) AS d2
+         len({tokens_sql('text')}) AS d1,
+         len(list_distinct({tokens_sql('text')})) AS d2
   FROM documents
 ), pts AS (
   SELECT d1, d2, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -743,8 +743,12 @@ def dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     picks that direction itself.
     """
     d = Catalog(spark, sf_dir).documents
-    sp = d.select("doc_id",
-                  F.explode(token_ngrams(tokens("text"), SPAN_N)).alias("g"))
+    # Tokenize into a real column first (the :func:`_shingle_sets`
+    # note): token_ngrams' transform lambda re-evaluates a non-attribute
+    # input per POSITION — O(tokens²) per doc on the scan hot path.
+    toks = d.select("doc_id", tokens("text").alias("tok"))
+    sp = toks.select("doc_id",
+                     F.explode(token_ngrams(F.col("tok"), SPAN_N)).alias("g"))
     cnt = sp.groupBy("g").agg(F.count("*").alias("c"))
     per = (sp.join(cnt, "g")
            .groupBy("doc_id")
@@ -829,7 +833,8 @@ def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.explode(F.sequence(F.col("p0"),
                                             F.col("p0") + (SPAN_N - 1)))
                        .alias("p"))
-               .distinct()
+               # collect_set deduplicates by itself — no pre-distinct
+               # (it would cost a second exchange of the exploded set)
                .groupBy("doc_id").agg(F.collect_set("p").alias("cov")))
     cov = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
     kept = F.filter(F.col("tok"),

@@ -1395,9 +1395,9 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     eq = _pca_quantized(spark, sf_dir).persist()
     vdf = _power_direction(eq.select("x"))
     return (eq.crossJoin(F.broadcast(vdf))
-            .select("vec_id",
-                    _dot_v().alias("proj_q"),
-                    F.round(_dot_v() / (100 * F.sqrt("n2")), 6)
+            .withColumn("proj_q", _dot_v())  # one 64-wide dot per row
+            .select("vec_id", "proj_q",
+                    F.round(F.col("proj_q") / (100 * F.sqrt("n2")), 6)
                      .alias("proj")))
 
 

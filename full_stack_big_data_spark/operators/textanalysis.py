@@ -816,10 +816,14 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row broadcast. The per-doc re-aggregation map-side combines.
     """
     d = Catalog(spark, sf_dir).documents
-    tok = tokens("text")
-    bg = (d.select("doc_id", F.explode(token_ngrams(tok, 2)).alias("g"))
+    # Materialized token column: token_ngrams over the raw tokens()
+    # expression re-tokenizes per bigram position (the dedup-module
+    # shingle note) — feed it an attribute instead.
+    toks = d.select("doc_id", tokens("text").alias("tok"))
+    bg = (toks.select("doc_id",
+                      F.explode(token_ngrams(F.col("tok"), 2)).alias("g"))
           .withColumn("w1", F.split("g", " ")[0]))
-    uni = (d.select(F.explode(tok).alias("w"))
+    uni = (toks.select(F.explode("tok").alias("w"))
            .groupBy("w").agg(F.count("*").alias("c1")))
     vv = uni.agg(F.count("*").alias("v"))
     bgc = bg.groupBy("g").agg(F.count("*").alias("c12"))

@@ -54,6 +54,13 @@ SINGLE_PARTITION_OK = {
     # (~10⁴ rows at any corpus size), and a prefix sum over time is
     # inherently sequential
     "q_cumulative_users",
+    # two-phase skyline: the global-phase window's input is the union
+    # of per-bucket frontiers (≤ buckets · frontier size, not the
+    # distinct-pair table — the local phase is a filter, so the
+    # feeder heuristic can't see the bound); adversarially
+    # anti-correlated data widens the frontier itself, documented in
+    # the operator as needing a third phase
+    "q_skyline_2d",
 }
 
 

@@ -89,19 +89,14 @@ def main() -> None:
         for name in names:
             for label, sf in (("1x", BASE), (f"{n_copies}x", out_dir)):
                 t0 = time.time()
-                if name == "banded_neardup_pairs":
+                # parametric cores probed at the BANDED_SCALE rule (bits
+                # grow with the corpus so bucket occupancy stays constant)
+                cores = {"banded_neardup_pairs": banded_neardup_pairs,
+                         "knn_graph_edges": knn_graph_edges}
+                if name in cores:
                     src = spark.read.parquet(f"{sf}/embeddings.parquet")
-                    df = banded_neardup_pairs(src, **BANDED_SCALE)
-                    name_l = (f"banded_neardup_pairs"
-                              f"[{BANDED_SCALE['tables']}x"
-                              f"{BANDED_SCALE['bits']}bit]")
-                elif name == "knn_graph_edges":
-                    # same scale rule as the banded path: bits grow with
-                    # the corpus so bucket occupancy stays constant
-                    src = spark.read.parquet(f"{sf}/embeddings.parquet")
-                    df = knn_graph_edges(src, **BANDED_SCALE)
-                    name_l = (f"knn_graph_edges"
-                              f"[{BANDED_SCALE['tables']}x"
+                    df = cores[name](src, **BANDED_SCALE)
+                    name_l = (f"{name}[{BANDED_SCALE['tables']}x"
                               f"{BANDED_SCALE['bits']}bit]")
                 else:
                     df = reg[name].builder(spark, sf)
