@@ -1219,42 +1219,52 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 POWER_ITERS = 3
 
 
+def _pca_chain(src: str, tag: str) -> str:
+    """CTE chain for one power-iteration run over table ``src`` (column
+    ``x``), CTE names infixed with ``tag``; the caller supplies the
+    all-ones seed ``it{tag}0`` and receives ``fin{tag}(v, n2)``."""
+    parts = []
+    prev = f"it{tag}0"
+    for k in range(1, POWER_ITERS + 1):
+        y_cols = ", ".join(
+            f"CAST(SUM(dot * x[{i + 1}]) AS BIGINT)" for i in range(SRP_DIM))
+        parts.append(f""", d{tag}{k} AS (
+  SELECT x,
+         list_sum(list_transform(range(1, {SRP_DIM + 1}), i -> x[i] * v[i])) AS dot
+  FROM {src} CROSS JOIN {prev}
+), y{tag}{k} AS (
+  SELECT [{y_cols}] AS y FROM d{tag}{k}
+), it{tag}{k} AS (
+  SELECT list_transform(y, e -> (e * 100 - (e * 100) % m) // m) AS v
+  FROM (SELECT y,
+               greatest(list_max(list_transform(y, e -> abs(e))), 1) AS m
+        FROM y{tag}{k})
+)""")
+        prev = f"it{tag}{k}"
+    parts.append(f""", fin{tag} AS (
+  SELECT v,
+         greatest(CAST(list_sum(list_transform(v, e -> e * e)) AS BIGINT), 1) AS n2
+  FROM {prev}
+)""")
+    return "".join(parts)
+
+
+_PCA_ONES = ", ".join("1" for _ in range(SRP_DIM))
+
+
 def _pca_prefix() -> str:
     """Shared CTE chain replaying the integer power-iteration steps —
     same quantization, same trunc-division rescale, exact arithmetic.
     Ends with ``fin(v, n2)``: the final direction and its squared norm.
     Used by the direction oracle and the projection oracle so the
     learned direction cannot diverge between them."""
-    ones = ", ".join("1" for _ in range(SRP_DIM))
-    parts = [f"""
+    return (f"""
 WITH eq AS (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[], x -> CAST(FLOOR(x * 100) AS BIGINT)) AS x
   FROM embeddings
-), it0 AS (SELECT [{ones}]::BIGINT[] AS v)"""]
-    prev = "it0"
-    for k in range(1, POWER_ITERS + 1):
-        y_cols = ", ".join(
-            f"CAST(SUM(dot * x[{i + 1}]) AS BIGINT)" for i in range(SRP_DIM))
-        parts.append(f""", d{k} AS (
-  SELECT x,
-         list_sum(list_transform(range(1, {SRP_DIM + 1}), i -> x[i] * v[i])) AS dot
-  FROM eq CROSS JOIN {prev}
-), y{k} AS (
-  SELECT [{y_cols}] AS y FROM d{k}
-), it{k} AS (
-  SELECT list_transform(y, e -> (e * 100 - (e * 100) % m) // m) AS v
-  FROM (SELECT y,
-               greatest(list_max(list_transform(y, e -> abs(e))), 1) AS m
-        FROM y{k})
-)""")
-        prev = f"it{k}"
-    parts.append(f""", fin AS (
-  SELECT v,
-         greatest(CAST(list_sum(list_transform(v, e -> e * e)) AS BIGINT), 1) AS n2
-  FROM {prev}
-)""")
-    return "".join(parts)
+), it0 AS (SELECT [{_PCA_ONES}]::BIGINT[] AS v)"""
+            + _pca_chain("eq", ""))
 
 
 def _pca_oracle() -> str:
@@ -1543,3 +1553,83 @@ def knn_graph_edges(src: DataFrame, k: int = KNN_K,
             .where(F.col("rank") <= k)
             .select("src_id", "rank", "neighbor_id",
                     F.round("cos", 6).alias("cosine")))
+
+
+# ---------------------------------------------------------------------------
+# Second principal direction via exact-integer deflation.
+# ---------------------------------------------------------------------------
+
+def _pca2_oracle() -> str:
+    return _pca_prefix() + f""", defl0 AS (
+  SELECT vec_id, x,
+         list_sum(list_transform(range(1, {SRP_DIM + 1}), i -> x[i] * v[i])) AS dot
+  FROM eq CROSS JOIN fin
+), defl AS (
+  SELECT vec_id,
+         list_transform(range(1, {SRP_DIM + 1}), i -> n2 * x[i] - dot * v[i]) AS xx
+  FROM defl0 CROSS JOIN fin
+), mg AS (
+  SELECT greatest(MAX(list_max(list_transform(xx, e -> abs(e)))), 1) AS mg
+  FROM defl
+), x3 AS (
+  SELECT vec_id,
+         list_transform(xx, e -> CAST((e * 100 - (e * 100) % mg) / mg AS BIGINT)) AS x
+  FROM defl CROSS JOIN mg
+), it20 AS (SELECT [{_PCA_ONES}]::BIGINT[] AS v)""" + _pca_chain("x3", "2") + f"""
+SELECT CAST(u.i - 1 AS INTEGER) AS dim,
+       v[u.i] AS component_q,
+       ROUND(v[u.i] / sqrt(n2), 6) AS component
+FROM fin2, UNNEST(range(1, {SRP_DIM + 1})) AS u(i)"""
+
+
+@register(
+    "emb_pca_second_component",
+    oracle=_pca2_oracle(),
+    description="second principal direction: exact-integer deflation of "
+                "the first, then the same power iteration",
+    tags=("similarity", "linalg", "agg"),
+)
+def emb_pca_second_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second spectral direction — what a 2-component embedding
+    whitening/visualization needs — via DEFLATION: remove the first
+    direction from every vector, then power-iterate again.
+
+    The deflation itself is EXACT integer arithmetic: with v the
+    integer direction and n2 = v·v, the scaled residual
+    x″ = n2·x − (x·v)·v satisfies x″·v = n2(x·v) − (x·v)n2 = 0
+    identically — no epsilon, no float. Magnitudes are per-ROW bounded
+    (|x″| ≤ n2·|x|∞ + |x·v|·|v|∞ ≈ 7·10⁷ regardless of corpus size), so
+    the one corpus-max rescale back to ±100 (trunc-division against the
+    broadcast global max — exactly representable in double at these
+    bounds, so Spark's truncating cast and DuckDB's rounding cast agree
+    on the exactly-divisible quotient) re-enters the same overflow
+    envelope as the first run. Orthogonality after the lossy rescale is
+    approximate — standard numerical deflation — and pinned by a test;
+    determinism is not approximate anywhere.
+
+    Scale: one extra corpus pass for the deflation + max, then the
+    same ``POWER_ITERS``-scan loop; everything moves as 1-row
+    broadcasts.
+    """
+    eq = _pca_quantized(spark, sf_dir).select("x").persist()
+    v1 = _power_direction(eq)
+    defl = (eq.crossJoin(F.broadcast(v1))
+            .withColumn("dot", _dot_v())
+            .select(F.zip_with(
+                "x", "v",
+                lambda a, b: F.col("n2") * a - F.col("dot") * b).alias("xx")))
+    mg = defl.agg(F.greatest(
+        F.max(F.array_max(F.transform("xx", F.abs))),
+        F.lit(1).cast("long")).alias("mg"))
+    x3 = (defl.crossJoin(F.broadcast(mg))
+          .select(F.transform(
+              "xx",
+              lambda e: ((e * 100 - (e * 100) % F.col("mg")) / F.col("mg"))
+              .cast("long")).alias("x"))
+          .persist())
+    v2 = _power_direction(x3)
+    return (v2.select(F.posexplode("v").alias("dim", "component_q"), "n2")
+            .select(F.col("dim").cast("int").alias("dim"),
+                    "component_q",
+                    F.round(F.col("component_q") / F.sqrt("n2"), 6)
+                     .alias("component")))

@@ -47,6 +47,7 @@ QUERIES = [
     "q_skyline_2d",            # bucketed two-phase Pareto frontier
     "emb_knn_graph",           # bucket-collision candidates + per-src window
     "q_feature_binning_equidepth",  # broadcast quartile bounds, map-side bins
+    "emb_pca_second_component",  # integer deflation + rescale + power loop
 ]
 
 

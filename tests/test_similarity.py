@@ -170,3 +170,27 @@ def test_pq_codebook_training_seam_improves_recall():
     assert improved >= base, (base, improved)
     err_u, err_t = total_err(untrained), total_err(trained)
     assert err_t < 0.6 * err_u, (err_u, err_t)
+
+
+def test_pca_deflation_orthogonality(spark):
+    """The deflated second direction must be (numerically) orthogonal
+    to the first: deflation is exact in integers (x''·v = 0
+    identically); only the ±100 rescale truncation perturbs it.
+    Measured |cos| ≈ 0.001 at sf0.001/sf0.01; pin a 0.05 ceiling so a
+    deflation regression (wrong sign, missing n2 scale, stale v)
+    surfaces as a loud failure."""
+    import math
+
+    from full_stack_big_data_spark.operators.similarity import (
+        emb_pca_power_iter, emb_pca_second_component,
+    )
+
+    v1 = {r.dim: r.component_q
+          for r in emb_pca_power_iter(spark, SF_SMOKE).collect()}
+    v2 = {r.dim: r.component_q
+          for r in emb_pca_second_component(spark, SF_SMOKE).collect()}
+    dot = sum(v1[i] * v2[i] for i in v1)
+    cos = (dot
+           / math.sqrt(sum(x * x for x in v1.values()))
+           / math.sqrt(sum(x * x for x in v2.values())))
+    assert abs(cos) <= 0.05, f"deflation broke orthogonality: cos={cos}"
