@@ -586,3 +586,340 @@ def q_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("d1").alias("n_tokens"),
                     F.col("d2").alias("n_distinct"),
                     "n_docs", "example_doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence: pair support and lift.
+# ---------------------------------------------------------------------------
+
+BASKET_MIN_COUNT = 2  # pairs must co-occur in at least this many orders
+
+
+@register(
+    "q_market_basket",
+    oracle=f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem
+), item AS (
+  SELECT l_partkey, COUNT(*) AS n_item FROM li GROUP BY l_partkey
+), pair AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_both
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {BASKET_MIN_COUNT}
+)
+SELECT part_a, part_b, n_both,
+       ia.n_item AS n_a, ib.n_item AS n_b,
+       CAST(ROUND(n_both * 1.0 / n_orders, 6) AS DOUBLE) AS support,
+       CAST(ROUND(n_both * 1.0 * n_orders / (ia.n_item * ib.n_item), 6) AS DOUBLE) AS lift
+FROM pair
+JOIN item ia ON ia.l_partkey = part_a
+JOIN item ib ON ib.l_partkey = part_b
+CROSS JOIN n
+""",
+    description=f"market-basket pair mining: parts co-purchased in >= {BASKET_MIN_COUNT} orders, with support and lift",
+    tags=("lineitem", "basket", "analytics"),
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-pair mining (the 2-itemset core of association rules).
+
+    Plan: ONE fact shuffle total — the basket build (distinct items per
+    order, sorted so pair orientation is canonical). Pairs then generate
+    MAP-SIDE inside each basket with a nested array transform; fan-out
+    is basket-size² (TPC-H baskets are <= 7 items), never corpus-sized.
+    The alternative self-join on l_orderkey shuffles the item list twice
+    and joins it; this shape replaces both with per-row array work.
+    Pair counting shuffles the (already map-side-combined) pair stream,
+    per-item counts ride a broadcast (the part dimension is
+    catalog-sized), and the basket total is a broadcast scalar.
+
+    Determinism: support/lift divide single BIGINT counts in one double
+    expression — no sum-of-float anywhere.
+    """
+    cat = Catalog(spark, sf_dir)
+    # Basket table: 3 consumers (pairs, item counts, order total) —
+    # persist so the fact shuffle happens once.
+    baskets = (cat.lineitem.groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
+               .persist())
+    n = baskets.agg(F.count("*").alias("n_orders"))
+    item = (baskets.select(F.explode("items").alias("pk"))
+            .groupBy("pk").agg(F.count("*").alias("n_item")))
+    # All ordered pairs (a < b) within a basket, generated per row from
+    # the sorted item array: element i pairs with every later element.
+    pair_structs = F.flatten(F.transform(
+        "items",
+        lambda x, i: F.transform(
+            F.slice("items", i + 2, F.size("items") - i - 1),
+            lambda y: F.struct(x.alias("part_a"), y.alias("part_b")))))
+    pair = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.part_a").alias("part_a"),
+                 F.col("p.part_b").alias("part_b"))
+        .agg(F.count("*").alias("n_both"))
+        .where(F.col("n_both") >= BASKET_MIN_COUNT)
+    )
+    ia = item.select(F.col("pk").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("pk").alias("part_b"), F.col("n_item").alias("n_b"))
+    return (
+        pair.join(F.broadcast(ia), "part_a").join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select("part_a", "part_b", "n_both", "n_a", "n_b",
+                F.round(F.col("n_both") / F.col("n_orders"), 6)
+                 .cast("double").alias("support"),
+                F.round(F.col("n_both") * F.col("n_orders")
+                        / (F.col("n_a") * F.col("n_b")), 6)
+                 .cast("double").alias("lift"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment read-out: Welch's t-test from decimal-exact sums.
+# ---------------------------------------------------------------------------
+
+AB_TREATMENT, AB_CONTROL = "click", "view"
+AB_Z_CRIT = 1.96  # two-sided 5% on the normal approximation
+
+
+@register(
+    "q_abtest_welch",
+    oracle=f"""
+WITH s AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,4))) AS sx,
+         SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS sxx
+  FROM events WHERE event_type IN ('{AB_TREATMENT}', '{AB_CONTROL}')
+  GROUP BY event_type
+), w AS (
+  SELECT
+    MAX(CASE WHEN event_type = '{AB_TREATMENT}' THEN n END) AS n_t,
+    MAX(CASE WHEN event_type = '{AB_CONTROL}' THEN n END) AS n_c,
+    MAX(CASE WHEN event_type = '{AB_TREATMENT}' THEN CAST(sx AS DOUBLE) END) AS sx_t,
+    MAX(CASE WHEN event_type = '{AB_CONTROL}' THEN CAST(sx AS DOUBLE) END) AS sx_c,
+    MAX(CASE WHEN event_type = '{AB_TREATMENT}' THEN CAST(sxx AS DOUBLE) END) AS sxx_t,
+    MAX(CASE WHEN event_type = '{AB_CONTROL}' THEN CAST(sxx AS DOUBLE) END) AS sxx_c
+  FROM s
+), m AS (
+  SELECT n_t, n_c,
+         sx_t / n_t AS mean_t, sx_c / n_c AS mean_c,
+         (sxx_t - sx_t * sx_t / n_t) / (n_t - 1) AS var_t,
+         (sxx_c - sx_c * sx_c / n_c) / (n_c - 1) AS var_c
+  FROM w
+)
+SELECT n_t, n_c,
+       CAST(ROUND(mean_t, 6) AS DOUBLE) AS mean_t,
+       CAST(ROUND(mean_c, 6) AS DOUBLE) AS mean_c,
+       CAST(ROUND((mean_t - mean_c) / SQRT(var_t / n_t + var_c / n_c), 6) AS DOUBLE) AS t_stat,
+       CAST(ROUND((var_t / n_t + var_c / n_c) * (var_t / n_t + var_c / n_c)
+                  / ((var_t / n_t) * (var_t / n_t) / (n_t - 1)
+                     + (var_c / n_c) * (var_c / n_c) / (n_c - 1)), 4) AS DOUBLE) AS welch_df,
+       CAST(ABS((mean_t - mean_c) / SQRT(var_t / n_t + var_c / n_c)) > {AB_Z_CRIT} AS INT) AS significant
+FROM m
+""",
+    description=f"Welch two-sample t-test: '{AB_TREATMENT}' vs '{AB_CONTROL}' event values, "
+                "t-stat + Welch-Satterthwaite df from decimal-exact sums",
+    tags=("events", "statistics", "analytics"),
+)
+def q_abtest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment read-out without equal-variance assumptions.
+
+    Welch's t-statistic and Welch-Satterthwaite degrees of freedom, both
+    derived from the same decimal-exact sufficient statistics discipline
+    as ``q_stats_moments`` (relational_ext.py): Σx and Σx² accumulate as
+    DECIMAL (order-independent partial aggregates), and every float op
+    happens once, in an expression tree mirrored verbatim in the oracle.
+    At 100 TB this is one filtered scan + a 2-group partial aggregate —
+    the cheapest query in the engine no matter how big the experiment.
+
+    The significance flag uses the two-sided 5% normal critical value —
+    with experiment-scale n, t_(df) is indistinguishable from z, and a
+    constant threshold keeps the contract hashable.
+    """
+    ev = Catalog(spark, sf_dir).events
+    x = F.col("value").cast("decimal(18,4)")
+    s = (ev.where(F.col("event_type").isin(AB_TREATMENT, AB_CONTROL))
+         .groupBy("event_type")
+         .agg(F.count("*").alias("n"),
+              F.sum(x).alias("sx"), F.sum(x * x).alias("sxx")))
+    pick = lambda col, t: F.max(F.when(F.col("event_type") == t, F.col(col)))
+    w = s.agg(
+        pick("n", AB_TREATMENT).alias("n_t"),
+        pick("n", AB_CONTROL).alias("n_c"),
+        pick("sx", AB_TREATMENT).cast("double").alias("sx_t"),
+        pick("sx", AB_CONTROL).cast("double").alias("sx_c"),
+        pick("sxx", AB_TREATMENT).cast("double").alias("sxx_t"),
+        pick("sxx", AB_CONTROL).cast("double").alias("sxx_c"),
+    )
+    m = w.select(
+        "n_t", "n_c",
+        (F.col("sx_t") / F.col("n_t")).alias("mean_t"),
+        (F.col("sx_c") / F.col("n_c")).alias("mean_c"),
+        ((F.col("sxx_t") - F.col("sx_t") * F.col("sx_t") / F.col("n_t"))
+         / (F.col("n_t") - 1)).alias("var_t"),
+        ((F.col("sxx_c") - F.col("sx_c") * F.col("sx_c") / F.col("n_c"))
+         / (F.col("n_c") - 1)).alias("var_c"),
+    )
+    se_t, se_c = F.col("var_t") / F.col("n_t"), F.col("var_c") / F.col("n_c")
+    t_stat = (F.col("mean_t") - F.col("mean_c")) / F.sqrt(se_t + se_c)
+    df = ((se_t + se_c) * (se_t + se_c)
+          / (se_t * se_t / (F.col("n_t") - 1)
+             + se_c * se_c / (F.col("n_c") - 1)))
+    return m.select(
+        "n_t", "n_c",
+        F.round("mean_t", 6).cast("double").alias("mean_t"),
+        F.round("mean_c", 6).cast("double").alias("mean_c"),
+        F.round(t_stat, 6).cast("double").alias("t_stat"),
+        F.round(df, 4).cast("double").alias("welch_df"),
+        (F.abs(t_stat) > AB_Z_CRIT).cast("int").alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence transition matrix (first-order Markov chain).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_user_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+), tr AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_transitions,
+       CAST(ROUND(n_transitions * 1.0
+                  / SUM(n_transitions) OVER (PARTITION BY prev_type), 6) AS DOUBLE) AS prob
+FROM tr
+""",
+    description="first-order Markov transition matrix over per-user event sequences",
+    tags=("events", "sequence", "analytics"),
+)
+def q_user_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What users do NEXT: per-user event sequences folded into a
+    transition-count matrix with row-normalized probabilities.
+
+    The sequence step is a lag window PARTITIONED BY user_id — at 100 TB
+    that is a user-cardinality hash shuffle with per-user sorts (millions
+    of independent partitions, no global sort), the same shape as
+    ``q_sessionize``. Ordering ties break on event_id so the lag is
+    deterministic under any partitioning. The transition matrix itself
+    is |event_types|² rows; its normalizing window is over that tiny
+    table, not the event stream.
+    """
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id"))
+         .alias("prev_type"))
+    tr = (seq.where(F.col("prev_type").isNotNull())
+          .groupBy("prev_type", F.col("event_type").alias("next_type"))
+          .agg(F.count("*").alias("n_transitions")))
+    return tr.select(
+        "prev_type", "next_type", "n_transitions",
+        F.round(F.col("n_transitions")
+                / F.sum("n_transitions").over(Window.partitionBy("prev_type")),
+                6).cast("double").alias("prob"))
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation: quartile bins without a global sort.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_rfm_segmentation",
+    oracle="""
+WITH c AS (
+  SELECT o_custkey,
+         date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                   (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders)) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT) AS monetary_cents
+  FROM orders GROUP BY o_custkey
+), q AS (
+  SELECT CAST(ROUND(4 * quantile_cont(recency_days, 0.25), 0) AS BIGINT) AS r1,
+         CAST(ROUND(4 * quantile_cont(recency_days, 0.50), 0) AS BIGINT) AS r2,
+         CAST(ROUND(4 * quantile_cont(recency_days, 0.75), 0) AS BIGINT) AS r3,
+         CAST(ROUND(4 * quantile_cont(frequency, 0.25), 0) AS BIGINT) AS f1,
+         CAST(ROUND(4 * quantile_cont(frequency, 0.50), 0) AS BIGINT) AS f2,
+         CAST(ROUND(4 * quantile_cont(frequency, 0.75), 0) AS BIGINT) AS f3,
+         CAST(ROUND(4 * quantile_cont(monetary_cents, 0.25), 0) AS BIGINT) AS m1,
+         CAST(ROUND(4 * quantile_cont(monetary_cents, 0.50), 0) AS BIGINT) AS m2,
+         CAST(ROUND(4 * quantile_cont(monetary_cents, 0.75), 0) AS BIGINT) AS m3
+  FROM c
+)
+SELECT CASE WHEN 4 * recency_days < r1 THEN 0 WHEN 4 * recency_days < r2 THEN 1
+            WHEN 4 * recency_days < r3 THEN 2 ELSE 3 END AS r_bin,
+       CASE WHEN 4 * frequency < f1 THEN 0 WHEN 4 * frequency < f2 THEN 1
+            WHEN 4 * frequency < f3 THEN 2 ELSE 3 END AS f_bin,
+       CASE WHEN 4 * monetary_cents < m1 THEN 0 WHEN 4 * monetary_cents < m2 THEN 1
+            WHEN 4 * monetary_cents < m3 THEN 2 ELSE 3 END AS m_bin,
+       COUNT(*) AS n_customers,
+       MIN(monetary_cents) AS min_monetary_cents,
+       MAX(monetary_cents) AS max_monetary_cents
+FROM c CROSS JOIN q
+GROUP BY 1, 2, 3
+""",
+    description="RFM segmentation: quartile-binned recency/frequency/monetary "
+                "per customer, broadcast boundaries, map-side binning",
+    tags=("orders", "segmentation", "analytics"),
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer RFM segments, built the scalable way.
+
+    Per-customer recency (days since last order, against the corpus max
+    date), frequency (order count) and monetary (decimal-exact lifetime
+    total, in integer cents) roll up in ONE customer-keyed aggregate;
+    the nine quartile boundaries compute in a second 1-row pass and
+    broadcast; bin assignment is map-side; the segment report is a
+    64-row aggregate. No ``ntile``-over-everything — a global-sort
+    window would funnel every customer through one task (the ceiling
+    ``q_feature_binning_equidepth`` documents; this operator is its
+    3-dimensional production shape).
+
+    Determinism: all three metrics are integers, so the 4× quantile
+    trick (quartile interpolation positions are quarters → 4× the
+    interpolated value is integer-exact in double) makes every bin
+    decision an integer comparison; bin 0 is best-recency / lowest-
+    frequency / lowest-spend quartile.
+    """
+    o = Catalog(spark, sf_dir).orders
+    gmax = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("gmax"))
+    c = (o.crossJoin(F.broadcast(gmax))
+         .groupBy("o_custkey")
+         .agg(F.datediff(F.first("gmax"),
+                         F.max(F.col("o_orderdate").cast("date")))
+               .cast("bigint").alias("recency_days"),
+              F.count("*").alias("frequency"),
+              (F.sum(F.col("o_totalprice").cast("decimal(18,4)")) * 100)
+               .cast("bigint").alias("monetary_cents")))
+    q = c.agg(*[
+        F.round(4 * F.percentile(col, F.lit(p)), 0).cast("bigint").alias(a)
+        for col, pfx in (("recency_days", "r"), ("frequency", "f"),
+                         ("monetary_cents", "m"))
+        for p, a in ((0.25, f"{pfx}1"), (0.50, f"{pfx}2"), (0.75, f"{pfx}3"))
+    ])
+
+    def bin_(col, pfx):
+        v = 4 * F.col(col)
+        return (F.when(v < F.col(f"{pfx}1"), 0)
+                .when(v < F.col(f"{pfx}2"), 1)
+                .when(v < F.col(f"{pfx}3"), 2)
+                .otherwise(3))
+
+    return (c.crossJoin(F.broadcast(q))
+            .groupBy(bin_("recency_days", "r").alias("r_bin"),
+                     bin_("frequency", "f").alias("f_bin"),
+                     bin_("monetary_cents", "m").alias("m_bin"))
+            .agg(F.count("*").alias("n_customers"),
+                 F.min("monetary_cents").alias("min_monetary_cents"),
+                 F.max("monetary_cents").alias("max_monetary_cents")))

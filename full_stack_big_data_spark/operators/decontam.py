@@ -252,3 +252,74 @@ def sample_mixture_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.when(member, 1).otherwise(0)).cast("bigint").alias("n_kept"),
              F.max("thr").alias("threshold"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy decontamination: MinHash-LSH eval-vs-train, below-dedup threshold.
+# ---------------------------------------------------------------------------
+
+FUZZY_DECONTAM_THRESHOLD = 0.5  # contamination trips well below dedup's 0.8
+
+
+def _fuzzy_oracle() -> str:
+    from .dedup import _minhash_oracle
+    return _minhash_oracle(
+        cand_pred=(f"a.doc_id % {EVAL_MOD} = 0 "
+                   f"AND b.doc_id % {EVAL_MOD} <> 0"),
+        head_cols="doc_a AS eval_doc, doc_b AS train_doc",
+        threshold=FUZZY_DECONTAM_THRESHOLD,
+    )
+
+
+@register(
+    "decontam_fuzzy",
+    oracle=_fuzzy_oracle(),
+    description=f"fuzzy decontamination: train docs with jaccard >= {FUZZY_DECONTAM_THRESHOLD} "
+                f"against the doc_id%{EVAL_MOD}=0 eval fixture, bipartite LSH",
+    tags=("decontam", "lsh"),
+)
+def decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate (not just exact-n-gram) benchmark leakage.
+
+    ``decontam_overlap`` catches verbatim n-gram reuse; paraphrased or
+    lightly-edited eval material needs set-similarity matching — the
+    fuzzy pass production decontamination runs alongside the exact one.
+    Bipartite MinHash-LSH (shared signature family and band layout with
+    the dedup corpus — ``dedup._band_rows``), eval side vs train side,
+    with the verify threshold at {0.5}: contamination review wants high
+    recall at moderate similarity, where dedup's 0.8 wants precision.
+
+    Scale: the eval side is benchmark-sized (KBs against 100 TB), so its
+    band rows are tiny; candidate generation joins them against the
+    train index — cost ∝ true collisions, the ``dedup_incremental``
+    posture with the roles reversed. The oracle replays the full LSH
+    pipeline (signatures, bands, candidate join, exact verify), so the
+    hash match pins candidate semantics, not just the final filter.
+    """
+    from .dedup import _band_rows, _shingle_sets
+
+    sh = _shingle_sets(spark, sf_dir).persist()
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    bands_eval = _band_rows(sh.where(is_eval))
+    bands_train = _band_rows(sh.where(~is_eval))
+    cand = (
+        bands_eval.alias("a").join(
+            bands_train.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    i = F.size(F.array_intersect("sa", "sb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", i.alias("i"),
+                F.size("sa").alias("na"), F.size("sb").alias("nb"))
+        .where(jac >= FUZZY_DECONTAM_THRESHOLD)
+        .select(F.col("doc_a").alias("eval_doc"),
+                F.col("doc_b").alias("train_doc"),
+                F.round(jac, 6).alias("jaccard"))
+    )

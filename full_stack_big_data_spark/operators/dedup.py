@@ -118,7 +118,8 @@ for _ in range(N_HASHES):
 
 
 def _minhash_oracle(cand_pred: str = "a.doc_id < b.doc_id",
-                    head_cols: str = "doc_a, doc_b") -> str:
+                    head_cols: str = "doc_a, doc_b",
+                    threshold: float = JACCARD_THRESHOLD) -> str:
     mh_cols = ",\n         ".join(
         f"min(({_MH_A[i]} * h + {_MH_B[i]}) % {MH_P}) AS mh{i}"
         for i in range(N_HASHES)
@@ -158,7 +159,7 @@ SELECT {head_cols},
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+WHERE i * 1.0 / (sa.n + sb.n - i) >= {threshold}
 """
 
 

@@ -64,6 +64,7 @@ def load_all() -> dict[str, QuerySpec]:
     relational corpus unverified). The relational queries — all driver-
     green in round 1 — re-verify last.
     """
+    from . import timeseries  # noqa: F401  (round 4 cont.: never driver-verified → sweeps first)
     from . import retrieval  # noqa: F401  (round 5: never driver-verified → sweeps first)
     from . import cdc, quality  # noqa: F401
     from . import analytics, decontam, graph, textanalysis, dedup, pipeline, similarity, multimodal, wire  # noqa: F401
