@@ -614,7 +614,7 @@ WITH li AS (
 SELECT part_a, part_b, n_both,
        ia.n_item AS n_a, ib.n_item AS n_b,
        CAST(ROUND(n_both * 1.0 / n_orders, 6) AS DOUBLE) AS support,
-       CAST(ROUND(n_both * 1.0 * n_orders / (ia.n_item * ib.n_item), 6) AS DOUBLE) AS lift
+       CAST(ROUND(n_both * 1.0 * n_orders / (ia.n_item * 1.0 * ib.n_item), 6) AS DOUBLE) AS lift
 FROM pair
 JOIN item ia ON ia.l_partkey = part_a
 JOIN item ib ON ib.l_partkey = part_b
@@ -670,8 +670,12 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("part_a", "part_b", "n_both", "n_a", "n_b",
                 F.round(F.col("n_both") / F.col("n_orders"), 6)
                  .cast("double").alias("support"),
-                F.round(F.col("n_both") * F.col("n_orders")
-                        / (F.col("n_a") * F.col("n_b")), 6)
+                # Promote to double BEFORE the products: BIGINT*BIGINT
+                # n_both*n_orders (and n_a*n_b) can exceed 2^63 at the
+                # 100 TB posture and ANSI mode makes that an error, not
+                # a wrap (r4 advisory). Matches the oracle's `* 1.0 *`.
+                F.round(F.col("n_both").cast("double") * F.col("n_orders")
+                        / (F.col("n_a").cast("double") * F.col("n_b")), 6)
                  .cast("double").alias("lift"))
     )
 

@@ -286,8 +286,21 @@ def decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     fuzzy pass production decontamination runs alongside the exact one.
     Bipartite MinHash-LSH (shared signature family and band layout with
     the dedup corpus — ``dedup._band_rows``), eval side vs train side,
-    with the verify threshold at {0.5}: contamination review wants high
-    recall at moderate similarity, where dedup's 0.8 wants precision.
+    with the verify threshold at FUZZY_DECONTAM_THRESHOLD:
+    contamination review wants high recall at moderate similarity,
+    where dedup's 0.8 wants precision.
+
+    Candidate-recall honesty (r4 advisory): with the shared b=8, r=2
+    band layout, a pair at exactly jaccard j becomes an LSH candidate
+    with probability 1-(1-j^2)^8 — ~90% at j=0.50, ~97% at j=0.60,
+    ~99.9% at j=0.75. Recall right AT the threshold is therefore
+    inherently <100%, and the oracle replays the same LSH so parity
+    cannot surface those misses; the contract this operator pins is
+    "the LSH-candidate pipeline, verified exactly", not exhaustive
+    pair enumeration. A deployment that needs >99% recall at j=0.5
+    re-bands the same 16-hash signatures as b=16/r=1 (monotone in j,
+    candidate P = 1-(1-j)^16 ≈ 99.998% at 0.5) at the cost of ~16×
+    more candidate collisions — a layout knob, not a code change.
 
     Scale: the eval side is benchmark-sized (KBs against 100 TB), so its
     band rows are tiny; candidate generation joins them against the

@@ -901,7 +901,8 @@ SELECT doc_id,
        COUNT(*) AS n_tokens,
        CAST(SUM(CASE WHEN tid < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
        CAST(SUM((pos + 1) * tid) AS BIGINT) AS id_checksum,
-       (list(tid ORDER BY pos))[1:{TOKENIZE_PREFIX}] AS prefix_ids
+       md5(array_to_string((list(tid ORDER BY pos))[1:{TOKENIZE_PREFIX}], ','))
+         AS prefix_md5
 FROM j GROUP BY doc_id
 """
 
@@ -918,9 +919,10 @@ def tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization step that turns text into the id sequences a
     training run consumes. Out-of-vocabulary tokens map to OOV_ID; the
     result is summarized per document (counts, OOV counts, a
-    position-weighted integer checksum that pins ORDER, and the first
-    TOKENIZE_PREFIX ids) so the driver hash covers sequence content
-    without shipping full sequences through the compare.
+    position-weighted integer checksum that pins ORDER, and an md5 of
+    the first TOKENIZE_PREFIX ids) so the driver hash covers sequence
+    content without shipping full sequences through the compare — and
+    stays scalar-typed for the driver's canonicalizer (r4 verdict).
 
     Scale: the vocabulary is vocabulary-sized → the id lookup is a
     BROADCAST left join onto the exploded token stream (map-side, no
@@ -948,4 +950,5 @@ def tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(F.col("tid") < 0, 1).otherwise(0)).alias("n_oov"),
                  F.sum((F.col("pos") + 1) * F.col("tid")).cast("bigint")
                   .alias("id_checksum"),
-                 prefix.alias("prefix_ids")))
+                 F.md5(F.concat_ws(",", F.transform(
+                     prefix, lambda x: x.cast("string")))).alias("prefix_md5")))

@@ -44,11 +44,13 @@ WITH pairs AS (
 ), lists AS (
   SELECT token, list_sort(list(doc_id)) AS postings FROM capped GROUP BY token
 )
-SELECT d.token, d.doc_freq, l.postings
+SELECT d.token, d.doc_freq,
+       CAST(len(l.postings) AS INT) AS postings_n,
+       md5(array_to_string(l.postings, ',')) AS postings_md5
 FROM df d JOIN lists l USING (token)
 """,
     description=f"inverted index: per-token document frequency + first "
-                f"{POSTINGS_CAP} postings in doc-id order",
+                f"{POSTINGS_CAP} postings in doc-id order (md5-pinned)",
     tags=("retrieval", "index", "agg"),
 )
 def text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,8 +77,14 @@ def text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
                           POSTINGS_CAP, F.col("doc_id"))
     lists = (capped.groupBy("token")
              .agg(F.sort_array(F.collect_list("doc_id")).alias("postings")))
+    # The posting list itself is pinned as an md5 of the joined ids (plus
+    # its length) so the result stays scalar-typed — the driver's oracle
+    # canonicalizer cannot sort on raw ARRAY cells (r4 verdict item 1).
     return df.join(F.broadcast(lists), "token").select(
-        "token", "doc_freq", "postings")
+        "token", "doc_freq",
+        F.size("postings").alias("postings_n"),
+        F.md5(F.concat_ws(",", F.transform(
+            "postings", lambda x: x.cast("string")))).alias("postings_md5"))
 
 
 # ---------------------------------------------------------------------------

@@ -857,14 +857,16 @@ def embedding_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _kmeans_step_oracle() -> str:
-    mean_cols = ",\n         ".join(
-        f"CAST(ROUND(SUM(v[{i + 1}]) / COUNT(*), 6) AS DOUBLE)"
-        for i in range(SRP_DIM))
+    sum_cols = ", ".join(
+        f"CAST(SUM(v[{i + 1}]) AS BIGINT)" for i in range(SRP_DIM))
+    total = " + ".join(
+        f"CAST(SUM(v[{i + 1}]) AS BIGINT)" for i in range(SRP_DIM))
     return _ivf_assign_prefix() + f""", j AS (
   SELECT c.cell, e.v FROM corpus c JOIN eq e USING (vec_id)
 )
 SELECT cell, COUNT(*) AS n_members,
-       [{mean_cols}] AS centroid
+       CAST({total} AS BIGINT) AS dim_sum_total,
+       md5(array_to_string([{sum_cols}], ',')) AS centroid_md5
 FROM j GROUP BY cell
 """
 
@@ -873,7 +875,8 @@ FROM j GROUP BY cell
     "emb_kmeans_step",
     oracle=_kmeans_step_oracle(),
     description=f"k-means Lloyd step over the {IVF_CELLS}-cell IVF assignment: "
-                "per-cell count + exact mean of the quantized vectors",
+                "per-cell count + md5-pinned exact integer dim-sums "
+                "(count + sums determine the new centroid)",
     tags=("similarity", "clustering", "agg"),
 )
 def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -892,8 +895,11 @@ def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode would shuffle dim× the corpus rows for the same answer).
 
     Determinism: sums run over floor(x·100) quantized values — integers
-    exact in double in ANY order — and the mean divides two exact
-    numbers, rounding at 1e-6 only for display.
+    exact in double in ANY order. The result pins (count, per-dim sum)
+    rather than the mean itself: the sums are md5'd as a comma-joined
+    integer list (the driver canon can't sort raw ARRAY cells, r4
+    verdict) and together with n_members fully determine the centroid
+    with zero float-formatting ambiguity between engines.
     """
     e = Catalog(spark, sf_dir).embeddings
     assigned = (ivf_cells(e, probes=1)
@@ -901,11 +907,12 @@ def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim_sums = [F.sum(F.floor(F.col("embedding")[i] * 100)).alias(f"_s{i}")
                 for i in range(SRP_DIM)]
     agg = assigned.groupBy("cell").agg(F.count("*").alias("n_members"), *dim_sums)
-    centroid = F.array(*[
-        F.round(F.col(f"_s{i}") / F.col("n_members"), 6).cast("double")
-        for i in range(SRP_DIM)])
-    return agg.select("cell", F.col("n_members").cast("bigint").alias("n_members"),
-                      centroid.alias("centroid"))
+    total = sum(F.col(f"_s{i}") for i in range(SRP_DIM))
+    return agg.select(
+        "cell", F.col("n_members").cast("bigint").alias("n_members"),
+        total.cast("bigint").alias("dim_sum_total"),
+        F.md5(F.concat_ws(",", *[F.col(f"_s{i}").cast("bigint").cast("string")
+                                 for i in range(SRP_DIM)])).alias("centroid_md5"))
 
 
 # ---------------------------------------------------------------------------
@@ -1055,12 +1062,41 @@ WITH cents(sub, cell, w, n2) AS (VALUES
 )"""
 
 
+def _pq_encode_udf(cb: np.ndarray | None = None):
+    """Arrow-batched PQ encoder over a given codebook (default: the
+    shipped literals) — shared by :func:`pq_codes` and
+    :func:`emb_pq_train` so assignment semantics cannot diverge.
+    Returns a pandas UDF mapping an embedding to [code_0..code_{{S-1}},
+    err_x]: per-subspace argmin of |c|² - 2·(v_s·c) over floor(x·100)
+    integers (ties → lowest cell, numpy first-min == SQL ORDER BY
+    cost, cell), plus the exact reconstruction error."""
+    if cb is None:
+        cb = _pq_codebooks()
+    n2 = (cb * cb).sum(axis=2)                             # (S, C)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _encode(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        eq = np.floor(mat * 100.0).astype(np.int64)        # (n, 64) exact
+        sub = eq.reshape(len(mat), PQ_SUBSPACES, PQ_SUBDIM)
+        # all subspace dot products at once: (n, S, C)
+        d = np.einsum("nsd,scd->nsc", sub, cb)
+        cost = n2[None, :, :] - 2 * d                      # (n, S, C)
+        codes = cost.argmin(axis=2)                        # first min = low cell
+        best = np.take_along_axis(cost, codes[:, :, None], 2)[:, :, 0]
+        err = best.sum(axis=1) + (eq * eq).sum(axis=1)
+        out = np.concatenate([codes, err[:, None]], axis=1)  # (n, S+1)
+        return pd.Series(list(out.astype(np.int64)))
+
+    return _encode
+
+
 def _pq_oracle() -> str:
     return _pq_code_prefix() + f""", vnorm AS (
   SELECT vec_id, CAST(list_dot_product(v, v) AS BIGINT) AS vn FROM eq
 )
 SELECT b.vec_id,
-       list(b.cell ORDER BY b.sub) AS codes,
+       md5(array_to_string(list(b.cell ORDER BY b.sub), ',')) AS codes_md5,
        CAST(SUM(b.cost) + ANY_VALUE(n.vn) AS BIGINT) AS err_x
 FROM best b JOIN vnorm n USING (vec_id)
 WHERE b.r = 1
@@ -1068,14 +1104,7 @@ GROUP BY b.vec_id
 """
 
 
-@register(
-    "emb_pq_encode",
-    oracle=_pq_oracle(),
-    description=f"product quantization: {PQ_SUBSPACES}x{PQ_CELLS}-cell integer "
-                "codebooks -> 4-bit codes + exact reconstruction error",
-    tags=("similarity", "quantization", "pq"),
-)
-def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encoding — the compression that makes
     billion-vector ANN serveable: each vector becomes SUBSPACES 4-bit
     codes (here 8×4 bits = 4 bytes per 64-dim vector, 64× smaller than
@@ -1095,31 +1124,119 @@ def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams the corpus. Codes are the payload an IVF-PQ index stores
     alongside ``ivf_cells`` assignments.
     """
-    cb = _pq_codebooks()
-    flat = cb.reshape(PQ_SUBSPACES * PQ_CELLS, PQ_SUBDIM)  # (S*C, 8)
-    n2 = (cb * cb).sum(axis=2)                             # (S, C)
-
-    @F.pandas_udf(ArrayType(LongType()))
-    def _encode(v: pd.Series) -> pd.Series:
-        mat = np.stack(v.to_numpy()).astype(np.float64)
-        eq = np.floor(mat * 100.0).astype(np.int64)        # (n, 64) exact
-        sub = eq.reshape(len(mat), PQ_SUBSPACES, PQ_SUBDIM)
-        # all subspace dot products at once: (n, S, C)
-        d = np.einsum("nsd,scd->nsc", sub, cb)
-        cost = n2[None, :, :] - 2 * d                      # (n, S, C)
-        codes = cost.argmin(axis=2)                        # first min = low cell
-        best = np.take_along_axis(cost, codes[:, :, None], 2)[:, :, 0]
-        err = best.sum(axis=1) + (eq * eq).sum(axis=1)
-        out = np.concatenate([codes, err[:, None]], axis=1)  # (n, S+1)
-        return pd.Series(list(out.astype(np.int64)))
-
     e = Catalog(spark, sf_dir).embeddings
-    enc = e.select("vec_id", _encode("embedding").alias("ce"))
+    enc = e.select("vec_id", _pq_encode_udf()("embedding").alias("ce"))
     return enc.select(
         "vec_id",
         F.transform(F.slice("ce", 1, PQ_SUBSPACES),
                     lambda x: x.cast("int")).alias("codes"),
         F.element_at("ce", PQ_SUBSPACES + 1).alias("err_x"))
+
+
+@register(
+    "emb_pq_encode",
+    oracle=_pq_oracle(),
+    description=f"product quantization: {PQ_SUBSPACES}x{PQ_CELLS}-cell integer "
+                "codebooks -> md5-pinned 4-bit codes + exact reconstruction "
+                "error",
+    tags=("similarity", "quantization", "pq"),
+)
+def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry face of :func:`pq_codes`: identical computation, but the
+    per-vector code list is emitted as an md5 of its comma-joined ints —
+    the driver's oracle canonicalizer cannot sort raw ARRAY cells (r4
+    verdict item 1), and the md5 pins code content AND subspace order
+    just as strictly. Downstream consumers (``ann_pq_adc``) use
+    :func:`pq_codes` directly for the real array."""
+    return pq_codes(spark, sf_dir).select(
+        "vec_id",
+        F.md5(F.concat_ws(",", F.transform(
+            "codes", lambda x: x.cast("string")))).alias("codes_md5"),
+        "err_x")
+
+
+def _pq_train_oracle() -> str:
+    s_cols = ", ".join(f"SUM(sv[{d + 1}]) AS s{d}" for d in range(PQ_SUBDIM))
+    total = " + ".join(f"CAST(s{d} AS BIGINT)" for d in range(PQ_SUBDIM))
+    cent = ", ".join(
+        f"CAST(FLOOR(s{d} * 1.0 / n + 0.5) AS BIGINT)"
+        for d in range(PQ_SUBDIM))
+    return _pq_code_prefix() + f""", assign AS (
+  SELECT vec_id, sub, cell FROM best WHERE r = 1
+), sv AS (
+  SELECT a.sub, a.cell,
+         list_slice(e.v, a.sub * {PQ_SUBDIM} + 1,
+                    a.sub * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
+  FROM assign a JOIN eq e USING (vec_id)
+), agg AS (
+  SELECT sub, cell, COUNT(*) AS n, {s_cols}
+  FROM sv GROUP BY sub, cell
+)
+SELECT sub, cell, CAST(n AS BIGINT) AS n_members,
+       CAST({total} AS BIGINT) AS dim_sum_total,
+       md5(array_to_string([{cent}], ',')) AS centroid_md5
+FROM agg
+"""
+
+
+@register(
+    "emb_pq_train",
+    oracle=_pq_train_oracle(),
+    description=f"PQ codebook training: one Lloyd step per subspace over the "
+                f"{PQ_SUBSPACES}x{PQ_CELLS} shipped codebooks — per-(sub,cell) "
+                "member count + md5-pinned rounded integer centroid",
+    tags=("similarity", "quantization", "pq", "clustering"),
+)
+def emb_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of per-subspace k-means over the PQ
+    codebooks — the TRAINING step the untrained-literal family has been
+    deferring (the r4 recall sweep measured ADC recall@10 ≈ 0.24 with
+    untrained ±30 literals; ``tests/test_similarity.py`` pins that one
+    trained step already beats it). A production run iterates this step
+    per subspace and ships the result as literals, exactly like the
+    current codebooks; one step is the registry unit because it is
+    deterministic and oracle-checkable (the ``emb_kmeans_step`` /
+    ``q_pagerank`` precedent).
+
+    Plan: ONE corpus scan — the shared Arrow-batched encoder
+    (:func:`_pq_encode_udf`) emits all subspace assignments map-side,
+    a posexplode fans each vector to its S (sub, cell) rows carrying
+    the PQ_SUBDIM-slice of the quantized vector, and ONE shuffle keyed
+    (sub, cell) computes count + per-dim integer sums with map-side
+    partials — state is S·C·dim scalars per task, corpus-independent.
+    No self-join of codes back to vectors (that would shuffle the
+    corpus twice for the same answer).
+
+    Determinism: sums over floor(x·100) integers in any order; the new
+    centroid rounds via the explicit floor(s/n + 0.5) both engines
+    evaluate identically; empty cells simply emit no row (a deployment
+    keeps the old centroid for those — a driver-side rule, not a
+    per-row computation).
+    """
+    e = Catalog(spark, sf_dir).embeddings
+    enc = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.floor(x.cast("double") * 100)
+                    .cast("bigint")).alias("qv"),
+        F.slice(_pq_encode_udf()("embedding"), 1, PQ_SUBSPACES).alias("codes"))
+    rows = enc.select(
+        F.posexplode("codes").alias("sub", "cell"),
+        F.col("qv").alias("qv"))
+    sv = rows.select(
+        "sub", "cell",
+        F.slice("qv", F.col("sub") * PQ_SUBDIM + 1, F.lit(PQ_SUBDIM)).alias("sv"))
+    dim_sums = [F.sum(F.col("sv")[d]).alias(f"_s{d}") for d in range(PQ_SUBDIM)]
+    agg = sv.groupBy("sub", "cell").agg(F.count("*").alias("n"), *dim_sums)
+    total = sum(F.col(f"_s{d}") for d in range(PQ_SUBDIM))
+    cent = [F.floor(F.col(f"_s{d}") / F.col("n") + 0.5).cast("bigint")
+            for d in range(PQ_SUBDIM)]
+    return agg.select(
+        F.col("sub").cast("int").alias("sub"),
+        F.col("cell").cast("int").alias("cell"),
+        F.col("n").cast("bigint").alias("n_members"),
+        total.cast("bigint").alias("dim_sum_total"),
+        F.md5(F.concat_ws(",", *[c.cast("string") for c in cent]))
+         .alias("centroid_md5"))
 
 
 def _pq_adc_oracle() -> str:
@@ -1178,7 +1295,7 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     subspace).
     """
     e = Catalog(spark, sf_dir).embeddings
-    codes = (emb_pq_encode(spark, sf_dir)
+    codes = (pq_codes(spark, sf_dir)
              .select("vec_id", F.posexplode("codes").alias("sub", "cell")))
 
     cb = _pq_codebooks()

@@ -172,6 +172,46 @@ def test_pq_codebook_training_seam_improves_recall():
     assert err_t < 0.6 * err_u, (err_u, err_t)
 
 
+def test_pq_train_step_matches_lloyd_replay(spark):
+    """The registered ``emb_pq_train`` IS the training machinery the
+    seam test above replays: its md5-pinned centroids must equal the
+    numpy replay's first Lloyd step (same integer costs, same first-min
+    tie-break, same floor(s/n + 0.5) rounding) cell for cell — so the
+    shipped artifact and the measured recall improvement come from one
+    algorithm, not two look-alikes."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from full_stack_big_data_spark.operators.similarity import (
+        PQ_CELLS, PQ_SUBDIM, PQ_SUBSPACES, _pq_codebooks, emb_pq_train,
+    )
+
+    t = pq.read_table(f"{SF_SMOKE}/embeddings.parquet").to_pydict()
+    emb = np.stack([np.array(v) for v in t["embedding"]]).astype(np.float64)
+    sub = (np.floor(emb * 100).astype(np.int64)
+           .reshape(len(emb), PQ_SUBSPACES, PQ_SUBDIM))
+    cb = _pq_codebooks()
+    n2 = (cb * cb).sum(axis=2)
+    assign = (n2[None, :, :]
+              - 2 * np.einsum("nsd,scd->nsc", sub, cb)).argmin(axis=2)
+
+    want = {}
+    for s in range(PQ_SUBSPACES):
+        for c in range(PQ_CELLS):
+            members = sub[assign[:, s] == c, s, :]
+            if len(members):
+                cent = np.floor(members.sum(axis=0) / len(members)
+                                + 0.5).astype(np.int64)
+                want[(s, c)] = (len(members), hashlib.md5(
+                    ",".join(str(int(x)) for x in cent).encode()).hexdigest())
+
+    got = {(r.sub, r.cell): (r.n_members, r.centroid_md5)
+           for r in emb_pq_train(spark, SF_SMOKE).collect()}
+    assert got == want
+
+
 def test_pca_deflation_orthogonality(spark):
     """The deflated second direction must be (numerically) orthogonal
     to the first: deflation is exact in integers (x''·v = 0
