@@ -58,7 +58,11 @@ def main() -> None:
     # noise and page-cache state into the number (round 1 recorded 69 s
     # under contention for a 28 s-idle suite). The min over a few runs is
     # the standard estimator for "what the plan costs"; N via env.
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    # reps default 2→3 after r4: the driver's single sweep landed mid-
+    # contention and read 2-3× on two untouched plans; a third rep gives
+    # the min one more chance to land in a quiet scheduler window at the
+    # cost of ~30 s wall (r5 paired-idle evidence in BENCHNOTES.md).
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     times: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
