@@ -846,3 +846,122 @@ def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.size("tok") - F.size(kept)).cast("bigint")
                     .alias("n_removed"),
                     F.md5(F.concat_ws(" ", kept)).alias("clean_fp")))
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance dedup (Ed-Join): character-level fuzzy matching.
+# ---------------------------------------------------------------------------
+
+EDIT_Q = 7              # q-gram width (see docstring: tuned by measurement)
+EDIT_MAXD = 4           # max edit distance reported
+EDIT_TITLE = 48         # chars of the doc head treated as the "title" field
+# Pigeonhole prefix: d edits destroy <= q*d positional q-grams, so any
+# q*d + 1 of a string's positional grams contain >= 1 survivor.
+EDIT_PREFIX = EDIT_Q * EDIT_MAXD + 1
+# Below this many positional grams the prefix is the whole string and
+# the pigeonhole no longer guarantees a survivor (see docstring).
+EDIT_MINLEN = EDIT_PREFIX + EDIT_Q - 1
+
+
+@register(
+    "dedup_editdistance",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, substr(text, 1, {EDIT_TITLE}) AS title FROM documents
+  WHERE len(substr(text, 1, {EDIT_TITLE})) >= {EDIT_MINLEN}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.title, b.title) AS INT) AS distance
+FROM t a JOIN t b
+  ON a.doc_id < b.doc_id
+ AND abs(len(a.title) - len(b.title)) <= {EDIT_MAXD}
+ AND levenshtein(a.title, b.title) <= {EDIT_MAXD}
+""",
+    description=f"edit-distance dedup: doc-title pairs within levenshtein "
+                f"{EDIT_MAXD}, Ed-Join positional-q-gram prefix filter "
+                "(oracle = brute-force ground truth, so parity PROVES the "
+                "filter lossless)",
+    tags=("dedup", "editdistance", "join"),
+)
+def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level fuzzy dedup — the family member token-set
+    methods miss: transposed/typo'd titles whose token sets diverge
+    (jaccard sees two different words; levenshtein sees 2 edits). The
+    classic web-corpus use is title/URL canonicalization.
+
+    Plan (Ed-Join, Xiao et al., VLDB'08 — re-derived over DataFrame
+    ops): positional q-grams per title; a global gram-frequency table
+    (vocabulary-bounded, broadcast) orders each doc's grams
+    rarest-first; the first q·d+1 = {EDIT_PREFIX} positional grams form
+    the PROBE prefix. Pigeonhole: d edits destroy at most q·d
+    positional grams and shift survivors by at most d positions, so
+    every true pair is found by joining one side's prefix against the
+    other side's FULL gram list with |Δpos| <= d. Candidates therefore
+    scale with rare-gram collisions, not with the quadratic all-pairs
+    space; the exact levenshtein verify runs only on survivors, after a
+    length pre-filter (|Δlen| <= d is necessary).
+
+    The ORACLE is deliberately the brute-force all-pairs ground truth,
+    not a replay of the filter: a hash match proves the prefix filter
+    LOSSLESS on this corpus, the same proof pattern as simhash's
+    nibble-band oracle (`dedup_simhash` above).
+
+    Scale honesty: titles shorter than {EDIT_MINLEN} chars have fewer
+    than q·d+1 positional grams, the pigeonhole degenerates, and both
+    engines EXCLUDE them here. A deployment routes that bounded short
+    bucket through length-banded blocking (|Δlen| <= d makes adjacent
+    length buckets a complete cover) — a second tiny branch, not a
+    different algorithm. This corpus's titles are all >= 44 chars.
+
+    Why q = {EDIT_Q}: q trades prefix length (destroyed grams per edit
+    = q, so prefix = q·d+1 grows with q) against gram RARITY (longer
+    grams collide less). Measured on this corpus — whose ~30-word
+    synthetic vocabulary is the adversarial case for content-based
+    filtering, every short gram is common — candidate fraction of the
+    all-pairs space: q=3 → 20-27%, q=5 → 4.8%, q=7 → 2.3%, flat from
+    500 to 5000 docs (tests pin < 5%). On natural text the vocabulary
+    grows with the corpus and rare grams stay rare, so the same plan
+    prunes harder at scale; on a corpus like this one, q is the knob
+    and the measurement above is how to set it.
+
+    Window note: the per-doc rank that picks the prefix partitions by
+    doc_id over ~{EDIT_TITLE - EDIT_Q + 1} rows — bounded by the TITLE,
+    not the corpus (the `text_ngram_counts` per-order-window lesson
+    does not apply).
+    """
+    d = Catalog(spark, sf_dir).documents
+    t = (d.select("doc_id",
+                  F.substring("text", 1, EDIT_TITLE).alias("title"))
+         .where(F.length("title") >= EDIT_MINLEN))
+    grams = t.select(
+        "doc_id", "title",
+        F.explode(F.expr(
+            f"transform(sequence(1, length(title) - {EDIT_Q - 1}), "
+            f"i -> struct(i AS pos, substring(title, i, {EDIT_Q}) AS g))"))
+        .alias("pg")
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    freq = grams.groupBy("g").agg(F.count("*").alias("freq"))
+    ranked = (grams.join(F.broadcast(freq), "g")
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy("doc_id")
+                  .orderBy("freq", "g", "pos"))))
+    prefix = ranked.where(F.col("rn") <= EDIT_PREFIX).select("doc_id", "pos", "g")
+    cand = (
+        prefix.alias("p").join(
+            grams.select("doc_id", "pos", "g").alias("x"),
+            (F.col("p.g") == F.col("x.g"))
+            & (F.col("p.doc_id") != F.col("x.doc_id"))
+            & (F.abs(F.col("p.pos") - F.col("x.pos")) <= EDIT_MAXD))
+        .select(F.least("p.doc_id", "x.doc_id").alias("doc_a"),
+                F.greatest("p.doc_id", "x.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta = t.select(F.col("doc_id").alias("doc_a"), F.col("title").alias("title_a"))
+    tb = t.select(F.col("doc_id").alias("doc_b"), F.col("title").alias("title_b"))
+    return (
+        cand.join(ta, "doc_a").join(tb, "doc_b")
+        .where(F.abs(F.length("title_a") - F.length("title_b")) <= EDIT_MAXD)
+        .withColumn("distance", F.levenshtein("title_a", "title_b").cast("int"))
+        .where(F.col("distance") <= EDIT_MAXD)
+        .select("doc_a", "doc_b", "distance")
+    )

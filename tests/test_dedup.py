@@ -37,3 +37,43 @@ def test_simhash_finds_planted_pairs(spark):
     # simhash is a different similarity proxy; require high overlap, not
     # equality (it may add a few borderline pairs or drop j≈0.8 ones).
     assert len(found & truth) / len(truth) >= 0.9
+
+
+def test_editdistance_prefix_filter_prunes_quadratic(spark):
+    """The Ed-Join prefix filter's reason to exist: candidate pairs must
+    be a small fraction of the all-pairs space (losslessness is already
+    proven by the brute-force oracle; this pins the SCALE claim). The
+    candidate stage is replayed here exactly as `dedup_editdistance`
+    builds it, stopping before the levenshtein verify."""
+    from pyspark.sql import Window, functions as F
+    from full_stack_big_data_spark.engine.catalog import Catalog
+    from full_stack_big_data_spark.operators.dedup import (
+        EDIT_MAXD, EDIT_MINLEN, EDIT_PREFIX, EDIT_Q, EDIT_TITLE,
+    )
+
+    d = Catalog(spark, SF_SMOKE).documents
+    t = (d.select("doc_id", F.substring("text", 1, EDIT_TITLE).alias("title"))
+         .where(F.length("title") >= EDIT_MINLEN))
+    n = t.count()
+    grams = t.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(1, length(title) - {EDIT_Q - 1}), "
+            f"i -> struct(i AS pos, substring(title, i, {EDIT_Q}) AS g))"))
+        .alias("pg")
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    freq = grams.groupBy("g").agg(F.count("*").alias("freq"))
+    ranked = (grams.join(F.broadcast(freq), "g")
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy("doc_id").orderBy("freq", "g", "pos"))))
+    prefix = ranked.where(F.col("rn") <= EDIT_PREFIX).select("doc_id", "pos", "g")
+    cand = (prefix.alias("p").join(
+        grams.alias("x"),
+        (F.col("p.g") == F.col("x.g"))
+        & (F.col("p.doc_id") != F.col("x.doc_id"))
+        & (F.abs(F.col("p.pos") - F.col("x.pos")) <= EDIT_MAXD))
+        .select(F.least("p.doc_id", "x.doc_id").alias("a"),
+                F.greatest("p.doc_id", "x.doc_id").alias("b"))
+        .distinct().count())
+    all_pairs = n * (n - 1) // 2
+    assert cand < 0.05 * all_pairs, (cand, all_pairs)

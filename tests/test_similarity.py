@@ -211,6 +211,25 @@ def test_pq_train_step_matches_lloyd_replay(spark):
            for r in emb_pq_train(spark, SF_SMOKE).collect()}
     assert got == want
 
+    # The ONE-step quality claim `ann_pq_adc_trained` ships on: a single
+    # Lloyd step already cuts integer reconstruction error by >20% and
+    # does not shrink the per-(sub,cell) assignment's objective anywhere
+    # (Lloyd's monotonicity, checked globally).
+    cb1 = cb.copy()
+    for s in range(PQ_SUBSPACES):
+        for c in range(PQ_CELLS):
+            members = sub[assign[:, s] == c, s, :]
+            if len(members):
+                cb1[s, c] = np.floor(members.sum(axis=0) / len(members) + 0.5)
+
+    def total_err(cbi):
+        n2i = (cbi * cbi).sum(axis=2)
+        cost = n2i[None, :, :] - 2 * np.einsum("nsd,scd->nsc", sub, cbi)
+        return (cost.min(axis=2) + (sub * sub).sum(axis=2)).sum()
+
+    e0, e1 = total_err(cb), total_err(cb1)
+    assert e1 < 0.8 * e0, (e0, e1)
+
 
 def test_pca_deflation_orthogonality(spark):
     """The deflated second direction must be (numerically) orthogonal

@@ -66,3 +66,31 @@ def test_approx_distinct_contract_rows(spark):
     for t, n in exact.items():
         assert got[t].exact_users == n
         assert got[t].estimate_within_bound, (t, got[t])
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """The definitional bloom invariant the registry row cites: every
+    inserted key probes positive (all k of its bits were set by its own
+    insert). Replays the registered build + probe machinery against the
+    member cohort itself."""
+    from pyspark.sql import functions as F
+    from full_stack_big_data_spark.engine.catalog import Catalog
+    from full_stack_big_data_spark.functions.hashing import hex64
+    from full_stack_big_data_spark.operators.sketches import BLOOM_K, BLOOM_M
+
+    cat = Catalog(spark, SF_SMOKE)
+    keys = cat.orders.select(F.col("o_custkey").alias("k")).distinct()
+
+    def positions(kcol):
+        return F.array(*[
+            (hex64(F.concat(F.lit(f"bloom{i}|"), kcol.cast("string")))
+             % BLOOM_M).cast("bigint")
+            for i in range(BLOOM_K)])
+
+    bits = keys.select(F.explode(positions(F.col("k"))).alias("b")).distinct()
+    hits = (keys.select("k", F.explode(positions(F.col("k"))).alias("b"))
+            .join(F.broadcast(bits), "b")
+            .groupBy("k").agg(F.count("*").alias("hits")))
+    n_keys = keys.count()
+    n_positive = hits.where(F.col("hits") == BLOOM_K).count()
+    assert n_positive == n_keys, (n_positive, n_keys)
