@@ -9,9 +9,15 @@ format exactly:
 - This container ships neither the spark-avro jar nor a Python avro
   package, so the codec is implemented here from the public Avro binary
   spec (zigzag-varint longs, length-prefixed utf-8 strings — ~30 lines
-  for a flat record) and applied as an Arrow-batched pandas UDF. With
-  spark-avro available, ``from_avro``/``to_avro`` drop in behind the
-  same two call sites.
+  for a flat record) and applied as an Arrow-batched pandas UDF. A
+  zero-Python pure-Catalyst encoder (ten unrolled varint byte groups
+  from shift/xor/hex built-ins) was built, proven byte-exact, and
+  MEASURED 11x SLOWER than this codec (1.74 s vs 0.15 s / 500 k rows —
+  per-byte hex/lpad/unhex string allocation dominates; BENCHNOTES.md
+  round 5), so the Arrow path stays: at ~0.3 us/row encode and
+  ~0.8 us/row decode the codec is bandwidth-trivial even at 100 TB.
+  With spark-avro available, ``from_avro``/``to_avro`` drop in behind
+  the same two call sites.
 - Error semantics mirror the reference's two decoders:
   PERMISSIVE → null out bad payloads then drop, like ``AvroDecoderBolt``
   (log & skip, ``storm/bolts/AvroDecoderBolt.scala:61-76``);
@@ -28,8 +34,6 @@ default wire format for the streaming identity pipes.
 from __future__ import annotations
 
 import io
-import struct as _struct
-from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
@@ -82,6 +86,12 @@ def _zigzag_decode(buf: io.BytesIO) -> int:
         shift += 7
         if shift > 63:
             raise ValueError("varint too long")
+    # Mask to 64 bits BEFORE un-zigzagging (Java Avro semantics): a
+    # 10-byte varint can carry up to 70 payload bits, and without the
+    # mask a crafted payload yields a Python int beyond int64 — which
+    # under PERMISSIVE would crash the whole Arrow batch instead of
+    # nulling one row.
+    acc &= (1 << 64) - 1
     return (acc >> 1) ^ -(acc & 1)
 
 

@@ -62,3 +62,46 @@ def test_avro_spark_roundtrip_matches_fixture(spark):
     dec = (enc.select(decode_tweet_avro(F.col("value")).alias("pojo"))
            .select("pojo.*"))
     assert sorted(tuple(r) for r in dec.collect()) == sorted(FIXTURE)
+
+
+def test_decoder_matches_reference_on_fuzz(spark):
+    """The Spark-side decoder must agree with the spec-reference codec
+    on EVERY payload — valid records, truncations, bit flips, junk, and
+    the crafted 10-byte varint whose 70 payload bits overflow int64
+    without the 64-bit mask (Java Avro semantics; pre-fix, that payload
+    crashed the whole Arrow batch under PERMISSIVE instead of nulling
+    one row)."""
+    import random
+
+    from full_stack_big_data_spark.sources import serde
+
+    rng = random.Random(7)
+    payloads = []
+    base_rows = [
+        ("alice", "hello world", 0), ("", "", -1),
+        ("日本語", "emoji \U0001F600", 2 ** 63 - 1), ("u", "t", -(2 ** 63)),
+        ("x" * 300, "y" * 1000, 123),
+    ]
+    for u, t, ts in base_rows:
+        payloads.append(serde.tweet_to_avro_bytes(u, t, ts))
+    for p in list(payloads):
+        payloads.append(p[:rng.randrange(1, len(p))])
+        q = bytearray(p)
+        q[rng.randrange(len(q))] ^= 0x80
+        payloads.append(bytes(q))
+    payloads += [b"", b"\xff" * 12, b"\x80" * 11,
+                 bytes(rng.randrange(256) for _ in range(20)),
+                 b"\x00\x00" + b"\xff" * 9 + b"\x7f"]
+
+    def py_ref(p):
+        try:
+            return serde.tweet_from_avro_bytes(p)
+        except Exception:
+            return (None, None, None)
+
+    want = [py_ref(p) for p in payloads]
+    df = spark.createDataFrame([(p,) for p in payloads], "value binary")
+    got = [(r.username, r.text, r.timestamp)
+           for r in (df.select(decode_tweet_avro(F.col("value")).alias("p"))
+                     .select("p.*").collect())]
+    assert got == want
