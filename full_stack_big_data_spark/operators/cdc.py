@@ -383,3 +383,94 @@ def q_cdc_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.status").alias("status"),
         F.col("r.price").cast("double").alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten: cascading delete propagation across the star.
+# ---------------------------------------------------------------------------
+
+RTBF_MOD = 97  # deterministic deletion fixture: every 97th customer
+
+
+@register(
+    "q_delete_propagation",
+    oracle=f"""
+WITH del_c AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % {RTBF_MOD} = 0
+), del_o AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM del_c)
+), del_l AS (
+  SELECT l_orderkey, l_linenumber FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM del_o)
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM del_c) AS n_del_customers,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM del_o) AS n_del_orders,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM del_l) AS n_del_lineitems,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer)
+         - (SELECT COUNT(*) FROM del_c) AS n_surv_customers,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+         - (SELECT COUNT(*) FROM del_o) AS n_surv_orders,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+         - (SELECT COUNT(*) FROM del_l) AS n_surv_lineitems,
+       (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del_o))
+         AS surv_order_key_sum
+""",
+    description=f"right-to-be-forgotten cascade: c_custkey%{RTBF_MOD}=0 "
+                "deletion set propagated customer -> orders -> lineitem, "
+                "survivor counts + membership checksum",
+    tags=("cdc", "delete", "join"),
+)
+def q_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compliance-grade cascading delete — the operation a training-data
+    platform runs when a user exercises deletion rights: remove the
+    subject rows AND everything reachable from them through the
+    foreign-key chain, then prove what survived. The reference has no
+    mutation surface at all (its store is append-only Kafka topics,
+    ``README.md:45-69``); this is the warehouse-side half a lambda
+    architecture needs for retention compliance.
+
+    Plan: the deletion KEY set is corpus-fraction-tiny (1/{RTBF_MOD} of
+    the customer dimension) — broadcast to filter orders map-side; the
+    dropped ORDER keys are fact-fraction rows, so the lineitem
+    anti-join is a key-shuffle join at scale (AQE broadcasts it while
+    it fits). Survivor counts and the order-key checksum are scalar
+    aggregates over anti-joins — the checksum pins MEMBERSHIP of the
+    surviving set, not just its size, so a wrong-direction join cannot
+    hash-pass. Everything composes from two scans of orders and one of
+    lineitem/customer; no row is rewritten here (the write side is
+    ``q_partition_overwrite_dynamic``'s pattern applied per affected
+    partition).
+    """
+    cat = Catalog(spark, sf_dir)
+    del_c = (cat.customer.where(F.col("c_custkey") % RTBF_MOD == 0)
+             .select("c_custkey"))
+    del_o = (cat.orders.join(F.broadcast(del_c),
+                             F.col("o_custkey") == F.col("c_custkey"))
+             .select("o_orderkey"))
+    surv_o = cat.orders.join(del_o, "o_orderkey", "left_anti")
+    del_l = cat.lineitem.join(del_o, F.col("l_orderkey") == F.col("o_orderkey"),
+                              "left_semi")
+
+    def cnt(df, name):
+        return df.agg(F.count("*").cast("bigint").alias(name))
+
+    row = (cnt(del_c, "n_del_customers")
+           .crossJoin(F.broadcast(cnt(del_o, "n_del_orders")))
+           .crossJoin(F.broadcast(cnt(del_l, "n_del_lineitems")))
+           .crossJoin(F.broadcast(cnt(cat.customer, "n_customers")))
+           .crossJoin(F.broadcast(cnt(cat.orders, "n_orders")))
+           .crossJoin(F.broadcast(cnt(cat.lineitem, "n_lineitems")))
+           .crossJoin(F.broadcast(
+               surv_o.agg(F.sum("o_orderkey").cast("bigint")
+                          .alias("surv_order_key_sum")))))
+    return row.select(
+        "n_del_customers", "n_del_orders", "n_del_lineitems",
+        (F.col("n_customers") - F.col("n_del_customers")).cast("bigint")
+        .alias("n_surv_customers"),
+        (F.col("n_orders") - F.col("n_del_orders")).cast("bigint")
+        .alias("n_surv_orders"),
+        (F.col("n_lineitems") - F.col("n_del_lineitems")).cast("bigint")
+        .alias("n_surv_lineitems"),
+        "surv_order_key_sum")
