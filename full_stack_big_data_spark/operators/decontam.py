@@ -300,7 +300,11 @@ def decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair enumeration. A deployment that needs >99% recall at j=0.5
     re-bands the same 16-hash signatures as b=16/r=1 (monotone in j,
     candidate P = 1-(1-j)^16 ≈ 99.998% at 0.5) at the cost of ~16×
-    more candidate collisions — a layout knob, not a code change.
+    more candidate collisions — literally ``_band_rows(sh, bands=16)``;
+    ``tests/test_dedup.py::test_band_layout_knob_recall_at_half``
+    verifies that layout finds every exact jaccard >= 0.5 pair on this
+    corpus. The fixture keeps 8×2 so the driver row shares the dedup
+    family's banding.
 
     Scale: the eval side is benchmark-sized (KBs against 100 TB), so its
     band rows are tiny; candidate generation joins them against the

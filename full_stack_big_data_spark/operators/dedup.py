@@ -163,11 +163,24 @@ WHERE i * 1.0 / (sa.n + sb.n - i) >= {threshold}
 """
 
 
-def _band_rows(sh: DataFrame) -> DataFrame:
+def _band_rows(sh: DataFrame, bands: int = BANDS) -> DataFrame:
     """(doc_id, band, bucket) LSH rows from the compact shingle table —
     signatures map-side (one md5 per shingle, affine family over it),
-    bands as an 8-row explode. Bucket joins downstream are equi-joins on
-    (band, bucket): shuffle bounded by signature size, never all-pairs."""
+    bands as a ``bands``-row explode over the shared 16-hash signature.
+    Bucket joins downstream are equi-joins on (band, bucket): shuffle
+    bounded by signature size, never all-pairs.
+
+    ``bands`` is the recall/precision LAYOUT KNOB over the same
+    signatures: rows-per-band r = N_HASHES/bands, P(candidate at
+    jaccard j) = 1-(1-j^r)^bands. The default 8×2 targets dedup's 0.8
+    threshold; 16×1 pushes candidate recall at j=0.5 from ~90% to
+    ~99.998% for ~16×-hotter buckets (measured in
+    ``tests/test_dedup.py::test_band_layout_knob_recall_at_half``) —
+    the trade ``decontam_fuzzy``'s docstring prices out.
+    """
+    if N_HASHES % bands:
+        raise ValueError(f"bands={bands} must divide N_HASHES={N_HASHES}")
+    rows = N_HASHES // bands
     hashed = sh.select("doc_id", "s",
                        F.transform("s", lambda g: hex64(g) % MH_P).alias("h"))
     mh = hashed.select("doc_id", *[
@@ -180,9 +193,10 @@ def _band_rows(sh: DataFrame) -> DataFrame:
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", F.col(f"mh{2*b}").cast("string"),
-                                  F.col(f"mh{2*b+1}").cast("string"))).alias("bucket"),
-            ) for b in range(BANDS)
+                F.md5(F.concat_ws("|", *[
+                    F.col(f"mh{rows * b + r}").cast("string")
+                    for r in range(rows)])).alias("bucket"),
+            ) for b in range(bands)
         ])).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
 
