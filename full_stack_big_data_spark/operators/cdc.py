@@ -413,7 +413,7 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM del_c) AS n_del_customers,
          - (SELECT COUNT(*) FROM del_o) AS n_surv_orders,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
          - (SELECT COUNT(*) FROM del_l) AS n_surv_lineitems,
-       (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+       (SELECT CAST(SUM(o_orderkey % 1000003) AS BIGINT) FROM orders
         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del_o))
          AS surv_order_key_sum
 """,
@@ -463,8 +463,12 @@ def q_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
            .crossJoin(F.broadcast(cnt(cat.orders, "n_orders")))
            .crossJoin(F.broadcast(cnt(cat.lineitem, "n_lineitems")))
            .crossJoin(F.broadcast(
-               surv_o.agg(F.sum("o_orderkey").cast("bigint")
-                          .alias("surv_order_key_sum")))))
+               # key % 1000003 before summing: a raw key sum is ~9e18 at
+               # TPC-H SF100k and ANSI mode turns that overflow into an
+               # error (the q_market_basket lesson); the modular sum
+               # still pins membership and stays ~1e15 at any SF.
+               surv_o.agg(F.sum(F.col("o_orderkey") % 1000003)
+                          .cast("bigint").alias("surv_order_key_sum")))))
     return row.select(
         "n_del_customers", "n_del_orders", "n_del_lineitems",
         (F.col("n_customers") - F.col("n_del_customers")).cast("bigint")

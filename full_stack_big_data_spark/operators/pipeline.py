@@ -278,7 +278,7 @@ drops AS (
 SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_input,
        CAST(COUNT(*) AS BIGINT) AS n_survivors,
        CAST((SELECT COUNT(*) FROM documents) - COUNT(*) AS BIGINT) AS n_dropped,
-       CAST(SUM(doc_id) AS BIGINT) AS survivor_id_sum,
+       CAST(SUM(doc_id % 1000003) AS BIGINT) AS survivor_id_sum,
        CAST(SUM(n_chars) AS BIGINT) AS survivor_chars
 FROM surv
 """.format(clusters=REGISTRY["dedup_clusters"].oracle),
@@ -301,7 +301,10 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = d.join(F.broadcast(drops), "doc_id", "left_anti")
     stats = surv.agg(
         F.count("*").alias("n_survivors"),
-        F.sum("doc_id").alias("survivor_id_sum"),
+        # id % 1000003 before summing: a raw id sum overflows int64
+        # under ANSI at ~1e12-row scale (the q_market_basket lesson);
+        # the modular sum still pins membership order-independently.
+        F.sum(F.col("doc_id") % 1000003).alias("survivor_id_sum"),
         F.sum("n_chars").alias("survivor_chars"),
     )
     n_input = d.agg(F.count("*").alias("n_input"))

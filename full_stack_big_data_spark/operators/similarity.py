@@ -820,7 +820,7 @@ drops AS (
 SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_input,
        CAST(COUNT(*) AS BIGINT) AS n_survivors,
        CAST((SELECT COUNT(*) FROM embeddings) - COUNT(*) AS BIGINT) AS n_dropped,
-       CAST(SUM(vec_id) AS BIGINT) AS survivor_id_sum
+       CAST(SUM(vec_id % 1000003) AS BIGINT) AS survivor_id_sum
 FROM surv
 """,
     description="apply embedding dedup: drop non-canonical vectors, emit "
@@ -839,7 +839,9 @@ def embedding_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = e.join(F.broadcast(drops), "vec_id", "left_anti")
     stats = surv.agg(
         F.count("*").cast("bigint").alias("n_survivors"),
-        F.sum("vec_id").cast("bigint").alias("survivor_id_sum"),
+        # modular sum: raw id sums overflow int64 under ANSI at scale
+        F.sum(F.col("vec_id") % 1000003).cast("bigint")
+         .alias("survivor_id_sum"),
     )
     # lazy 1-row broadcast, not a driver-side count() (dedup_apply's shape)
     n_input = e.agg(F.count("*").cast("bigint").alias("n_input"))
