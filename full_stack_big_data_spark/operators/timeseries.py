@@ -335,3 +335,76 @@ def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "bucket", "event_id",
                     F.col("x").alias("x_us"), F.col("y").alias("value"),
                     "n_in_bucket"))
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing (exact dyadic arithmetic — the forecasting primitive).
+# ---------------------------------------------------------------------------
+
+EWMA_LAGS = 40  # window depth; 2^-40 ~ 1e-12 of the level, below rounding
+
+
+@register(
+    "q_ewma_daily",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), sm AS (
+  SELECT a.event_type, a.d, a.cnt,
+         CAST(SUM(b.cnt * CAST(power(2, {EWMA_LAGS} - (a.d - b.d)) AS BIGINT))
+              AS BIGINT) AS ewma_x2p
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type
+   AND b.d BETWEEN a.d - {EWMA_LAGS} AND a.d
+  GROUP BY a.event_type, a.d, a.cnt
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day, cnt, ewma_x2p,
+       CAST(ROUND(ewma_x2p / power(2, {EWMA_LAGS + 1}), 6) AS DOUBLE) AS ewma
+FROM sm
+""",
+    description=f"EWMA (alpha=1/2, {EWMA_LAGS}-day window) of daily event "
+                "counts per type — exact dyadic integer arithmetic, both "
+                "engines bit-equal",
+    tags=("events", "timeseries", "forecast"),
+)
+def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the daily event count
+    per type — the smoothing/forecasting primitive (monitoring
+    baselines, anomaly thresholds, naive next-day forecasts). α = 1/2
+    and integer inputs make the whole recurrence EXACT: the scaled
+    level Σ cnt_{{t-i}}·2^({EWMA_LAGS}-i) is a plain BIGINT (max
+    ~2·cnt·2^{EWMA_LAGS} ≈ 1e16 at any realistic per-day count), so
+    both engines agree bit-for-bit with no float-summation order
+    hazard; dividing by 2^{EWMA_LAGS}+1 only at presentation yields the
+    standard α=1/2 EWMA truncated at {EWMA_LAGS} lags (the dropped
+    tail is ≤ 2^-{EWMA_LAGS} of the level — below the 1e-6 rounding).
+
+    Scale: the events→daily rollup is the ONE fact-sized shuffle
+    (map-side partial counts); smoothing then runs on the
+    calendar-bounded daily table — a self-join over a ≤{EWMA_LAGS + 1}-day
+    band whose both sides are tiny at any corpus size (the
+    ``q_hypertable_rollup`` discipline: aggregate once, serve
+    analytics from the rollup). The band join broadcasts.
+    """
+    ev = Catalog(spark, sf_dir).events
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", "ts").cast("date").alias("d"))
+             .agg(F.count("*").alias("cnt")))
+    a, b = daily.alias("a"), daily.alias("b")
+    diff = F.datediff(F.col("a.d"), F.col("b.d"))
+    term = (F.col("b.cnt")
+            * F.pow(F.lit(2.0), (F.lit(EWMA_LAGS) - diff).cast("double"))
+            .cast("bigint"))
+    sm = (a.join(F.broadcast(b),
+                 (F.col("b.event_type") == F.col("a.event_type"))
+                 & (diff >= 0) & (diff <= EWMA_LAGS))
+          .groupBy(F.col("a.event_type").alias("event_type"),
+                   F.col("a.d").alias("d"), F.col("a.cnt").alias("cnt"))
+          .agg(F.sum(term).cast("bigint").alias("ewma_x2p")))
+    return sm.select(
+        "event_type", F.date_format("d", "yyyy-MM-dd").alias("day"), "cnt",
+        "ewma_x2p",
+        F.round(F.col("ewma_x2p") / F.pow(F.lit(2.0), EWMA_LAGS + 1), 6)
+         .cast("double").alias("ewma"))
