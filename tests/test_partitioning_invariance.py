@@ -48,6 +48,12 @@ QUERIES = [
     "emb_knn_graph",           # bucket-collision candidates + per-src window
     "q_feature_binning_equidepth",  # broadcast quartile bounds, map-side bins
     "emb_pca_second_component",  # integer deflation + rescale + power loop
+    "dedup_editdistance",      # freq-ranked prefix join + levenshtein verify
+    "q_sketch_bloom",          # distinct-bit build + broadcast probe counts
+    "emb_pq_train",            # per-(sub,cell) integer dim sums in any order
+    "ann_pq_adc_trained",      # trained-artifact fetch + LUT partial sums
+    "q_delete_propagation",    # cascading anti-joins + modular checksum
+    "q_ewma_daily",            # dyadic-integer banded self-join sums
 ]
 
 
