@@ -772,6 +772,66 @@ def ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_index_persist",
+    oracle=_ann_incremental_oracle(),
+    description="persisted SRP index lifecycle: corpus bucket table written "
+                "to parquet partitioned by table_id, new batch served FROM "
+                "the on-disk index — same oracle as ann_incremental, so the "
+                "hash proves persisted == in-query",
+    tags=("similarity", "ann", "lsh", "storage"),
+)
+def ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MISSING third of the incremental-ANN story: the index as a
+    STORED ARTIFACT. ``ann_incremental`` models "prebuilt" by carving
+    the corpus in-query; a deployment instead materializes the
+    (vec_id, table_id, bucket) table once per crawl dump and serves
+    every later batch from disk. This query runs that full lifecycle —
+    build corpus buckets, WRITE them to parquet partitioned by
+    table_id (each of the 16 SRP tables is one partition directory; a
+    billion-vector index additionally range-partitions bucket within
+    table), read the index back, and answer the new batch from it.
+    Reusing ``ann_incremental``'s oracle makes the driver hash a
+    round-trip proof: the persisted index serves bit-identical answers
+    to the in-query build.
+
+    Scale: the index write is one map-side pass over the corpus (the
+    bucket rows ARE the map output, no shuffle before the partitioned
+    write); serving reads only joins the batch's bucket rows against
+    the on-disk table — with a bucket predicate the scan prunes to the
+    touched partitions (pinned in ``tests/test_plans.py``).
+    """
+    from ..engine.scratch import scratch_dir
+
+    e = srp_buckets(Catalog(spark, sf_dir).embeddings)
+    tbl = e.select("vec_id",
+                   F.posexplode("buckets").alias("table_id", "bucket"))
+    is_new = F.col("vec_id") % ANN_INCR_MOD == ANN_INCR_REM
+    path = scratch_dir("fsbd_ann_index_")
+    (tbl.where(~is_new)
+        .write.mode("overwrite").partitionBy("table_id").parquet(path))
+    index = spark.read.parquet(path)
+
+    newb = (tbl.where(is_new)
+            .select(F.col("vec_id").alias("new_id"), "table_id", "bucket"))
+    cand = (newb.join(index, ["table_id", "bucket"])
+            .select("new_id", F.col("vec_id").alias("neighbor_id"))
+            .distinct())
+    src = Catalog(spark, sf_dir).embeddings
+    qn = src.select(F.col("vec_id").alias("new_id"), F.col("embedding").alias("qv"))
+    nn = src.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("nv"))
+    scored = (cand.join(qn, "new_id").join(nn, "neighbor_id")
+              .select("new_id", "neighbor_id",
+                      cosine_sim(F.col("nv"), F.col("qv")).alias("cos")))
+    return (
+        grouped_topk(scored, ["new_id"],
+                     [F.desc("cos"), F.asc("neighbor_id")],
+                     ANN_INCR_K, F.col("neighbor_id"))
+        .select("new_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding dedup end-game: clusters + apply (the text path's symmetric
 # closers — dedup_clusters/dedup_apply over MinHash pairs, these over

@@ -288,3 +288,26 @@ def test_plan_audit_covers_every_batch_query(reg):
     stale = sorted(audited - batch)
     assert not missing, f"batch queries missing from PLANAUDIT.md: {missing}"
     assert not stale, f"PLANAUDIT.md rows for unknown queries: {stale}"
+
+
+def test_ann_persisted_index_lookup_prunes_partitions(spark):
+    """The serving story ann_index_persist ships: a lookup against the
+    persisted SRP index with a table_id predicate must PRUNE to that
+    table's partition directory (PartitionFilters in the scan), so a
+    single-bucket probe touches 1/16th of the index regardless of
+    corpus size."""
+    from pyspark.sql import functions as F
+    from full_stack_big_data_spark.engine.catalog import Catalog
+    from full_stack_big_data_spark.engine.scratch import scratch_dir
+    from full_stack_big_data_spark.operators.similarity import srp_buckets
+
+    e = srp_buckets(Catalog(spark, SF).embeddings)
+    tbl = e.select("vec_id",
+                   F.posexplode("buckets").alias("table_id", "bucket"))
+    path = scratch_dir("fsbd_ann_index_plan_")
+    tbl.write.mode("overwrite").partitionBy("table_id").parquet(path)
+    lookup = (spark.read.parquet(path)
+              .where((F.col("table_id") == 3) & (F.col("bucket") == 5)))
+    plan = lookup._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "table_id" in plan.split(
+        "PartitionFilters")[1][:200], plan[:1500]
