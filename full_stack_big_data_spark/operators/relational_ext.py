@@ -1058,3 +1058,70 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (joined.select("c_custkey", F.explode(rows).alias("r"))
             .select("c_custkey", "r.segment", "r.effective_from",
                     "r.effective_to", F.col("r.is_current").cast("int").alias("is_current")))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11: important stock (group value vs scaled global total).
+# ---------------------------------------------------------------------------
+
+Q11_NATION_MAX = 13   # suppliers in nations 0-12 (a single nation is empty
+                      # at sf0.001 — one supplier per nation there)
+Q11_FRACTION = "0.001"  # group qualifies above fraction * total (Q11's knob)
+
+
+@register(
+    "q11_important_stock",
+    oracle=f"""
+WITH scoped AS (
+  SELECT l.l_partkey,
+         CAST(l.l_extendedprice AS DECIMAL(18,4)) * l.l_quantity AS val
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_nationkey < {Q11_NATION_MAX}
+), grouped AS (
+  SELECT l_partkey, SUM(val) AS value FROM scoped GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(ROUND(value, 2) AS DOUBLE) AS value
+FROM grouped
+WHERE value > (SELECT SUM(value) * {Q11_FRACTION} FROM grouped)
+""",
+    description="TPC-H Q11 adaptation: per-part inventory value vs a "
+                "fraction of the scoped total (scalar-subquery threshold); "
+                "partsupp stands in as lineitem price*qty",
+    tags=("join", "subquery", "agg"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 completes the TPC-H numbered sweep (Q1-Q22; this was the one
+    hole). The testdata has no partsupp table, so inventory value is
+    adapted as lineitem extendedprice*quantity over a supplier-nation
+    scope — same shape as the spec: scoped fact join, per-part decimal
+    aggregate, HAVING against a scalar subquery of the same aggregate.
+
+    Scale: supplier and nation broadcast; ONE fact shuffle on partkey
+    with decimal map-side partials; the global threshold re-aggregates
+    the per-part table (partial-agg-fed scalar funnel) and broadcasts
+    back as a 1-row join — the grouped table is scanned twice but it is
+    parts-dimension-sized, never fact-sized. No sort: the driver
+    compare is order-insensitive and Q11's ORDER BY value DESC would be
+    the only global sort in the plan (TakeOrdered applies only with a
+    LIMIT, which the spec query does not have).
+    """
+    cat = Catalog(spark, sf_dir)
+    scoped = (
+        cat.lineitem
+        .join(F.broadcast(cat.supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cat.nation.where(
+            F.col("n_nationkey") < Q11_NATION_MAX).select("n_nationkey")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_partkey",
+                (_dec("l_extendedprice") * F.col("l_quantity")).alias("val"))
+    )
+    grouped = (scoped.groupBy("l_partkey")
+               .agg(F.sum("val").alias("value")).persist())
+    thr = grouped.agg(
+        (F.sum("value") * F.lit(float(Q11_FRACTION))).alias("thr"))
+    return (grouped.crossJoin(F.broadcast(thr))
+            .where(F.col("value") > F.col("thr"))
+            .select("l_partkey", _money(F.col("value")).alias("value")))
