@@ -15,7 +15,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from full_stack_big_data_spark.engine.session import tune_session
+from full_stack_big_data_spark.engine.session import (release_scoped_cache,
+                                                      tune_session)
 from full_stack_big_data_spark.operators.registry import load_all
 
 
@@ -50,19 +51,20 @@ def _correctness_rounds() -> list[tuple[int, str]]:
     return sorted(rounds)
 
 
-def _verified_names() -> set[str]:
-    """Query names that already hold a clean driver CORRECTNESS row from
-    a previous round. The driver sweeps ``queries()`` in dict order under
-    a wall-clock budget (round 1 truncated at entry 50), so never-yet-
-    verified queries are emitted FIRST and re-verification of known-green
-    rows runs last. A LATER round's verdict overrides an earlier one, so
-    a query that regresses drops back out of the verified set."""
+def _verified_rounds() -> dict[str, int]:
+    """Query name → round of its LATEST driver verdict, for names whose
+    latest verdict is green. The driver sweeps ``queries()`` in dict
+    order under a wall-clock budget (round 1 truncated at entry 50), so
+    never-yet-verified queries are emitted FIRST and re-verification of
+    known-green rows runs last, stalest verdict first. A LATER round's
+    verdict overrides an earlier one, so a query that regresses drops
+    back out of the verified set (and re-runs at the front)."""
     import json
     import os
 
-    names: set[str] = set()
+    rounds: dict[str, int] = {}
     here = os.path.dirname(os.path.abspath(__file__))
-    for _, fname in _correctness_rounds():
+    for rnd, fname in _correctness_rounds():
         try:
             with open(os.path.join(here, fname)) as f:
                 rows = json.load(f)
@@ -74,8 +76,11 @@ def _verified_names() -> set[str]:
             green = (row.get("rows_match")
                      and row.get("schema_match", True)
                      and row.get("hash_match", True))
-            (names.add if green else names.discard)(name)
-    return names
+            if green:
+                rounds[name] = rnd
+            else:
+                rounds.pop(name, None)
+    return rounds
 
 
 def _changed_query_names(reg) -> list[str]:
@@ -201,22 +206,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(spec):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             tune_session(spark)  # nanos-timestamp + UTC confs on any session
+            # Query boundary: the previous query's result is already
+            # materialized by the driver, so drop its operator-level
+            # persists — a 191-query sweep in one session must not
+            # accumulate cached plans (see session.release_scoped_cache).
+            release_scoped_cache(spark)
             return spec.builder(spark, sf_dir)
         run.__name__ = spec.name
         run.__doc__ = spec.description
         return run
 
     reg = load_all()
-    seen = _verified_names()
-    # Re-verification tail ordering: queries whose code changed since
-    # their last green row run before untouched ones, so a regression
-    # surfaces this round, not next. The changed set is derived fresh
-    # each round from git (see _changed_query_names), not hand-edited.
+    seen = _verified_rounds()
+    # Re-verification tail ordering, three keys: (1) queries whose code
+    # changed since their last green row run before untouched ones, so a
+    # regression surfaces this round, not next (the changed set is
+    # derived fresh each round from git, see _changed_query_names, not
+    # hand-edited); (2) oldest driver verdict first, so the sweep's
+    # wall-clock budget refreshes the stalest greens each round instead
+    # of re-running last round's; (3) registration order as tiebreak.
     changed = _changed_query_names(reg)
     tail_rank = {n: i for i, n in enumerate(changed)}
+    reg_order = {n: i for i, n in enumerate(reg)}
     tail = sorted((n for n in reg if n in seen),
                   key=lambda n: (tail_rank.get(n, len(tail_rank)),
-                                 list(reg).index(n)))
+                                 seen[n], reg_order[n]))
     ordered = [n for n in reg if n not in seen] + tail
     return {name: wrap(reg[name]) for name in ordered}
 

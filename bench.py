@@ -17,7 +17,8 @@ import re
 import sys
 import time
 
-from full_stack_big_data_spark.engine.session import get_spark
+from full_stack_big_data_spark.engine.session import (get_spark,
+                                                      release_scoped_cache)
 from full_stack_big_data_spark.operators.registry import load_all
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -67,6 +68,10 @@ def main() -> None:
     for name in HEADLINE:
         best = float("inf")
         for _ in range(reps):
+            # Each rep re-persists any operator-level caches; release
+            # between reps so rep N's timing is the cold plan cost, not
+            # a read of rep N-1's cache, and the sweep doesn't accumulate.
+            release_scoped_cache(spark)
             t0 = time.perf_counter()
             df = reg[name].builder(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()

@@ -83,6 +83,33 @@ def tune_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# ---------------------------------------------------------------------------
+# Scoped persist: query-lifetime caching without session-lifetime leaks.
+#
+# Operators that persist an intermediate (iterative algorithms, shared
+# shingle/quantized inputs) previously left it pinned in the CacheManager
+# for the life of the SparkSession — harmless for a single query, but a
+# registry-wide sweep (the driver's 191-query correctness gate,
+# scripts/chaos_parity.py, the pytest parity replay) runs every query in
+# ONE session, so those caches accumulate unboundedly. scoped_persist()
+# records every persisted DataFrame; release_scoped_cache() drops them
+# all at the next query boundary (after the previous query's result has
+# been fully materialized — unpersist only removes cached blocks, the
+# returned DataFrame stays valid via lineage recompute, and every
+# registered plan is deterministic, proven by the chaos-parity replays).
+# ---------------------------------------------------------------------------
+
+def release_scoped_cache(spark: SparkSession) -> None:
+    """Drop every cached plan in the session (the CacheManager holds
+    strong references, so operator-level persists are never GC'd on
+    their own). Called at query boundaries by the sweep harnesses —
+    never mid-query, so within-query iterative caching is untouched."""
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass  # session already stopped — nothing left to leak
+
+
 def get_spark(app_name: str = "full-stack-big-data-spark",
               cpus: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:

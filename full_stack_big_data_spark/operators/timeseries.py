@@ -341,7 +341,14 @@ def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # EWMA smoothing (exact dyadic arithmetic — the forecasting primitive).
 # ---------------------------------------------------------------------------
 
-EWMA_LAGS = 40  # window depth; 2^-40 ~ 1e-12 of the level, below rounding
+EWMA_LAGS = 30  # window depth; the truncated tail is <= 2^-30 ~ 1e-9 of
+                # the level, far below the 1e-6 presentation rounding.
+                # 30 (not 40) keeps the scaled level inside int64 at the
+                # 100 TB posture: the level is < 2*cnt_max*2^30, so it
+                # overflows only past ~4.3e9 events per (type, day) —
+                # vs ~4.2M at the old 2^40 scale, which a single hot day
+                # at scale could plausibly exceed (both engines would
+                # then error under ANSI).
 
 
 @register(
@@ -374,12 +381,15 @@ def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     per type — the smoothing/forecasting primitive (monitoring
     baselines, anomaly thresholds, naive next-day forecasts). α = 1/2
     and integer inputs make the whole recurrence EXACT: the scaled
-    level Σ cnt_{{t-i}}·2^({EWMA_LAGS}-i) is a plain BIGINT (max
-    ~2·cnt·2^{EWMA_LAGS} ≈ 1e16 at any realistic per-day count), so
-    both engines agree bit-for-bit with no float-summation order
-    hazard; dividing by 2^{EWMA_LAGS}+1 only at presentation yields the
+    level Σ cnt_{{t-i}}·2^({EWMA_LAGS}-i) is a plain BIGINT, so both
+    engines agree bit-for-bit with no float-summation order hazard;
+    dividing by 2^{EWMA_LAGS}+1 only at presentation yields the
     standard α=1/2 EWMA truncated at {EWMA_LAGS} lags (the dropped
-    tail is ≤ 2^-{EWMA_LAGS} of the level — below the 1e-6 rounding).
+    tail is ≤ 2^-{EWMA_LAGS} ≈ 1e-9 of the level — below the 1e-6
+    rounding). Domain bound (explicit): the level < 2·cnt_max·2^{EWMA_LAGS},
+    so int64 holds up to ~4.3e9 events per (event_type, day) — the
+    scale at which both engines would raise under ANSI rather than
+    silently wrap.
 
     Scale: the events→daily rollup is the ONE fact-sized shuffle
     (map-side partial counts); smoothing then runs on the

@@ -21,7 +21,8 @@ import sys
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
-from full_stack_big_data_spark.engine.session import get_spark
+from full_stack_big_data_spark.engine.session import (get_spark,
+                                                      release_scoped_cache)
 from full_stack_big_data_spark.operators.registry import load_all
 from full_stack_big_data_spark.oracle import compare, duckdb_connect
 
@@ -39,6 +40,7 @@ def main() -> int:
         if spec.oracle is None:
             continue
         total += 1
+        release_scoped_cache(spark)  # query boundary: drop prior persists
         try:
             if not compare(name, spec.builder(spark, SF), spec.oracle, con).ok:
                 fails.append(name)

@@ -23,16 +23,17 @@ def test_verified_names_numeric_round_order(tmp_path, monkeypatch):
     (tmp_path / "CORRECTNESS_r2.json").write_text(json.dumps(row(True)))
     (tmp_path / "CORRECTNESS_r10.json").write_text(json.dumps(row(False)))
     monkeypatch.setattr(os.path, "abspath", lambda p: str(tmp_path / "x"))
-    assert spark_entry._verified_names() == set()
-    # and the reverse: regressed early, re-proven in the later round
+    assert spark_entry._verified_rounds() == {}
+    # and the reverse: regressed early, re-proven in the later round —
+    # and the recorded round is the LATEST green one (10, not 2)
     (tmp_path / "CORRECTNESS_r2.json").write_text(json.dumps(row(False)))
     (tmp_path / "CORRECTNESS_r10.json").write_text(json.dumps(row(True)))
-    assert spark_entry._verified_names() == {"q"}
+    assert spark_entry._verified_rounds() == {"q": 10}
 
 
 def test_queries_orders_unverified_first():
     names = list(spark_entry.queries())
-    seen = spark_entry._verified_names()
+    seen = spark_entry._verified_rounds()
     if not seen:  # fresh checkout without driver rows: nothing to assert
         return
     tail_started = False
@@ -41,6 +42,17 @@ def test_queries_orders_unverified_first():
             tail_started = True
         else:
             assert not tail_started, f"unverified {n} after verified tail began"
+
+
+def test_queries_tail_orders_oldest_verdict_first(monkeypatch):
+    """Within the verified tail (and within the unchanged cohort), a
+    query whose last green verdict is OLDER must run before a fresher
+    one — the driver's wall-clock budget refreshes the stalest rows."""
+    monkeypatch.setattr(spark_entry, "_changed_query_names", lambda reg: [])
+    names = list(spark_entry.queries())
+    seen = spark_entry._verified_rounds()
+    rounds = [seen[n] for n in names if n in seen]
+    assert rounds == sorted(rounds), "verified tail not oldest-first"
 
 
 def test_scratch_purges_dead_pid_roots(tmp_path, monkeypatch):

@@ -22,3 +22,48 @@ def test_frame_rows_empty_and_short_payloads(spark):
     assert per_doc[3] == 1
     assert per_doc[4] == 2
     assert all(r.frame_idx >= 0 for r in rows)
+
+
+def test_bmp_codec_round_trip_and_format_sensitivity():
+    """The BMP decoder must recover geometry + weighted checksum from
+    the BYTES alone, and the checksum must be sensitive to the storage
+    rules it claims to invert (row order, padding) — a decoder that
+    merely summed the pixel multiset would pass a naive round trip."""
+    import struct
+
+    from full_stack_big_data_spark.operators.multimodal import (
+        _bmp_geometry, decode_bmp, encode_bmp)
+
+    for text in (b"", b"a", b"hello world", bytes(range(256)) * 3):
+        buf = encode_bmp(text)
+        w, h = _bmp_geometry(len(text))
+        assert buf[:2] == b"BM"
+        assert struct.unpack_from("<I", buf, 10)[0] == 54
+        dw, dh, bpp, checksum = decode_bmp(buf)
+        assert (dw, dh, bpp) == (w, h, 24)
+        # independent recomputation of the expected checksum from source
+        exp = 0
+        for i in range(w * h):
+            b = text[i % len(text)] if text else 0
+            exp += (b + 2 * (b * 2 % 256) + 3 * (b * 7 % 256)) * (1 + i % 31)
+        assert checksum == exp % 99991
+
+    # corrupting ROW ORDER must change the weighted checksum: swap the
+    # first two stored pixel rows of a non-uniform image
+    buf = bytearray(encode_bmp(b"hello world, rows differ here"))
+    w, h = _bmp_geometry(29)
+    rowsize = (w * 3 + 3) // 4 * 4
+    r0 = bytes(buf[54:54 + rowsize])
+    r1 = bytes(buf[54 + rowsize:54 + 2 * rowsize])
+    assert r0 != r1, "fixture rows must differ for the swap to mean anything"
+    buf[54:54 + rowsize], buf[54 + rowsize:54 + 2 * rowsize] = r1, r0
+    assert decode_bmp(bytes(buf))[3] != decode_bmp(encode_bmp(b"hello world, rows differ here"))[3]
+
+    # unsupported variants must raise, not guess
+    import pytest as _pytest
+    bad = bytearray(encode_bmp(b"x"))
+    struct.pack_into("<H", bad, 28, 8)          # 8-bit palette BMP
+    with _pytest.raises(ValueError):
+        decode_bmp(bytes(bad))
+    with _pytest.raises(ValueError):
+        decode_bmp(b"PNG not a bmp")
