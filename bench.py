@@ -39,6 +39,15 @@ HEADLINE = [
     "embedding_neardup",
     "multimodal_features",
     "json_roundtrip",
+    # r6 refresh (r5 verdict item 6): the set above was frozen at r1
+    # vintage and missed every post-r3 heavy family — these six track
+    # the heaviest newer operators round-over-round.
+    "ann_pq_adc_trained",   # inline train + re-encode + ADC serve
+    "ann_pq_persist",       # same answer served from stored artifacts
+    "q_sketch_bloom",       # build + broadcast-probe membership sketch
+    "dedup_editdistance",   # Ed-Join prefix-filter candidate join
+    "q_delete_propagation", # right-to-be-forgotten cascade
+    "q_pagerank",           # iterative: fixed-point integer ranks
 ]
 
 

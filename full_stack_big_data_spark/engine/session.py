@@ -34,6 +34,13 @@ _BUILD_CONFS = {
     # Arrow transfer for pandas UDFs / toPandas — the vectorized Python path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # Bound the debug plan-string every action renders for the listener
+    # bus/UI: iterative pipelines (component loops, pagerank) nest deep
+    # lineage, and an UNCAPPED explainString materializes the whole tree
+    # as one driver-side string — measured OOM at sf1.0 on the
+    # embedding-clusters loop (scripts/scale_probe_sf1.py). 100k chars
+    # is plenty for debugging and O(1) for the driver.
+    "spark.sql.maxPlanStringLength": "100000",
     # Naive (isAdjustedToUTC=false) parquet timestamps read as TIMESTAMP
     # (LTZ) under the UTC session instead of TIMESTAMP_NTZ: values are
     # identical, but LTZ is what watermarks/unix_micros/window frames
@@ -46,6 +53,9 @@ _BUILD_CONFS = {
 # verification driver) owns the SparkSession.
 _RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # See _BUILD_CONFS: cap driver-side plan strings (iterative lineage
+    # would otherwise OOM explainString at scale).
+    "spark.sql.maxPlanStringLength": "100000",
     # See _BUILD_CONFS: naive parquet timestamps → LTZ under UTC, so
     # event-time ops (watermark, unix_micros, RANGE frames) resolve.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",

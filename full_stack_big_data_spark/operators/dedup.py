@@ -599,11 +599,21 @@ def min_label_components(pairs: DataFrame, a: str = "doc_a",
     labels; converged when nothing changes. Rounds = component diameter
     (near-dup components are tiny, 2-3 rounds in practice); each round
     shuffles the bounded EDGE list, never a corpus. Members not in any
-    pair do not appear (they are their own implicit singletons)."""
+    pair do not appear (they are their own implicit singletons).
+
+    Per-round ``localCheckpoint`` (not persist) truncates the LINEAGE,
+    not just caches it: without truncation the label plan nests one
+    level per round, and the driver-side plan bookkeeping every action
+    performs grows with it — measured as an explainString heap OOM at
+    sf1.0 on a wide-diameter pair set (scripts/scale_probe_sf1.py)
+    long before any executor was stressed. Truncation keeps round k's
+    plan O(1) regardless of k; a cluster deployment with flaky
+    executors would swap in reliable ``checkpoint()`` against a
+    checkpoint dir, same shape."""
     edges = (pairs.select(a, b).union(pairs.select(b, a))
-             .toDF("src", "dst").persist())
+             .toDF("src", "dst").localCheckpoint())
     labels = (edges.select(F.col("src").alias("node")).distinct()
-              .withColumn("lbl", F.col("node")).persist())
+              .withColumn("lbl", F.col("node")).localCheckpoint())
     while True:
         nbr_min = (edges.join(labels.withColumnRenamed("node", "src"), "src")
                    .groupBy(F.col("dst").alias("node"))
@@ -611,16 +621,14 @@ def min_label_components(pairs: DataFrame, a: str = "doc_a",
         new_labels = (labels.join(nbr_min, "node", "left")
                       .select("node", F.least("lbl", F.coalesce("nbr_lbl", "lbl"))
                               .alias("lbl"))
-                      .persist())
+                      .localCheckpoint())
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .where(F.col("n.lbl") != F.col("o.lbl"))
                    .limit(1).count())
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select(
         F.col("node").alias(id_col),
         F.col("lbl").alias("cluster_id"),

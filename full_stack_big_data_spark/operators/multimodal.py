@@ -3,12 +3,15 @@
 The reference's wire model is exactly this — Kafka key/value as
 ``Array[Byte]`` (``kafka/KafkaProducerApp.scala:25-26``) with decode as a
 separate operator — so "image/audio/video as binary column" is the same
-pattern at analytics scale. The container has no image/audio libraries,
-so the *decode* step is stubbed (deterministic fake, clearly marked, with
-an import-gated real path), while everything Spark-side is real and
-tested: BinaryType columns, Arrow-batched ``mapInPandas`` with explicit
-output schema, per-batch (not per-row) processing, frame-sampling
-fan-out.
+pattern at analytics scale. The container has no image/audio libraries;
+decode therefore runs at two tiers: a REAL pure-stdlib codec for
+uncompressed 24-bit BMP (``encode_bmp``/``decode_bmp`` — genuine
+headers, bottom-up padded pixel array, oracle-checked round trip in
+``multimodal_decode``), and an import-gated PIL seam for compressed
+formats (``decode_payload``, stub-backed until the library lands).
+Everything Spark-side is real and tested either way: BinaryType columns,
+Arrow-batched ``mapInPandas`` with explicit output schema, per-batch
+(not per-row) processing, frame-sampling fan-out.
 
 The testdata has no binary table, so payloads are materialized from
 ``documents.text`` via utf-8 encode — pure ASCII (verified), so byte

@@ -20,9 +20,17 @@ from .engine.catalog import TABLES
 
 
 def duckdb_connect(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+    """Views over the standard table set. The driver's testdata ships each
+    table as ONE parquet file; builder-derived dirs (scripts/make_sf1.py)
+    are Spark datasets — a directory of part files — so those get a
+    recursive glob. Semantically identical either way."""
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/**/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     return con
 
 

@@ -111,6 +111,103 @@ def audit_one(plan: str) -> dict:
     }
 
 
+# Reviewed state-boundedness adjudication for every streaming entry:
+# why the state store does NOT grow with the corpus on an unbounded
+# stream. The audit prints the MEASURED final state rows/bytes next to
+# each; a streaming entry missing from this dict is flagged for review.
+STREAM_STATE_BOUNDS = {
+    "stream_cdc_upsert": "no store state: foreachBatch compacts into a "
+                         "versioned dir, idempotent per batch-id",
+    "stream_wordcount": "agg state ∝ vocabulary, not stream length",
+    "stream_window_tumbling": "state ∝ open windows × types; watermark evicts",
+    "stream_window_sliding": "state ∝ open windows × types; watermark evicts",
+    "stream_session_window": "state ∝ OPEN sessions; watermark closes + evicts",
+    "stream_identity_json": "stateless map (observe metrics only)",
+    "stream_wire_roundtrip": "stateless wire codec; offsets in checkpoint",
+    "stream_serving_interval": "stateless filter-serve per micro-batch",
+    "stream_lambda_merged_wordcount": "agg state ∝ vocabulary (speed layer)",
+    "stream_vocab_merge": "no store state: foreachBatch writes batch-keyed "
+                          "partials; merge reads vocabulary-sized tables",
+    "stream_stateful_user_stats": "keyed state ∝ distinct users; timeout "
+                                  "eviction is the production knob",
+    "stream_static_enrich": "join side broadcast (zero state); agg ∝ segments",
+    "stream_stream_join": "both sides watermarked + time-bounded condition: "
+                          "state ∝ rows per watermark horizon",
+    "stream_dedup": "state ∝ distinct keys — UNBOUNDED on an infinite "
+                    "stream BY DESIGN (the didactic contrast; "
+                    "stream_dedup_watermarked is the production variant)",
+    "stream_dedup_watermarked": "key state evicted past watermark horizon: "
+                                "state ∝ keys per horizon (eviction proven "
+                                "in tests/test_streaming_state.py)",
+    "stream_approx_distinct": "HLL registers per group: O(2^p) per type, "
+                              "corpus-size-free",
+    "stream_top_users": "keyed state ∝ distinct users (bounded leaderboard "
+                        "per key)",
+}
+
+
+def audit_streaming(spark, reg) -> tuple[list[str], list[str]]:
+    """Run every streaming registry entry under a progress listener and
+    tabulate per-state-operator rows/bytes/evictions. Returns (section
+    lines, flagged names)."""
+    from full_stack_big_data_spark.engine.session import release_scoped_cache
+    from full_stack_big_data_spark.streaming.audit import (ProgressCollector,
+                                                           summarize)
+
+    col = ProgressCollector()
+    spark.streams.addListener(col)
+    lines = [
+        "",
+        "## Streaming state audit",
+        "",
+        f"Every `stream_*` registry entry executed (availableNow drain at",
+        f"`{SF}`) under a StreamingQueryProgress listener. `state rows` is",
+        "the store's row count at drain end per stateful operator;",
+        "`evicted`/`wm-dropped` sum across micro-batches. The bound column",
+        "is the reviewed argument for why state stays corpus-size-free on",
+        "an unbounded stream (the numbers here verify the SHAPE — stateless",
+        "entries must show no state operator at all).",
+        "",
+        "| query | queries×batches | input rows | state operator | "
+        "state rows | evicted | wm-dropped | peak KiB | bound |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    flagged = []
+    try:
+        for name, spec in reg.items():
+            if "streaming" not in spec.tags:
+                continue
+            col.reset()
+            release_scoped_cache(spark)
+            bound = STREAM_STATE_BOUNDS.get(name)
+            try:
+                spec.builder(spark, SF).collect()
+                col.drain()
+                s = summarize(col.progress)
+            except Exception as e:  # noqa: BLE001 — audit reports, not dies
+                lines.append(f"| {name} | — | — | RUN ERROR: {e} | | | | | |")
+                flagged.append(name)
+                continue
+            if bound is None:
+                bound = "NO REVIEWED BOUND — add to STREAM_STATE_BOUNDS"
+                flagged.append(name)
+            qb = f"{s['n_queries']}×{s['n_batches']}"
+            if not s["state_operators"]:
+                lines.append(f"| {name} | {qb} | {s['input_rows']} | "
+                             f"(stateless) | 0 | 0 | 0 | 0 | {bound} |")
+                continue
+            for i, op in enumerate(s["state_operators"]):
+                lines.append(
+                    f"| {name} | {qb} | {s['input_rows']} | "
+                    f"{op['operator'] or 'op' + str(i)} | "
+                    f"{op['final_state_rows']} | {op['rows_removed']} | "
+                    f"{op['dropped_by_watermark']} | "
+                    f"{op['peak_state_bytes'] // 1024} | {bound} |")
+    finally:
+        spark.streams.removeListener(col)
+    return lines, flagged
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(HERE, "PLANAUDIT.md")
     spark = get_spark(app_name="plan-audit")
@@ -168,9 +265,17 @@ def main() -> None:
 
     lines += ["", f"Queries audited: {len(rows)}; needing review: "
               f"{sorted(flagged) if flagged else 'none'}"]
+
+    s_lines, s_flagged = audit_streaming(spark, reg)
+    n_stream = sum(1 for spec in reg.values() if "streaming" in spec.tags)
+    lines += s_lines
+    lines += ["", f"Streaming queries audited: {n_stream}; needing review: "
+              f"{sorted(s_flagged) if s_flagged else 'none'}"]
+    flagged += s_flagged
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(f"wrote {out_path}; {len(rows)} queries; review: {flagged or 'none'}")
+    print(f"wrote {out_path}; {len(rows)} batch + {n_stream} streaming; "
+          f"review: {flagged or 'none'}")
     spark.stop()
 
 

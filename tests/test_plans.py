@@ -284,10 +284,18 @@ def test_plan_audit_covers_every_batch_query(reg):
         text = f.read()
     audited = set(re.findall(r"^\| (\w+) \|", text, flags=re.M)) - {"query"}
     batch = {n for n, spec in reg.items() if "streaming" not in spec.tags}
+    stream = {n for n, spec in reg.items() if "streaming" in spec.tags}
     missing = sorted(batch - audited)
-    stale = sorted(audited - batch)
+    stale = sorted(audited - batch - stream)
     assert not missing, f"batch queries missing from PLANAUDIT.md: {missing}"
     assert not stale, f"PLANAUDIT.md rows for unknown queries: {stale}"
+    # r5 verdict item 2: the streaming entries need audit rows too (the
+    # state-store section), same staleness discipline as batch
+    missing_stream = sorted(stream - audited)
+    assert not missing_stream, \
+        f"streaming queries missing from PLANAUDIT.md state audit: {missing_stream}"
+    assert "Streaming state audit" in text, \
+        "PLANAUDIT.md lost its streaming section — regenerate"
 
 
 def test_ann_persisted_index_lookup_prunes_partitions(spark):

@@ -181,6 +181,60 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.set(k, v)
 
 
+def test_skew_bench_fixture_plan_splits_hot_key(spark, tmp_path):
+    """The scripts/skew_bench.py fixture at pytest scale: a fact with
+    half its rows on ONE hot user_id, shuffle-joined to a distinct-key
+    dim (broadcast disabled, as a genuinely large dim would force), must
+    get its hot partition split by AQE (skew=true in the final plan).
+    The BENCHNOTES wall-time pin (AQE within 1.5x of manual salting)
+    rests on this plan property, asserted here timing-free."""
+    import importlib
+    import os
+    import sys
+
+    from full_stack_big_data_spark.plans.checks import plan_string
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    sys.path.insert(0, root)
+    try:
+        sb = importlib.import_module("scripts.skew_bench")
+    finally:
+        sys.path.remove(root)
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        out = str(tmp_path / "fixture")
+        sb.build_fixture(spark, out, n_rows=400_000, hot_frac=0.5)
+        fact = spark.read.parquet(os.path.join(out, "fact.parquet"))
+        dim = spark.read.parquet(os.path.join(out, "dim.parquet"))
+        j = (fact.join(dim, ["user_id"])
+             .select((F.col("v") * F.col("w")).alias("x"))
+             .agg(F.sum("x").alias("s")))
+        assert len(j.collect()) == 1
+        plan = plan_string(j, "simple")
+        assert "isFinalPlan=true" in plan, plan[:2000]
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_grouped_topk_equals_plain_window(spark):
     """The salted two-phase top-k must match the single-window rank
     exactly — groups, members, ranks — on grouped data with ties in the
