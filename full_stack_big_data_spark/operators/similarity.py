@@ -160,15 +160,18 @@ def srp_buckets(df: DataFrame, vec_col: str = "embedding",
     return df.withColumn("buckets", _buckets(F.col(vec_col)))
 
 
-def _srp_bucket_prefix() -> str:
+def _srp_bucket_prefix(tables: int = SRP_TABLES,
+                       bits: int = SRP_BITS) -> str:
     """Shared oracle prefix: the SRP plane literals and the
     quantize→sign-test→bucket CTE chain (``planes``/``eq``/``dots``/``b``)
-    every SRP-bucketed oracle builds on."""
-    w = _srp_hyperplanes()
+    every SRP-bucketed oracle builds on. ``tables``/``bits`` mirror
+    :func:`srp_buckets`' knobs so non-default operating points (the
+    scaled entry below) carry their own exact plane literals."""
+    w = _srp_hyperplanes(tables, bits)
     rows = ",\n".join(
-        f"  ({j // SRP_BITS}, {j % SRP_BITS}, "
+        f"  ({j // bits}, {j % bits}, "
         f"[{', '.join(str(int(x)) for x in w[j])}]::DOUBLE[])"
-        for j in range(SRP_TABLES * SRP_BITS))
+        for j in range(tables * bits))
     return f"""
 WITH planes(table_id, bit, w) AS (VALUES
 {rows}
@@ -619,11 +622,12 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _neardup_banded_oracle() -> str:
+def _neardup_banded_oracle(tables: int = SRP_TABLES,
+                           bits: int = SRP_BITS) -> str:
     """DuckDB twin of the banded near-dup: identical SRP buckets (the
     integer sign tests from ``_srp_oracle``), bucket-colliding pairs,
     exact cosine threshold."""
-    return _srp_bucket_prefix() + f""", cand AS (
+    return _srp_bucket_prefix(tables, bits) + f""", cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, x.vec_id AS vec_b
   FROM b a JOIN b x ON a.table_id = x.table_id AND a.bucket = x.bucket
                    AND a.vec_id < x.vec_id
@@ -658,6 +662,39 @@ def embedding_neardup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs the exact pair set is pinned in tests.
     """
     return banded_neardup_pairs(Catalog(spark, sf_dir).embeddings)
+
+
+SRP_BITS_WIDE = 9   # 2^bits ≈ N/64 at N = 20 k (the sf1.0 probe's rule)
+
+
+@register(
+    "embedding_neardup_banded_scaled",
+    oracle=_neardup_banded_oracle(bits=SRP_BITS_WIDE),
+    description=f"banded near-dup at the corpus-scaled operating point "
+                f"({SRP_TABLES} tables × {SRP_BITS_WIDE} bits): the knob "
+                f"the sf1.0 probe runs, oracle-hashed",
+    tags=("similarity", "neardup", "lsh"),
+)
+def embedding_neardup_banded_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployment operating point of ``embedding_neardup_banded``,
+    registered so the driver hash-checks the PARAMETRIC path and not
+    just the fixture default. The sf1.0 scale probe measured the
+    default 16×4 bucket width going quadratic at 10× vectors (bucket
+    occupancy ∝ N with a fixed 16-bucket space; 609 s vs 44 s —
+    BENCHNOTES round 6) and re-ran at ``2^bits ≈ N/64`` (9 bits at
+    N = 20 k); THIS entry pins that exact code path —
+    ``banded_neardup_pairs(bits=9)`` with its own 16×9 hyperplane
+    literals embedded in the DuckDB twin — at the driver gate, so the
+    knob the probe's BUILDER_OVERRIDES relies on is itself
+    differential-tested. Semantics note (the documented trade): wider
+    buckets keep only higher-cosine collisions — per-table collision
+    probability is p^bits, p = 1 − θ/π — so at gate scale this finds
+    the high-similarity subset of the 16×4 pair set; a deployment
+    pairs the bits knob with a tables knob to buy recall back where it
+    matters (cos ≥ 0.9 true duplicates keep p^9 ≈ 0.25/table,
+    1−0.75¹⁶ ≈ 99% recall at 16 tables)."""
+    return banded_neardup_pairs(Catalog(spark, sf_dir).embeddings,
+                                bits=SRP_BITS_WIDE)
 
 
 def banded_neardup_pairs(src: DataFrame, threshold: float = NEARDUP_COS,

@@ -54,6 +54,19 @@ PROBES = [
     ("pack_sequences", "linear", "bucket-parallel prefix sum"),
     ("q_pagerank", "linear", "fixed iterations over 10x edges"),
     ("q_triangle_count", "linear", "degree-oriented wedges, degree dist fixed"),
+    # batch 2 (round 6): one probe per remaining heavy family
+    ("text_tfidf_top_terms", "linear", "token-keyed shuffle, vocab-bounded"),
+    ("bpe_pair_counts", "linear", "adjacent-pair map + one count shuffle"),
+    ("corpus_shuffle", "linear", "one-exchange global permutation"),
+    ("q_cdc_merge", "linear", "latest-wins groupBy+max_by, one exchange"),
+    ("text_bm25_topk", "linear", "map-only scoring + broadcast stats"),
+    ("decontam_fuzzy", "output", "broadcast eval grams; matches grow with hits"),
+    ("q_heavy_hitters", "linear", "exact two-pass: count shuffle + filter"),
+    ("q_sessionize", "linear", "one user shuffle + window gaps"),
+    ("q_ohlc_bars", "linear", "event-time bucket agg"),
+    ("dedup_ngram_jaccard", "output", "exact-verify join ∝ true pairs"),
+    ("q18_large_volume", "linear", "double fact join, dims broadcast"),
+    ("sample_weighted", "linear", "content-hash membership, map-only"),
 ]
 
 
