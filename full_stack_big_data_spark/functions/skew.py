@@ -73,16 +73,59 @@ def salted_join(big: DataFrame, small: DataFrame, on: list[str],
     return bigs.join(smalls, on + ["_salt"], how).drop("_salt")
 
 
+# Spark >= 3.5 rewrites `row_number() <= k` filters into WindowGroupLimit
+# with a PARTIAL (map-side, pre-exchange) pass — a per-partition top-k
+# heap, so the shuffle carries <= k rows per group per map partition and
+# a hot group can never overwhelm one sort task. Verified by plan pin
+# (tests/test_skew.py) and by measurement: on a 29 M-row single-hot-key
+# fixture the native path beats the manual two-phase by ~1.8x
+# (BENCHNOTES round 6) because it achieves the same bucketed partial
+# top-k with one fewer exchange and one fewer window pass.
+_RANK_LIMIT_NATIVE = True
+try:
+    import pyspark
+    _RANK_LIMIT_NATIVE = tuple(
+        int(p) for p in pyspark.__version__.split(".")[:2]) >= (3, 5)
+except Exception:  # pragma: no cover — version string oddities
+    pass
+
+
 def grouped_topk(df: DataFrame, group_cols: list[str], order_cols: list[Column],
                  k: int, salt_col: Column, buckets: int = 64,
                  rank_col: str = "rank") -> DataFrame:
     """Per-group top-k without the low-cardinality-window ceiling.
 
-    ``row_number() OVER (PARTITION BY group ...)`` funnels every row of a
-    group through ONE sort task — with few groups (languages, nations,
-    query ids, n-gram orders) the whole table sorts on a handful of
-    cores no matter the cluster size. Two phases fix the parallelism
-    while preserving the result EXACTLY:
+    The naive worry: ``row_number() OVER (PARTITION BY group ...)``
+    funnels every row of a group through ONE sort task — with few groups
+    (languages, nations, query ids, n-gram orders) the whole table sorts
+    on a handful of cores no matter the cluster size. On Spark >= 3.5
+    the optimizer dissolves the worry for rank-LIMIT shapes: the plain
+    window + ``rank <= k`` filter compiles to a map-side partial
+    WindowGroupLimit (see `_RANK_LIMIT_NATIVE` above), which IS the
+    two-phase trick, native and one exchange cheaper — so this helper
+    emits the plain window there and keeps
+    :func:`grouped_topk_twophase` as the portable fallback for older
+    runtimes (and for rank functions the rewrite doesn't cover).
+
+    ``order_cols`` must be a TOTAL order (callers pass an id tiebreak)
+    so both implementations return the identical row set — pinned in
+    tests/test_skew.py.
+    """
+    from pyspark.sql import Window
+
+    if _RANK_LIMIT_NATIVE:
+        w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+        return (df.withColumn(rank_col, F.row_number().over(w))
+                .where(F.col(rank_col) <= k))
+    return grouped_topk_twophase(df, group_cols, order_cols, k, salt_col,
+                                 buckets, rank_col)
+
+
+def grouped_topk_twophase(df: DataFrame, group_cols: list[str],
+                          order_cols: list[Column], k: int, salt_col: Column,
+                          buckets: int = 64,
+                          rank_col: str = "rank") -> DataFrame:
+    """The explicit two-phase top-k (the pre-3.5 portable path):
 
     1. rank per (group, salt bucket) and keep k — the true per-group
        top-k all survive, because a row beaten by ≥ k rows of its own

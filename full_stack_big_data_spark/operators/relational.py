@@ -424,8 +424,10 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (cat.orders
          .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
          .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey")))
-    # salted two-phase top-k: 25 nations would otherwise sort the whole
-    # order table on 25 tasks (functions/skew.py::grouped_topk)
+    # skew-proof grouped top-k (functions/skew.py::grouped_topk): 25
+    # nations must not sort the whole order table on 25 tasks — the
+    # native rank-limit window's partial WindowGroupLimit keeps it to
+    # ≤3 rows per nation per map partition
     return (
         grouped_topk(j, ["n_name"],
                      [F.desc("o_totalprice"), F.asc("o_orderkey")],

@@ -58,8 +58,9 @@ WHERE rank <= {STRATUM_K}
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.skew import grouped_topk
     d = Catalog(spark, sf_dir).documents
-    # salted two-phase per-language k-min: a lang-partitioned window
-    # would rank the whole corpus on #languages tasks
+    # skew-proof per-language k-min (grouped_topk): a naive
+    # lang-partitioned full sort would rank the whole corpus on
+    # #languages tasks; the partial WindowGroupLimit bounds it
     ranked = grouped_topk(
         d.select("lang", "doc_id"), ["lang"],
         [hex64(F.col("doc_id").cast("string")), F.col("doc_id")],
@@ -123,9 +124,11 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     (longer docs proportionally likelier), the usual "sample by token
     budget" curation step.
 
-    Scale shape: map-side key computation + the salted two-phase top-k
-    (per-bucket heap-k, then k·buckets-row merge) — the same plan as
-    ``q_sort_limit``, never a global sort. The uniform is a 6-digit
+    Scale shape: map-side key computation + skew-proof grouped top-k
+    (``functions/skew.py::grouped_topk``; on this runtime the constant
+    group compiles to TakeOrderedAndProject — per-partition heaps, one
+    k-row merge, zero exchanges, rank window over k survivors) — the
+    same plan as ``q_sort_limit``, never a global sort. The uniform is a 6-digit
     integer from md5 (identical in both engines); ln() of an identical
     double then rounds at 1e-10, far above the ≤1-ulp libm divergence,
     so the race order is engine-independent.
@@ -176,10 +179,11 @@ def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     already kept stays kept unless hash-earlier docs arrive), and report
     kept vs total per domain so the mixture shift is auditable.
 
-    Scale: membership is the salted two-phase per-group top-k
+    Scale: membership is the skew-proof per-group top-k
     (``functions/skew.py::grouped_topk``) — hot domains are exactly the
-    skew case the salt fixes, since a crawl's domain histogram is
-    Zipfian. The kept-side aggregate is domain-sized and broadcast back
+    skew case it handles, since a crawl's domain histogram is Zipfian:
+    the partial WindowGroupLimit caps a hot domain at ≤ cap rows per
+    map partition before the shuffle. The kept-side aggregate is domain-sized and broadcast back
     onto the domain totals; no row-level join, no global sort.
     """
     from ..functions.skew import grouped_topk

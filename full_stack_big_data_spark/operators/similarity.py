@@ -91,9 +91,12 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 cosine_sim(F.col("embedding"), F.col("qv")).alias("cos"))
     )
-    # Per-query top-k via the salted two-phase (functions/skew.py): a
-    # window partitioned by query_id alone sorts ~N candidates per query
-    # through N_QUERIES tasks — the low-cardinality-window ceiling.
+    # Per-query top-k via the skew-proof grouped_topk (functions/
+    # skew.py): a naive full sort partitioned by query_id alone would
+    # push ~N candidates per query through N_QUERIES tasks — the
+    # low-cardinality-window ceiling; the native rank-limit window's
+    # partial WindowGroupLimit caps it at k rows per query per map
+    # partition (two-phase salt fallback on older runtimes).
     return (
         grouped_topk(scored, ["query_id"],
                      [F.desc("cos"), F.asc("neighbor_id")],
@@ -239,7 +242,7 @@ def ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = cand.select("query_id", "neighbor_id",
                          cosine_sim(F.col("embedding"), F.col("qv")).alias("cos"))
-    # salted two-phase top-k — see ann_brute_topk for the ceiling note
+    # skew-proof grouped_topk — see ann_brute_topk for the ceiling note
     return (
         grouped_topk(scored, ["query_id"],
                      [F.desc("cos"), F.asc("neighbor_id")],
@@ -417,7 +420,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = cand.select("query_id", "neighbor_id",
                          cosine_sim(F.col("embedding"), F.col("qv")).alias("cos"))
-    # salted two-phase top-k — see ann_brute_topk for the ceiling note
+    # skew-proof grouped_topk — see ann_brute_topk for the ceiling note
     return (
         grouped_topk(scored, ["query_id"],
                      [F.desc("cos"), F.asc("neighbor_id")],
@@ -782,7 +785,7 @@ def ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch computes only ITS OWN buckets and equi-joins the index —
     candidate cost ∝ batch size × per-bucket occupancy, never corpus².
     The verify joins fetch embeddings only for candidate pairs, and the
-    per-new-vector top-k uses the salted two-phase rank.
+    per-new-vector top-k uses the skew-proof grouped_topk.
     """
     e = srp_buckets(Catalog(spark, sf_dir).embeddings)
     tbl = e.select("vec_id",
@@ -1071,7 +1074,7 @@ def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per-label sums are ONE shuffle with map-side partial agg
     (state = labels·dim); the centroid table broadcasts back onto a
-    second scan; the outlier rank is the salted two-phase top-k — no
+    second scan; the outlier rank is the skew-proof grouped_topk — no
     corpus-wide window, nothing quadratic.
     """
     e = Catalog(spark, sf_dir).embeddings
@@ -1927,8 +1930,9 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``banded_neardup_pairs`` discipline), so cost ∝ collisions, never
     N²; the exact-cosine verify joins each side's embedding once; the
     top-k window partitions by src_id — CORPUS-cardinality groups, so
-    (unlike the ``ann_brute_topk`` few-queries case that needs the
-    salted two-phase) the plain window is already fully parallel.
+    (unlike the ``ann_brute_topk`` few-queries case that leans on the
+    partial WindowGroupLimit) the plain window is already fully
+    parallel.
     Vectors whose buckets collide with fewer than k others emit fewer
     edges — exactly the candidate set, no silent padding.
     """

@@ -395,13 +395,16 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the explode is map-side; ONE shuffle counts all three orders
     together (n is part of the grouping key, so no per-order passes).
-    The per-order top-K is deliberately NOT a window partitioned by n —
-    3 partition values would funnel the whole distinct-gram table
-    through 3 sort tasks (measured 24.8× wall at the 64× probe). The
-    salted two-phase rank (``functions/skew.py::grouped_topk``)
-    consumes the count table ONCE — no persist, no per-order re-scan —
-    with phase-1 parallelism scaling in the salt buckets and the final
-    per-order rank over ≤ orders·K·buckets rows. For the full
+    The per-order top-K goes through ``functions/skew.py::grouped_topk``
+    — the skew-proof abstraction point: 3 partition values would
+    otherwise funnel the whole distinct-gram table through 3 sort tasks
+    (measured 24.8× wall at the 64× probe, before the rank-limit shape
+    below). On this runtime the helper emits the plain rank-limit
+    window, which compiles to a map-side partial WindowGroupLimit — ≤ K
+    rows per order per map partition reach the 3 final tasks — and it
+    consumes the count table ONCE, no persist, no per-order re-scan; on
+    runtimes without the rewrite it falls back to the salted two-phase
+    rank with the same result. For the full
     (un-truncated) LM table at 100 TB you keep the counts un-topped and
     write them partitioned by n — same plan minus the top-K; the top-K
     here is what makes a finite driver row.

@@ -141,7 +141,16 @@ def wordcount_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     by (word, salt) for partials, then by word for the merge — one hot
     word spreads over 16 reducers instead of one straggler. The oracle
     is identical to the plain word count because salting only
-    reassociates the aggregation."""
+    reassociates the aggregation.
+
+    Measured caveat (BENCHNOTES round 6): for ALGEBRAIC merges like
+    this count, Spark's map-side partial aggregation already compresses
+    the hot key to one row per map partition, and the salt exchange is
+    pure overhead (plain 0.55 s vs salted 1.17 s on a 29 M-row hot-key
+    fixture) — so ``wordcount_batch`` is the production path and THIS
+    entry exists to keep the salted mechanism oracle-proven for the
+    merges whose partial state does not compress (collect-style, exact
+    distinct)."""
     from ..functions.skew import salted_agg
     from ..functions.text import tokens
     toks = (Catalog(spark, sf_dir).documents

@@ -27,6 +27,13 @@ Pin: the scaled-AQE plan must land within ~1.5x of the salted plan
 production partition sizes), no hand salting is needed for
 single-hot-key joins. Results → BENCHNOTES.md.
 
+A second section covers the skew shapes AQE does NOT re-plan — window
+rank and aggregation — on the same fixture: the plain rank-limit
+window (map-side partial WindowGroupLimit on Spark >= 3.5) vs the
+manual two-phase salt, and plain SUM vs salted_agg. The measured
+outcome (native beats manual on both; BENCHNOTES round 6) is what
+drove grouped_topk's native-path dispatch.
+
 Usage: python scripts/skew_bench.py [n_rows] [hot_fraction]
 """
 
@@ -52,13 +59,16 @@ HOT_KEY = 7
 
 def build_fixture(spark, out_dir: str, n_rows: int, hot_frac: float) -> None:
     """Deterministic zipf-ish fact: hot_frac of rows on HOT_KEY, the
-    rest spread uniformly (xxhash of row id) over N_USERS keys."""
+    rest spread uniformly (xxhash of row id) over N_USERS keys. ``rid``
+    (the unique row id) rides along as the deterministic total-order
+    tiebreak and salt source the window-skew section needs."""
     cut = int(n_rows * hot_frac)
     fact = (spark.range(n_rows).repartition(32)
             .select(F.when(F.col("id") < cut, F.lit(HOT_KEY))
                     .otherwise(F.pmod(F.xxhash64("id"), F.lit(N_USERS)))
                     .cast("long").alias("user_id"),
-                    (F.col("id") % 97).cast("long").alias("v")))
+                    (F.col("id") % 97).cast("long").alias("v"),
+                    F.col("id").alias("rid")))
     fact.write.mode("overwrite").parquet(os.path.join(out_dir, "fact.parquet"))
     dim = (spark.range(N_USERS)
            .select(F.col("id").alias("user_id"),
@@ -78,6 +88,62 @@ def run_once(spark, out_dir: str, mode: str) -> float:
     (j.select((F.col("v") * F.col("w")).alias("x")).agg(F.sum("x"))
      .write.format("noop").mode("overwrite").save())
     return time.perf_counter() - t0
+
+
+def run_topk(spark, out_dir: str, mode: str) -> tuple[float, int]:
+    """Per-user top-5 by (v DESC, rid) — window skew, the shape AQE
+    does not re-plan. ``window`` is the plain rank-limit window, which
+    Spark >= 3.5 compiles to a map-side partial WindowGroupLimit (the
+    hot key ships <= 5 rows per map partition into the shuffle) — this
+    measured finding is why ``grouped_topk`` now emits the plain window
+    natively. ``twophase`` is the manual salt-bucket fallback
+    (``grouped_topk_twophase``), exact by the pigeonhole in its
+    docstring but one exchange dearer. Returns (seconds, checksum) — the
+    checksum (sum of surviving rid+rank) must match across modes since
+    the order (v DESC, rid) is total."""
+    from pyspark.sql import Window
+
+    from full_stack_big_data_spark.functions.skew import grouped_topk_twophase
+
+    fact = spark.read.parquet(os.path.join(out_dir, "fact.parquet"))
+    order = [F.desc("v"), F.asc("rid")]
+    t0 = time.perf_counter()
+    if mode == "twophase":
+        topk = grouped_topk_twophase(fact, ["user_id"], order, 5, F.col("rid"))
+    else:
+        w = Window.partitionBy("user_id").orderBy(*order)
+        topk = (fact.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= 5))
+    chk = topk.agg(F.sum(F.col("rid") + F.col("rank")).alias("c")).collect()[0]["c"]
+    return time.perf_counter() - t0, int(chk)
+
+
+def run_sum(spark, out_dir: str, mode: str) -> float:
+    """The honesty row: a plain algebraic SUM per user is NOT hurt by a
+    hot key — Spark's map-side partial aggregation compresses each
+    map task's hot-key rows to one partial before the shuffle, so the
+    reducer sees ≤ n_map_partitions rows per key. salted_agg should
+    measure ≈ the plain path here (its value is for merges whose
+    partial state doesn't compress: collect-style, exact distinct)."""
+    from full_stack_big_data_spark.functions.skew import salted_agg
+
+    fact = spark.read.parquet(os.path.join(out_dir, "fact.parquet"))
+    t0 = time.perf_counter()
+    if mode == "salted":
+        agg = salted_agg(fact, ["user_id"], {"s": ("sum", "v")})
+    else:
+        agg = fact.groupBy("user_id").agg(F.sum("v").alias("s"))
+    agg.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def min_with_chk(fn, spark, out_dir, mode, reps):
+    best, chk = float("inf"), None
+    for _ in range(reps):
+        t, c = fn(spark, out_dir, mode)
+        assert chk is None or chk == c, "nondeterministic result"
+        best, chk = min(best, t), c
+    return best, chk
 
 
 def main() -> int:
@@ -130,7 +196,25 @@ def main() -> int:
         ok = ratio <= 1.5
         print(f"\nPIN {'OK' if ok else 'FAIL'}: scaled-AQE skew-split within "
               f"1.5x of manual salting ({ratio:.2f}x)")
-        return 0 if ok else 1
+
+        # window/agg skew: the shapes AQE does NOT re-plan
+        tw, cw = min_with_chk(run_topk, spark, out_dir, "window", reps)
+        tt, ct = min_with_chk(run_topk, spark, out_dir, "twophase", reps)
+        assert cw == ct, f"top-k checksum mismatch: {cw} != {ct}"
+        sp = min(run_sum(spark, out_dir, "plain") for _ in range(reps))
+        ss = min(run_sum(spark, out_dir, "salted") for _ in range(reps))
+        print(f"\n| shape | native s | manual-salted s | native/manual | note |")
+        print(f"|---|---|---|---|---|")
+        print(f"| per-user top-5 window | {tw:.2f} | {tt:.2f} "
+              f"| {tw / tt:.2f}x | native = WindowGroupLimit partial; "
+              f"manual = grouped_topk_twophase; checksum-equal |")
+        print(f"| per-user SUM | {sp:.2f} | {ss:.2f} | {sp / ss:.2f}x "
+              f"| map-side combine already defuses algebraic-agg skew |")
+        ok2 = tw <= tt
+        print(f"\nPIN {'OK' if ok2 else 'FAIL'}: native rank-limit window at "
+              f"or under the manual two-phase on the hot-key fixture (the "
+              f"grouped_topk dispatch decision)")
+        return 0 if (ok and ok2) else 1
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
         spark.stop()

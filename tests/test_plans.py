@@ -215,13 +215,16 @@ def test_random_projection_map_only(spark, reg):
 
 
 def test_sample_weighted_heap_topk(spark, reg):
-    """The weighted sample is the salted two-phase top-k, never a global
-    sort: map-side WindowGroupLimit (per-partition heap) BEFORE the
-    exchange, TakeOrderedAndProject for the k-row merge."""
+    """The weighted sample is a distributed heap top-k, never a global
+    sort. Since grouped_topk's native-path dispatch (round 6), the
+    constant-group rank filter compiles to TakeOrderedAndProject —
+    per-partition heaps + one k-row merge, ZERO exchanges — with the
+    rank window running over only the k survivors. (Previously: salted
+    two-phase with a WindowGroupLimit and up to 2 exchanges; the new
+    plan strictly dominates it.)"""
     plan = plan_string(reg["sample_weighted"].builder(spark, SF))
     assert "TakeOrderedAndProject" in plan, plan[:3000]
-    assert "WindowGroupLimit" in plan, plan[:3000]
-    assert plan.count("Exchange") <= 2, plan[:3000]
+    assert plan.count("Exchange") == 0, plan[:3000]
 
 
 def test_bm25_scoring_is_map_only_with_takeordered(spark, reg):

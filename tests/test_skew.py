@@ -236,20 +236,43 @@ def test_skew_bench_fixture_plan_splits_hot_key(spark, tmp_path):
 
 
 def test_grouped_topk_equals_plain_window(spark):
-    """The salted two-phase top-k must match the single-window rank
-    exactly — groups, members, ranks — on grouped data with ties in the
-    first order column (the doc_id tiebreak must carry through both
-    phases)."""
-    from pyspark.sql import Window
-
-    from full_stack_big_data_spark.functions.skew import grouped_topk
+    """The two implementations behind grouped_topk must match exactly —
+    groups, members, ranks — on grouped data with ties in the first
+    order column (the doc_id tiebreak must carry through both phases).
+    On Spark >= 3.5 grouped_topk emits the plain window (native
+    WindowGroupLimit); this pin is what licenses the portable two-phase
+    fallback to substitute for it on older runtimes."""
+    from full_stack_big_data_spark.functions.skew import (
+        grouped_topk, grouped_topk_twophase)
 
     df = (Catalog(spark, SF_SMOKE).documents
           .select("lang", "doc_id", (F.col("n_chars") % 7).alias("score")))
     order = [F.desc("score"), F.asc("doc_id")]
-    w = Window.partitionBy("lang").orderBy(*order)
-    plain = (df.withColumn("rank", F.row_number().over(w))
-             .where(F.col("rank") <= 5))
-    two_phase = grouped_topk(df, ["lang"], order, 5, F.col("doc_id"))
-    assert _rows(plain.select("lang", "doc_id", "rank")) == \
+    native = grouped_topk(df, ["lang"], order, 5, F.col("doc_id"))
+    two_phase = grouped_topk_twophase(df, ["lang"], order, 5, F.col("doc_id"))
+    assert _rows(native.select("lang", "doc_id", "rank")) == \
         _rows(two_phase.select("lang", "doc_id", "rank"))
+
+
+def test_grouped_topk_native_path_has_partial_window_group_limit(spark):
+    """The scale property grouped_topk's native path rests on: the
+    rank-limit filter must compile to a PARTIAL (map-side, before the
+    exchange) WindowGroupLimit, so a hot group ships <= k rows per map
+    partition into the shuffle instead of all its rows into one sort
+    task. If a Spark upgrade ever drops the rewrite, this fails and the
+    dispatch flag must flip to the two-phase fallback."""
+    from full_stack_big_data_spark.functions.skew import (
+        _RANK_LIMIT_NATIVE, grouped_topk)
+    from full_stack_big_data_spark.plans.checks import plan_string
+
+    assert _RANK_LIMIT_NATIVE, "pyspark >= 3.5 expected in this env"
+    df = (Catalog(spark, SF_SMOKE).documents
+          .select("lang", "doc_id", (F.col("n_chars") % 7).alias("score")))
+    q = grouped_topk(df, ["lang"], [F.desc("score"), F.asc("doc_id")],
+                     5, F.col("doc_id"))
+    plan = plan_string(q)
+    assert plan.count("WindowGroupLimit") >= 2, plan[:3000]  # partial + final
+    # formatted mode puts the limit mode on the node's Arguments line
+    partial = [ln for ln in plan.splitlines()
+               if "row_number()" in ln and ln.rstrip().endswith("Partial")]
+    assert partial, plan[:3000]
