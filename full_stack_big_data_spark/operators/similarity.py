@@ -1892,9 +1892,11 @@ def emb_cell_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_K = 5
 
 
-@register(
-    "emb_knn_graph",
-    oracle=_srp_bucket_prefix() + f""", cp AS (
+def _knn_graph_oracle(tables: int = SRP_TABLES, bits: int = SRP_BITS) -> str:
+    """DuckDB twin of the kNN-graph build, parametric in the SRP
+    operating point (the scaled entry below embeds its own 16×9 plane
+    literals, exactly like ``_neardup_banded_oracle``)."""
+    return _srp_bucket_prefix(tables, bits) + f""", cp AS (
   SELECT DISTINCT a.vec_id AS src_id, x.vec_id AS neighbor_id
   FROM b a JOIN b x ON a.table_id = x.table_id AND a.bucket = x.bucket
                    AND a.vec_id <> x.vec_id
@@ -1913,7 +1915,12 @@ KNN_K = 5
 SELECT src_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
        ROUND(cos, 6) AS cosine
 FROM ranked WHERE rank <= {KNN_K}
-""",
+"""
+
+
+@register(
+    "emb_knn_graph",
+    oracle=_knn_graph_oracle(),
     description=f"kNN-graph build: per-vector top-{KNN_K} neighbors from "
                 "SRP bucket collisions, exact cosine re-rank",
     tags=("similarity", "ann", "lsh"),
@@ -1937,6 +1944,30 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges — exactly the candidate set, no silent padding.
     """
     return knn_graph_edges(Catalog(spark, sf_dir).embeddings)
+
+
+@register(
+    "emb_knn_graph_scaled",
+    oracle=_knn_graph_oracle(bits=SRP_BITS_WIDE),
+    description=f"kNN-graph build at the corpus-scaled operating point "
+                f"({SRP_TABLES} tables × {SRP_BITS_WIDE} bits), oracle-hashed",
+    tags=("similarity", "ann", "lsh"),
+)
+def emb_knn_graph_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployment operating point of ``emb_knn_graph`` — same
+    ``2^bits ≈ N/64`` sizing rule as ``embedding_neardup_banded_scaled``
+    and registered for the same reason: the round-6 measured-shuffle
+    audit caught the SAME 16×4 collision-join core (in
+    ``embedding_neardup_banded``) at 48× shuffle amplification, 128 M
+    candidate rows and 23.6 GB of spill on the 10× corpus (BENCHNOTES
+    round 6) — plan shape identical, occupancy quadratic — and the
+    graph build multiplies that by keeping BOTH collision directions
+    (src≠nbr, not src<nbr). The 9-bit point holds per-bucket occupancy,
+    and with it the collision join, at the 1× level. Recall trade and
+    the tables-knob compensation are documented at the neardup scaled
+    entry; the graph build inherits them unchanged."""
+    return knn_graph_edges(Catalog(spark, sf_dir).embeddings,
+                           bits=SRP_BITS_WIDE)
 
 
 def knn_graph_edges(src: DataFrame, k: int = KNN_K,

@@ -322,3 +322,34 @@ def test_ann_persisted_index_lookup_prunes_partitions(spark):
     plan = lookup._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "table_id" in plan.split(
         "PartitionFilters")[1][:200], plan[:1500]
+
+
+def test_shuffle_audit_metric_extraction(spark, reg):
+    """The measured-shuffle audit's metric walk (scripts/
+    shuffle_audit.py) against two known shapes at smoke scale: a
+    grouped aggregate must report real scanned + shuffled bytes, >= 1
+    exchange and zero spill; a pure filter-project must report ZERO
+    shuffled bytes and zero exchanges. Guards the py4j executed-plan
+    walk (AQE unwrap, QueryStage unwrap, ReusedExchange skip) against
+    Spark upgrades — if metric keys or wrapper classes change, the
+    PLANAUDIT measured-volume section goes stale silently without this."""
+    import importlib
+    import os
+    import sys
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    sys.path.insert(0, root)
+    try:
+        sa = importlib.import_module("scripts.shuffle_audit")
+    finally:
+        sys.path.remove(root)
+
+    r = sa.measure(spark, reg["q1_pricing_summary"].builder, SF)
+    assert r["scanned"] > 0, r
+    assert r["shuffled"] > 0 and r["exchanges"] >= 1, r
+    assert r["spilled"] == 0, r
+    assert r["rows"] > 0, r
+
+    r2 = sa.measure(spark, reg["q2_filter_project"].builder, SF)
+    assert r2["scanned"] > 0, r2
+    assert r2["shuffled"] == 0 and r2["exchanges"] == 0, r2
