@@ -94,19 +94,24 @@ def tune_session(spark: SparkSession) -> SparkSession:
 
 
 # ---------------------------------------------------------------------------
-# Scoped persist: query-lifetime caching without session-lifetime leaks.
+# Query-boundary cache release: query-lifetime caching without
+# session-lifetime leaks.
 #
 # Operators that persist an intermediate (iterative algorithms, shared
-# shingle/quantized inputs) previously left it pinned in the CacheManager
-# for the life of the SparkSession — harmless for a single query, but a
-# registry-wide sweep (the driver's 191-query correctness gate,
+# shingle/quantized inputs) would otherwise leave it pinned in the
+# CacheManager for the life of the SparkSession — harmless for a single
+# query, but a registry-wide sweep (the driver's correctness gate,
 # scripts/chaos_parity.py, the pytest parity replay) runs every query in
-# ONE session, so those caches accumulate unboundedly. scoped_persist()
-# records every persisted DataFrame; release_scoped_cache() drops them
-# all at the next query boundary (after the previous query's result has
-# been fully materialized — unpersist only removes cached blocks, the
-# returned DataFrame stays valid via lineage recompute, and every
-# registered plan is deterministic, proven by the chaos-parity replays).
+# ONE session, so those caches accumulate unboundedly.
+# release_scoped_cache() is an unconditional spark.catalog.clearCache():
+# it drops EVERY cached plan in the session, not a recorded subset —
+# which is exactly right at a query boundary, where nothing cached is
+# still wanted. Safe because unpersist only removes cached blocks (a
+# returned DataFrame stays valid via lineage recompute) and every
+# registered plan is deterministic, proven by the chaos-parity replays.
+# Never call it mid-query. localCheckpoint blocks are NOT in the
+# CacheManager and are freed at their operator (operators/dedup.py
+# _free_local_checkpoint).
 # ---------------------------------------------------------------------------
 
 def release_scoped_cache(spark: SparkSession) -> None:

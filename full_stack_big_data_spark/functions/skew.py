@@ -81,12 +81,17 @@ def salted_join(big: DataFrame, small: DataFrame, on: list[str],
 # fixture the native path beats the manual two-phase by ~1.8x
 # (BENCHNOTES round 6) because it achieves the same bucketed partial
 # top-k with one fewer exchange and one fewer window pass.
-_RANK_LIMIT_NATIVE = True
+_RANK_LIMIT_NATIVE = False  # proven >= 3.5 below, else portable fallback
 try:
     import pyspark
     _RANK_LIMIT_NATIVE = tuple(
         int(p) for p in pyspark.__version__.split(".")[:2]) >= (3, 5)
 except Exception:  # pragma: no cover — version string oddities
+    # unparseable version: stay False so an unrecognizable (possibly
+    # pre-3.5) runtime gets grouped_topk_twophase — correct everywhere,
+    # merely one exchange slower on a new runtime — instead of a plain
+    # window whose low-cardinality skew ceiling the fallback exists
+    # to avoid.
     pass
 
 

@@ -591,6 +591,24 @@ GROUP BY node
 """
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Free a SUPERSEDED localCheckpoint's persisted blocks eagerly.
+
+    ``localCheckpoint`` blocks live outside the CacheManager, so
+    ``spark.catalog.clearCache()`` (the sweep-boundary release) cannot
+    reclaim them — without this, per-round checkpoints of the label
+    loop wait on driver GC + ContextCleaner. The analyzed plan of a
+    checkpointed DataFrame is a ``LogicalRDD`` wrapping the persisted
+    RDD; unpersisting it drops the blocks immediately. DESTRUCTIVE for
+    the passed DataFrame (lineage is truncated, the data cannot be
+    recomputed) — only call on a round whose data is never read again.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # non-LogicalRDD plan / stopped session: no blocks
+        pass
+
+
 def min_label_components(pairs: DataFrame, a: str = "doc_a",
                          b: str = "doc_b",
                          id_col: str = "doc_id") -> DataFrame:
@@ -626,9 +644,17 @@ def min_label_components(pairs: DataFrame, a: str = "doc_a",
                    .join(labels.alias("o"), "node")
                    .where(F.col("n.lbl") != F.col("o.lbl"))
                    .limit(1).count())
+        # the superseded round's blocks are never read again (the
+        # `changed` count above was their last reader) — free them now
+        # rather than leaking until driver GC (clearCache can't see
+        # localCheckpoint blocks)
+        _free_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
+    # the final labels are materialized, so the edge list has no
+    # remaining readers either
+    _free_local_checkpoint(edges)
     return labels.select(
         F.col("node").alias(id_col),
         F.col("lbl").alias("cluster_id"),

@@ -42,13 +42,22 @@ class ProgressCollector(StreamingQueryListener):
     def onQueryTerminated(self, event) -> None:  # noqa: N802
         self.terminated.add(event.id)
 
-    def drain(self, timeout: float = 30.0) -> None:
-        """Wait for the async listener bus to deliver everything."""
+    def drain(self, timeout: float = 30.0) -> bool:
+        """Wait for the async listener bus to deliver everything.
+
+        Returns True only when every started query has terminated (the
+        feed is complete). A False return — deadline expired with
+        started ⊄ terminated, or no start event was ever delivered —
+        means any summary over ``self.progress`` would tabulate a
+        PARTIAL feed; callers (scripts/plan_audit.py) must flag the row
+        instead of publishing its numbers.
+        """
         deadline = time.time() + timeout
         while time.time() < deadline:
             if self.started and self.started <= self.terminated:
-                return
+                return True
             time.sleep(0.05)
+        return False
 
     def reset(self) -> None:
         self.progress.clear()
@@ -78,32 +87,34 @@ def summarize(progress: list[dict]) -> dict:
         plist.sort(key=lambda p: p.get("batchId", 0))
         n_batches += len(plist)
         input_rows += sum(int(p.get("numInputRows", 0)) for p in plist)
-        n_ops = max((len(p.get("stateOperators", [])) for p in plist),
-                    default=0)
-        for i in range(n_ops):
-            last = None
-            removed = dropped = updated = 0
-            mem = 0
-            name = ""
-            for p in plist:
-                so = p.get("stateOperators", [])
-                if i >= len(so):
-                    continue
-                last = so[i]
-                name = so[i].get("operatorName", f"op{i}")
-                removed += int(so[i].get("numRowsRemoved", 0))
-                dropped += int(so[i].get("numRowsDroppedByWatermark", 0))
-                updated += int(so[i].get("numRowsUpdated", 0))
-                mem = max(mem, int(so[i].get("memoryUsedBytes", 0)))
-            if last is not None:
-                ops.append({
-                    "operator": name,
-                    "final_state_rows": int(last.get("numRowsTotal", 0)),
-                    "rows_updated": updated,
-                    "rows_removed": removed,
-                    "dropped_by_watermark": dropped,
-                    "peak_state_bytes": mem,
+        # Key by (operatorName, index) rather than bare list index: if a
+        # query's batches report differing stateOperators lists (e.g. an
+        # empty array interleaved, or an operator renamed across a
+        # restart), positional alignment would sum different operators
+        # under one row. The name+position pair only merges entries that
+        # are genuinely the same operator at the same plan slot.
+        per_key: dict[tuple[str, int], dict] = {}
+        for p in plist:
+            for i, so in enumerate(p.get("stateOperators", [])):
+                name = so.get("operatorName") or f"op{i}"
+                acc = per_key.setdefault((name, i), {
+                    "last": None, "removed": 0, "dropped": 0,
+                    "updated": 0, "mem": 0,
                 })
+                acc["last"] = so  # plist is batchId-sorted: last wins
+                acc["removed"] += int(so.get("numRowsRemoved", 0))
+                acc["dropped"] += int(so.get("numRowsDroppedByWatermark", 0))
+                acc["updated"] += int(so.get("numRowsUpdated", 0))
+                acc["mem"] = max(acc["mem"], int(so.get("memoryUsedBytes", 0)))
+        for (name, _i), acc in sorted(per_key.items(), key=lambda kv: kv[0][1]):
+            ops.append({
+                "operator": name,
+                "final_state_rows": int(acc["last"].get("numRowsTotal", 0)),
+                "rows_updated": acc["updated"],
+                "rows_removed": acc["removed"],
+                "dropped_by_watermark": acc["dropped"],
+                "peak_state_bytes": acc["mem"],
+            })
     return {
         "n_queries": len(by_query),
         "n_batches": n_batches,

@@ -182,10 +182,18 @@ def audit_streaming(spark, reg) -> tuple[list[str], list[str]]:
             bound = STREAM_STATE_BOUNDS.get(name)
             try:
                 spec.builder(spark, SF).collect()
-                col.drain()
+                complete = col.drain()
                 s = summarize(col.progress)
             except Exception as e:  # noqa: BLE001 — audit reports, not dies
                 lines.append(f"| {name} | — | — | RUN ERROR: {e} | | | | | |")
+                flagged.append(name)
+                continue
+            if not complete:
+                # drain() timed out with started ⊄ terminated (or no
+                # start event at all): the feed is partial and any state
+                # numbers would be wrong — flag, don't tabulate.
+                lines.append(f"| {name} | — | — | INCOMPLETE PROGRESS "
+                             f"FEED (drain timeout) | | | | | |")
                 flagged.append(name)
                 continue
             if bound is None:
@@ -208,7 +216,32 @@ def audit_streaming(spark, reg) -> tuple[list[str], list[str]]:
     return lines, flagged
 
 
+def check_only() -> None:
+    """Fast staleness check (no Spark session, no plans): diff the live
+    registry's names against the committed PLANAUDIT.md rows. Exits 1
+    with the regen command when they diverge — cheap enough to run
+    before every commit (scripts/roundcheck.sh), so a new registry
+    entry can't land without its audit row (r6 verdict item 1)."""
+    reg = load_all()
+    path = os.path.join(HERE, "PLANAUDIT.md")
+    with open(path) as f:
+        text = f.read()
+    audited = set(re.findall(r"^\| (\w+) \|", text, flags=re.M)) - {"query"}
+    live = set(reg)
+    missing = sorted(live - audited)
+    stale = sorted(audited - live)
+    if missing or stale:
+        print(f"PLANAUDIT.md is stale — missing rows: {missing}; "
+              f"rows for unknown queries: {stale}\n"
+              f"fix: python scripts/plan_audit.py")
+        sys.exit(1)
+    print(f"PLANAUDIT.md covers all {len(live)} registry entries — fresh")
+
+
 def main() -> None:
+    if "--check" in sys.argv:
+        check_only()
+        return
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(HERE, "PLANAUDIT.md")
     spark = get_spark(app_name="plan-audit")
     reg = load_all()

@@ -117,3 +117,35 @@ def test_band_layout_knob_recall_at_half(spark):
     c8 = candidates(8)
     assert truth <= c16, f"16x1 missed true pairs: {sorted(truth - c16)[:5]}"
     assert c8 <= c16  # any 8x2 collision implies both its 1-row halves collide
+
+
+def test_min_label_components_frees_superseded_checkpoints(spark):
+    """r6 ADVICE: per-round localCheckpoint blocks live OUTSIDE the
+    CacheManager, so clearCache() can't reclaim them — the label loop
+    must free each superseded round itself. Build a path graph (worst
+    case: diameter = N, many rounds) and assert that after convergence
+    at most two checkpointed RDDs still hold blocks (the final labels;
+    everything superseded — per-round labels and the edge list — must
+    be gone), not one per round."""
+    from full_stack_big_data_spark.operators.dedup import (
+        min_label_components)
+
+    sc = spark.sparkContext._jsc.sc()
+
+    def live_rdd_blocks():
+        return [i for i in sc.getRDDStorageInfo() if i.numCachedPartitions() > 0]
+
+    spark.catalog.clearCache()
+    before = len(live_rdd_blocks())
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a int, doc_b int")
+    out = min_label_components(pairs)
+    rows = out.collect()
+    # one component, min label 0, 13 nodes — a 12-round propagation
+    assert len(rows) == 13 and {r.cluster_id for r in rows} == {0}
+
+    live = live_rdd_blocks()
+    assert len(live) - before <= 2, (
+        f"superseded localCheckpoint blocks leaked: "
+        f"{[(i.name(), i.numCachedPartitions()) for i in live]}")

@@ -72,7 +72,7 @@ def test_watermarked_dedup_evicts_state(spark, tmp_path, collector):
     q = (sdf.writeStream.format("memory").queryName("evict_pin")
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
-    collector.drain()
+    assert collector.drain(), "partial progress feed"
     s = summarize(collector.progress)
 
     assert s["n_batches"] >= 3, s
@@ -98,7 +98,7 @@ def test_registry_stateful_queries_hold_keyed_not_rowed_state(spark, collector):
     collector.reset()
     out = reg["stream_dedup_watermarked"].builder(spark, SF_SMOKE)
     assert out.count() == distinct_keys
-    collector.drain()
+    assert collector.drain(), "partial progress feed"
     s = summarize(collector.progress)
     (op,) = s["state_operators"]
     assert op["final_state_rows"] == distinct_keys, (op, distinct_keys)
@@ -106,7 +106,7 @@ def test_registry_stateful_queries_hold_keyed_not_rowed_state(spark, collector):
 
     collector.reset()
     vocab = reg["stream_wordcount"].builder(spark, SF_SMOKE).count()
-    collector.drain()
+    assert collector.drain(), "partial progress feed"
     s = summarize(collector.progress)
     assert s["state_operators"], "wordcount must run a stateful aggregation"
     agg_rows = max(op["final_state_rows"] for op in s["state_operators"])
