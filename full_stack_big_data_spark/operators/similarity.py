@@ -429,6 +429,178 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF at the corpus-scaled operating point (r6 verdict item 2).
+#
+# IVF_CELLS = 16 above is the same fixture-pinned-constant hazard class
+# as the SRP bucket width the sf1.0 probe caught going quadratic
+# (BENCHNOTES round 6): cell occupancy is N/C, and both the probe scan
+# (probes·N/C rows per query) and any per-cell work grow linearly in it
+# when C stays fixed. The sizing rule mirrors the SRP one —
+# C ≈ N / target-occupancy, rounded to a power of two.
+#
+# A wide codebook also breaks the 16-cell ASSIGNMENT comparator: ranking
+# cells by d_c/√n_c without floats is pairwise O(C²) per vector (the
+# beats tensor in ivf_cells) — fine at C=16, hopeless at C=256+. The
+# scaled path removes the problem at the source: SIGN centroids (every
+# component ±100) have identical norms, so cosine ordering degenerates
+# to ordering by the raw integer dot product — one argsort, O(C log C)
+# per vector, still bit-exact across numpy/Catalyst/DuckDB (ties by
+# cell id). Equal-norm random-sign codebooks are a standard coarse
+# quantizer; nothing about the plan shape (broadcast centroids,
+# equi-join on cell id, grouped_topk re-rank) changes.
+# ---------------------------------------------------------------------------
+
+IVF_OCCUPANCY = 64        # target vectors per cell — the sizing rule's knob
+IVF_CELLS_WIDE = 256      # 2^round(log2(N/64)) at N = 20 k (the sf1.0 corpus)
+IVF_PROBES_WIDE = 24      # scan fraction 24/256 ≈ 9% (vs 6/16 = 37.5% fixture)
+_IVF_SIGN_SEED = 11
+
+
+def ivf_cells_for_corpus(n: int, occupancy: int = IVF_OCCUPANCY) -> int:
+    """The codebook sizing rule: cells ≈ N / target-occupancy, rounded
+    to a power of two, floor 16 — the IVF twin of the SRP
+    ``2^bits ≈ N/64`` rule. Keeping occupancy constant keeps the probe
+    scan per query (probes · occupancy rows) and the per-cell re-rank
+    flat as the corpus grows; registered queries pin their operating
+    point so the oracle literals stay fixed."""
+    import math
+
+    return max(16, 2 ** round(math.log2(max(1.0, n / occupancy))))
+
+
+def _ivf_sign_centroids(cells: int = IVF_CELLS_WIDE) -> np.ndarray:
+    """Deterministic EQUAL-NORM centroids, shape (cells, DIM), every
+    component ±100 from the LCG's parity (own seed chain). Identical
+    norms make nearest-by-cosine == argmax of the integer dot product —
+    the property the scaled assignment and its DuckDB twin rely on."""
+    state = _IVF_SIGN_SEED
+    w = np.empty((cells, SRP_DIM), dtype=np.int64)
+    for j in range(cells):
+        for d in range(SRP_DIM):
+            state = (state * 48271) % _SRP_P
+            w[j, d] = (state % 2) * 200 - 100
+    return w
+
+
+def ivf_cells_scaled(df: DataFrame, vec_col: str = "embedding",
+                     cells: int = IVF_CELLS_WIDE, probes: int = 1) -> DataFrame:
+    """Append ``cells: array<int>`` — the ``probes`` nearest sign
+    centroids. One integer matmul + one argsort per Arrow batch; with
+    equal-norm centroids the ordering is the raw int64 dot product
+    (exact: |d| ≤ 64·53·100 ≪ 2⁵³ on this corpus, asserted per batch),
+    ties broken by ascending cell id via the stable sort."""
+    cents = _ivf_sign_centroids(cells)                    # (C, dim) ±100
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _cells(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        eq = np.floor(mat * 100.0).astype(np.int64)       # exact in double
+        d = eq @ cents.T                                  # (n, C) int64
+        if int(np.abs(d).max(initial=0)) >= 2**53:
+            raise ValueError("ivf_cells_scaled dot exceeds exact range")
+        # stable argsort on -d: ties (equal dot) keep ascending cell id
+        order = np.argsort(-d, axis=1, kind="stable")
+        return pd.Series(list(order[:, :probes].astype(np.int32)))
+
+    return df.withColumn("cells", _cells(F.col(vec_col)))
+
+
+def _ivf_scaled_assign_prefix(cells: int = IVF_CELLS_WIDE) -> str:
+    """Shared oracle prefix for the sign-centroid codebook:
+    ``ranked_cells(vec_id, cell, r)`` ranks every cell per vector by the
+    BIGINT dot product (equal norms — no cross-multiplication needed)
+    and ``corpus(vec_id, cell)`` is the r=1 assignment."""
+    w = _ivf_sign_centroids(cells)
+    rows = ",\n".join(
+        f"  ({j}, [{', '.join(str(int(x)) for x in w[j])}]::DOUBLE[])"
+        for j in range(cells))
+    return f"""
+WITH cents(cell, w) AS (VALUES
+{rows}
+), eq AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding::DOUBLE[], x -> FLOOR(x * 100)) AS v
+  FROM embeddings
+), dots AS (
+  SELECT e.vec_id, c.cell, CAST(list_dot_product(e.v, c.w) AS BIGINT) AS d
+  FROM eq e CROSS JOIN cents c
+), ranked_cells AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS r
+  FROM dots
+), corpus AS (
+  SELECT vec_id, cell FROM ranked_cells WHERE r = 1
+)"""
+
+
+def _ivf_scaled_oracle(cells: int = IVF_CELLS_WIDE,
+                       probes: int = IVF_PROBES_WIDE) -> str:
+    """DuckDB twin of the scaled IVF pipeline — sign-codebook
+    assignment, probe sets, candidate join, exact cosine re-rank."""
+    return _ivf_scaled_assign_prefix(cells) + f""", qcells AS (
+  SELECT vec_id AS query_id, cell FROM ranked_cells
+  WHERE vec_id < {N_QUERIES} AND r <= {probes}
+), cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+  FROM qcells q JOIN corpus c USING (cell)
+  WHERE c.vec_id <> q.query_id
+), scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(n.embedding::DOUBLE[], qe.embedding::DOUBLE[]) AS cos
+  FROM cand c
+  JOIN embeddings n  ON n.vec_id  = c.neighbor_id
+  JOIN embeddings qe ON qe.vec_id = c.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "ann_ivf_scaled",
+    oracle=_ivf_scaled_oracle(),
+    description=f"IVF ANN at the corpus-scaled operating point "
+                f"({IVF_CELLS_WIDE} sign-codebook cells ≈ N/{IVF_OCCUPANCY} "
+                f"at sf1.0, {IVF_PROBES_WIDE} probes), oracle-hashed",
+    tags=("similarity", "ann", "ivf"),
+)
+def ann_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployment operating point of ``ann_ivf``, registered so the
+    driver hash-checks the PARAMETRIC path (``ivf_cells_for_corpus``'s
+    C ≈ N/64 rule at the sf1.0 corpus → 256 cells) and not just the
+    16-cell fixture — the same graduation ``embedding_neardup_banded_scaled``
+    gave the SRP bucket width after the sf1.0 probe caught the fixed-
+    width quadratic (BENCHNOTES round 6). At gate scale the wide
+    codebook is nearly one-vector-per-cell — harmless for correctness,
+    which is what the gate checks; the sf1.0 probe measures the part
+    that matters, a flat probe scan per query as N grows 10×."""
+    e = Catalog(spark, sf_dir).embeddings
+    corpus = (ivf_cells_scaled(e, probes=1)
+              .select("vec_id", "embedding", F.col("cells")[0].alias("cell")))
+    q = (ivf_cells_scaled(e.where(F.col("vec_id") < N_QUERIES),
+                          probes=IVF_PROBES_WIDE)
+         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+                 F.explode("cells").alias("cell")))
+    cand = (
+        F.broadcast(q).join(corpus, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "embedding")
+    )
+    scored = cand.select("query_id", "neighbor_id",
+                         cosine_sim(F.col("embedding"), F.col("qv")).alias("cos"))
+    return (
+        grouped_topk(scored, ["query_id"],
+                     [F.desc("cos"), F.asc("neighbor_id")],
+                     TOP_K, F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
 # Broadcast path is used while the corpus parquet fits well under driver/
 # executor memory as a dense float64 matrix (bytes on disk ≈ bytes as
 # float32; ×2 for the widen). 256 MiB of parquet ≈ 1 M vectors at dim 64

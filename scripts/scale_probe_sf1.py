@@ -67,6 +67,10 @@ PROBES = [
     ("dedup_ngram_jaccard", "output", "exact-verify join ∝ true pairs"),
     ("q18_large_volume", "linear", "double fact join, dims broadcast"),
     ("sample_weighted", "linear", "content-hash membership, map-only"),
+    # batch 3 (round 7): the scaled IVF operating point (r6 verdict
+    # item 2 — last fixture-pinned index constant)
+    ("ann_ivf_scaled", "linear",
+     "C ≈ N/64 sign codebook: occupancy, and so probe scan, flat"),
 ]
 
 
