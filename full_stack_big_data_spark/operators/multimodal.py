@@ -60,6 +60,21 @@ def _decode_payload_fake(buf: bytes) -> tuple[int, int, str]:
 
 
 def decode_payload(buf: bytes) -> tuple[int, int, str]:
+    """Container-sniffing decode (r6 verdict item 3): a ``BM`` magic
+    routes to the REAL pure-stdlib BMP parser (:func:`decode_bmp`),
+    returning true header geometry with the distinct mode ``BGR24``
+    (the BMP pixel order). A payload that merely STARTS with ``BM`` but
+    is not a valid uncompressed 24-bit BMP (e.g. ASCII text — its
+    compression field bytes are all ≥ 0x20, so validation always
+    rejects it) falls through to the non-BMP path, exactly what a
+    production sniffer does with a spoofed magic. Non-BMP payloads keep
+    the import-gated PIL seam with the deterministic fake behind it."""
+    if buf[:2] == b"BM":
+        try:
+            w, h, _bpp, _checksum = decode_bmp(buf)
+            return (w, h, "BGR24")
+        except Exception:  # short/spoofed header: not actually a BMP
+            pass
     try:
         import PIL  # noqa: F401  — real path, absent in this container
     except ImportError:
@@ -371,6 +386,94 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     return bmp.mapInPandas(decode, _BMP_DECODE_SCHEMA)
+
+
+_DISPATCH_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("payload_bytes", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("mode", StringType()),
+])
+
+
+@register(
+    "multimodal_decode_dispatch",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, text, length(text) AS n,
+         length(text) % 13 + 4 AS w,
+         length(text) % 7 + 3 AS h,
+         COALESCE(list_aggregate(list_transform(range(1, length(text) + 1),
+                                                i -> ord(substring(text, i, 1))),
+                                 'sum'), 0) % 9973 AS checksum
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN text IS NULL THEN NULL
+            WHEN doc_id % 2 = 0
+              THEN CAST({BMP_HEADER_BYTES} + ((w * 3 + 3) // 4) * 4 * h AS INTEGER)
+            ELSE CAST(n AS INTEGER) END AS payload_bytes,
+       CASE WHEN text IS NULL THEN NULL
+            WHEN doc_id % 2 = 0 THEN CAST(w AS INTEGER)
+            ELSE CAST(n % 640 + 1 AS INTEGER) END AS width,
+       CASE WHEN text IS NULL THEN NULL
+            WHEN doc_id % 2 = 0 THEN CAST(h AS INTEGER)
+            ELSE CAST(checksum % 480 + 1 AS INTEGER) END AS height,
+       CASE WHEN text IS NULL THEN NULL
+            WHEN doc_id % 2 = 0 THEN 'BGR24'
+            WHEN checksum % 2 = 1 THEN 'L' ELSE 'RGB' END AS mode
+FROM b
+""",
+    description="container-sniffing decode over a MIXED corpus (even docs "
+                "rendered to real BMPs, odd docs raw bytes): BM magic → real "
+                "header parse, others → the documented PIL seam/fake",
+    tags=("multimodal", "pandas-udf", "codec"),
+)
+def multimodal_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-covers the DISPATCH itself (r6 verdict item 3): stage 1
+    renders even doc_ids into genuine BMP containers (``encode_bmp``)
+    and leaves odd doc_ids as raw text bytes; stage 2 — which sees ONLY
+    the payload, no parity hint — runs :func:`decode_payload`. The
+    oracle derives each side independently from the text (BMP geometry
+    + exact container byte size incl. 4-byte row padding for evens, the
+    fake's byte arithmetic for odds), so a hash match proves the BM
+    sniff routed every payload to the right decoder and the BMP rows
+    carry REAL header width/height — a fake leaking onto a BMP payload
+    shifts width to len%640+1 and the mode to L/RGB. Both stages are
+    Arrow-batched map-only passes; zero exchanges."""
+    src = with_payload(Catalog(spark, sf_dir).documents)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                None if buf is None
+                else encode_bmp(bytes(buf)) if did % 2 == 0
+                else bytes(buf)
+                for did, buf in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    mixed = src.mapInPandas(encode, StructType([
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+    ]))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = pdf["payload"].map(
+                lambda b: decode_payload(bytes(b)) if b is not None
+                else (None, None, None))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload_bytes": pd.array(pdf["payload"].map(
+                    lambda b: len(b) if b is not None else None), dtype="Int32"),
+                "width": pd.array(decoded.map(lambda t: t[0]), dtype="Int32"),
+                "height": pd.array(decoded.map(lambda t: t[1]), dtype="Int32"),
+                "mode": decoded.map(lambda t: t[2]),
+            })
+
+    return mixed.mapInPandas(decode, _DISPATCH_SCHEMA)
 
 
 THUMB_BYTES = 64  # target "thumbnail" size for the stub resize

@@ -67,3 +67,23 @@ def test_bmp_codec_round_trip_and_format_sensitivity():
         decode_bmp(bytes(bad))
     with _pytest.raises(ValueError):
         decode_bmp(b"PNG not a bmp")
+
+
+def test_decode_payload_sniffs_bmp_magic():
+    """r6 verdict item 3: the BM magic must route to the REAL header
+    parse (true geometry, mode BGR24); a payload that merely starts
+    with 'BM' but fails BMP validation (ASCII text — its compression
+    bytes are all >= 0x20) must fall through to the deterministic fake,
+    and so must a truncated header."""
+    from full_stack_big_data_spark.operators.multimodal import (
+        _bmp_geometry, _decode_payload_fake, decode_payload, encode_bmp)
+
+    data = b"hello multimodal world, this is not an image"
+    bmp = encode_bmp(data)
+    w, h = _bmp_geometry(len(data))
+    assert decode_payload(bmp) == (w, h, "BGR24")
+
+    spoofed = b"BMost people would call this text, not a bitmap header"
+    assert decode_payload(spoofed) == _decode_payload_fake(spoofed)
+    truncated = b"BM\x01\x02"
+    assert decode_payload(truncated) == _decode_payload_fake(truncated)
