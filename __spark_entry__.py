@@ -123,6 +123,45 @@ def _changed_query_names(reg) -> list[str]:
                          diff.stdout.splitlines() if p.strip()}
     except (OSError, subprocess.SubprocessError):
         return []
+
+    def _code_identical(relfile: str) -> bool:
+        """True when a file's change is comment/docstring-only: compare
+        the base and working-tree ASTs with docstrings stripped. A
+        wording fix in a hot shared module (session, skew) must not
+        mark the whole registry changed and crowd the stalest-verdict
+        refresh out of the sweep's wall-clock budget. Any failure
+        (new file, parse error) counts as a REAL change."""
+        try:
+            old = subprocess.run(
+                ["git", "show", f"{base}:{relfile}"],
+                cwd=here, capture_output=True, text=True, timeout=30)
+            if old.returncode != 0:
+                return False
+            with open(os.path.join(here, relfile)) as f:
+                new_src = f.read()
+
+            def norm(src: str) -> str:
+                tree = ast.parse(src)
+                for node in ast.walk(tree):
+                    body = getattr(node, "body", None)
+                    # Lambda/IfExp carry a non-list body — skip those
+                    if (isinstance(body, list) and body
+                            and isinstance(body[0], ast.Expr)
+                            and isinstance(body[0].value, ast.Constant)
+                            and isinstance(body[0].value.value, str)):
+                        node.body = body[1:] or [ast.Pass()]
+                return ast.dump(tree)
+
+            return norm(old.stdout) == norm(new_src)
+        except Exception:
+            return False
+
+    changed_files = {f for f in changed_files if not _code_identical(f)}
+    # Diagnostics-only modules (consumed by scripts/tests, never by a
+    # builder): a change here cannot alter query results, so it must
+    # not trip the unreached-engine-change → "everything changed"
+    # fallback below.
+    changed_files -= {os.path.normpath("full_stack_big_data_spark/streaming/audit.py")}
     if not changed_files:
         return []
 
@@ -189,14 +228,55 @@ def _changed_query_names(reg) -> list[str]:
         by_file.setdefault(rel, []).append(n)
 
     reachable: set[str] = set()
-    changed: list[str] = []
+    candidates: list[str] = []
+    cand_roots: dict[str, tuple[str, str]] = {}
     for f in by_file:
         deps = _deps(f)
         reachable |= deps
         if deps & changed_files:
-            changed.extend(by_file[f])
+            candidates.extend(by_file[f])
+            for n in by_file[f]:
+                cand_roots[n] = (f.replace(os.sep, "/"),
+                                 inspect.unwrap(reg[n].builder).__name__)
     if changed_files - reachable:  # unreached engine change → all changed
         return list(reg)
+
+    # File-level candidates over-mark badly (a new operator in a module
+    # marks every query in it; a tweak in functions/skew.py marks every
+    # grouped_topk consumer) and crowd the stalest-verdict refresh out
+    # of the sweep budget. Refine to FUNCTION level: fingerprint each
+    # candidate builder's reference closure (engine/changedet.py) in
+    # the base snapshot vs the working tree; only a differing (or
+    # unresolvable) fingerprint keeps it in the changed set.
+    try:
+        from full_stack_big_data_spark.engine.changedet import (
+            builder_fingerprints)
+
+        work_src: dict[str, str] = {}
+        for root, _dirs, files in os.walk(os.path.join(here, pkg)):
+            for fn in files:
+                if fn.endswith(".py"):
+                    p = os.path.join(root, fn)
+                    rel = os.path.relpath(p, here).replace(os.sep, "/")
+                    with open(p) as fh:
+                        work_src[rel] = fh.read()
+        base_src = dict(work_src)
+        for f in changed_files:
+            rel = f.replace(os.sep, "/")
+            shown = subprocess.run(["git", "show", f"{base}:{rel}"],
+                                   cwd=here, capture_output=True,
+                                   text=True, timeout=30)
+            if shown.returncode == 0:
+                base_src[rel] = shown.stdout
+            else:
+                base_src.pop(rel, None)   # new file this round
+        fp_work = builder_fingerprints(work_src, cand_roots)
+        fp_base = builder_fingerprints(base_src, cand_roots)
+        changed = [n for n in candidates
+                   if fp_work.get(n) is None or fp_base.get(n) is None
+                   or fp_work[n] != fp_base[n]]
+    except Exception:
+        changed = candidates  # refinement is an optimization, never a gate
     order = {n: i for i, n in enumerate(reg)}
     return sorted(set(changed), key=order.get)
 

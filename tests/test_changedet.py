@@ -1,0 +1,99 @@
+"""Function-level change detection (engine/changedet.py) — the sweep
+ordering's changed-set must mark exactly the builders whose reference
+closure changed, so hygiene edits and new sibling operators stop
+crowding the stalest-verdict refresh out of the driver budget."""
+
+from __future__ import annotations
+
+from full_stack_big_data_spark.engine.changedet import builder_fingerprints
+
+PKG = "full_stack_big_data_spark"
+
+BASE = {
+    f"{PKG}/functions/skew.py": '''
+LIMIT = 64
+
+def topk(df, k):
+    """helper doc"""
+    return (df, k, LIMIT)
+''',
+    f"{PKG}/operators/alpha.py": f'''
+"""module doc"""
+from ..functions.skew import topk
+
+SCALE = 10
+
+def q_alpha(spark, sf):
+    """alpha doc"""
+    return topk(spark, SCALE)
+
+def q_beta(spark, sf):
+    return (spark, sf)
+''',
+    f"{PKG}/operators/gamma.py": '''
+def q_gamma(spark, sf):
+    from ..functions.skew import topk
+    return topk(spark, 5)
+''',
+}
+
+ROOTS = {
+    "q_alpha": (f"{PKG}/operators/alpha.py", "q_alpha"),
+    "q_beta": (f"{PKG}/operators/alpha.py", "q_beta"),
+    "q_gamma": (f"{PKG}/operators/gamma.py", "q_gamma"),
+}
+
+
+def _edit(files: dict[str, str], path_suffix: str, old: str, new: str):
+    out = dict(files)
+    key = f"{PKG}/{path_suffix}"
+    assert old in out[key], (key, old)
+    out[key] = out[key].replace(old, new)
+    return out
+
+
+def test_docstring_and_comment_changes_do_not_mark():
+    work = _edit(BASE, "operators/alpha.py", '"""alpha doc"""',
+                 '"""totally reworded alpha doc"""')
+    work = _edit(work, "functions/skew.py", '"""helper doc"""',
+                 '"""new helper wording"""\n    # plus a comment')
+    b, w = builder_fingerprints(BASE, ROOTS), builder_fingerprints(work, ROOTS)
+    assert b == w and None not in b.values()
+
+
+def test_new_sibling_operator_marks_nothing_existing():
+    work = _edit(BASE, "operators/alpha.py", "def q_beta",
+                 "def q_new(spark, sf):\n    return 42\n\ndef q_beta")
+    b, w = builder_fingerprints(BASE, ROOTS), builder_fingerprints(work, ROOTS)
+    assert b == w
+
+
+def test_referenced_constant_marks_only_its_referrers():
+    work = _edit(BASE, "operators/alpha.py", "SCALE = 10", "SCALE = 99")
+    b, w = builder_fingerprints(BASE, ROOTS), builder_fingerprints(work, ROOTS)
+    assert w["q_alpha"] != b["q_alpha"]
+    assert w["q_beta"] == b["q_beta"]
+    assert w["q_gamma"] == b["q_gamma"]
+
+
+def test_cross_module_dependency_via_module_level_import():
+    work = _edit(BASE, "functions/skew.py", "LIMIT = 64", "LIMIT = 128")
+    b, w = builder_fingerprints(BASE, ROOTS), builder_fingerprints(work, ROOTS)
+    assert w["q_alpha"] != b["q_alpha"]     # topk reads LIMIT
+    assert w["q_gamma"] != b["q_gamma"]     # function-local import path
+    assert w["q_beta"] == b["q_beta"]
+
+
+def test_function_local_import_resolved():
+    work = _edit(BASE, "functions/skew.py", "return (df, k, LIMIT)",
+                 "return (df, k + 1, LIMIT)")
+    b, w = builder_fingerprints(BASE, ROOTS), builder_fingerprints(work, ROOTS)
+    assert w["q_gamma"] != b["q_gamma"]
+    assert w["q_beta"] == b["q_beta"]
+
+
+def test_missing_builder_is_none():
+    roots = dict(ROOTS, q_ghost=(f"{PKG}/operators/alpha.py", "q_ghost"))
+    fps = builder_fingerprints(BASE, roots)
+    assert fps["q_ghost"] is None
+    assert fps["q_alpha"] is not None
