@@ -305,14 +305,17 @@ def main() -> None:
     lines += ["", f"Streaming queries audited: {n_stream}; needing review: "
               f"{sorted(s_flagged) if s_flagged else 'none'}"]
     flagged += s_flagged
-    # The measured-shuffle section (scripts/shuffle_audit.py output,
-    # reviewed prose) is maintained by hand — carry it across regens.
+    # Hand-maintained measured sections (shuffle_audit.py and
+    # stream_state_probe.py output + reviewed prose) — carry them
+    # across regens, in their committed order.
     if os.path.exists(out_path):
         with open(out_path) as f:
             old = f.read()
-        marker = "## Measured shuffle volume"
-        if marker in old:
-            lines += ["", old[old.index(marker):].rstrip()]
+        idx = min((old.index(m) for m in
+                   ("## Measured shuffle volume", "## Streaming state at scale")
+                   if m in old), default=None)
+        if idx is not None:
+            lines += ["", old[idx:].rstrip()]
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out_path}; {len(rows)} batch + {n_stream} streaming; "

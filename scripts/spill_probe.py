@@ -38,7 +38,7 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
 SF10 = os.path.join(HERE, ".localdata", "sf1.0")
-DEFAULT_NAMES = ["emb_knn_graph", "text_ngram_counts", "dedup_editdistance"]
+DEFAULT_NAMES = ["emb_knn_graph_scaled", "text_ngram_counts", "dedup_editdistance"]
 
 CONSTRAINED_ENV = {
     # 4g/16 threads (vs 8g/32 baseline): ~250 MB heap per concurrent
@@ -93,11 +93,33 @@ def _child(name: str) -> None:
     spark.stop()
 
 
+# Per-query overrides on top of CONSTRAINED_ENV: families whose working
+# set sits BELOW the default squeeze need a harder one before the spill
+# path is exercised at all (text_ngram_counts' agg state is
+# vocabulary-bounded — itself the scaling point — so only a near-zero
+# pool forces its sorts to disk).
+QUERY_TUNING: dict[str, dict[str, str]] = {
+    "text_ngram_counts": {"SPILL_PROBE_FRACTION": "0.02"},
+    # the kNN graph is probed at its DEPLOYMENT operating point (the
+    # 16x9 scaled entry): the fixture 16x4 width at this corpus is the
+    # documented catastrophic setting (bucket occupancy 1250 -> ~400M
+    # candidate pairs) and OOMs a 4g JVM in UNMANAGED memory (Python
+    # eval buffers / in-flight rows) that no spill can govern — that
+    # failure is itself evidence for the sizing rule, recorded in
+    # BENCHNOTES round 7. The scaled point still spills heavily (4 GB)
+    # under this squeeze, so the grace path gets exercised.
+    "emb_knn_graph_scaled": {"SPARK_GRAFT_DRIVER_MEM": "6g",
+                             "SPARK_GRAFT_CPUS": "12",
+                             "SPILL_PROBE_FRACTION": "0.08"},
+}
+
+
 def _run_child(name: str, constrained: bool) -> dict | None:
     env = dict(os.environ)
     env.pop("SPILL_PROBE_FRACTION", None)
     if constrained:
         env.update(CONSTRAINED_ENV)
+        env.update(QUERY_TUNING.get(name, {}))
     else:
         env.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
     p = subprocess.run([sys.executable, os.path.abspath(__file__),
@@ -140,9 +162,10 @@ def main() -> int:
             bad.append(name)
         print(f"| {name} | baseline | 8g/0.6 | {mb(base['spilled'])} | "
               f"{mb(base['peak'])} | {base['wall']} | {base['rows']} | |")
+        tuned = dict(CONSTRAINED_ENV, **QUERY_TUNING.get(name, {}))
         print(f"| {name} | constrained | "
-              f"{CONSTRAINED_ENV['SPARK_GRAFT_DRIVER_MEM']}/"
-              f"{CONSTRAINED_ENV['SPILL_PROBE_FRACTION']} | "
+              f"{tuned['SPARK_GRAFT_DRIVER_MEM']}/"
+              f"{tuned['SPILL_PROBE_FRACTION']} | "
               f"{mb(con['spilled'])} | {mb(con['peak'])} | {con['wall']} | "
               f"{con['rows']} | "
               f"{'YES' if match else 'NO'}"

@@ -253,3 +253,20 @@ def test_pca_deflation_orthogonality(spark):
            / math.sqrt(sum(x * x for x in v1.values()))
            / math.sqrt(sum(x * x for x in v2.values())))
     assert abs(cos) <= 0.05, f"deflation broke orthogonality: cos={cos}"
+
+
+def test_ivf_sizing_rule_tracks_corpus():
+    """The C ~ N/occupancy rule (r6 verdict item 2): floors at 16,
+    power-of-two, hits the registered 256-cell operating point at the
+    sf1.0 corpus, and keeps occupancy within 2x of target across four
+    decades — the property that keeps the probe scan flat."""
+    from full_stack_big_data_spark.operators.similarity import (
+        IVF_CELLS_WIDE, ivf_cells_for_corpus)
+
+    assert ivf_cells_for_corpus(0) == 16
+    assert ivf_cells_for_corpus(500) == 16          # smoke corpus: floor
+    assert ivf_cells_for_corpus(20_000) == IVF_CELLS_WIDE == 256
+    for n in (10_000, 100_000, 1_000_000, 10_000_000):
+        c = ivf_cells_for_corpus(n)
+        assert c & (c - 1) == 0                     # power of two
+        assert 32 <= n / c <= 128, (n, c)           # occupancy in [64/2, 64*2]
