@@ -48,6 +48,10 @@ HEADLINE = [
     "dedup_editdistance",   # Ed-Join prefix-filter candidate join
     "q_delete_propagation", # right-to-be-forgotten cascade
     "q_pagerank",           # iterative: fixed-point integer ranks
+    # r7: the two new scale-relevant entries — the corpus-scaled IVF
+    # operating point and the container-sniffing mixed-media decode
+    "ann_ivf_scaled",
+    "multimodal_decode_dispatch",
 ]
 
 

@@ -76,10 +76,20 @@ def decode_payload(buf: bytes) -> tuple[int, int, str]:
         except Exception:  # short/spoofed header: not actually a BMP
             pass
     try:
-        import PIL  # noqa: F401  — real path, absent in this container
+        from PIL import Image  # real path, absent in this container
     except ImportError:
         return _decode_payload_fake(buf)
-    raise NotImplementedError("real image decode path: wire PIL.Image.open here")
+    import io
+
+    try:
+        with Image.open(io.BytesIO(buf)) as img:
+            return (img.width, img.height, img.mode)
+    except Exception:
+        # sniffed as non-BMP and PIL can't parse it either: not an
+        # image payload — same deterministic fallback as the no-PIL
+        # container, so mixed text+media corpora behave identically
+        # with or without the library
+        return _decode_payload_fake(buf)
 
 
 _FEATURE_SCHEMA = StructType([

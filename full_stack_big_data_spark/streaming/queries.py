@@ -234,6 +234,52 @@ def stream_serving_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_serving_compacted",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+GROUP BY event_type
+""",
+    description="serving-store lifecycle close-out: stream-maintained "
+                "batch-keyed partials compacted into one generation, "
+                "interval served FROM the compacted store == batch recompute",
+    tags=("streaming", "serving", "events"),
+)
+def stream_serving_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stream_serving_interval`` proves maintain → serve; this entry
+    closes the store's LIFECYCLE: maintain (stream, batch-keyed
+    idempotent partials) → COMPACT (``rollup.compact_rollup`` — fold
+    the per-micro-batch directories into one generation; at 100 TB/day
+    the store's scale limit is small-file count, not data volume) →
+    serve the same interval FROM THE COMPACTED GENERATION. The oracle
+    recomputes from raw events, so the driver hash proves compaction
+    lost nothing: counts and DECIMAL partial sums re-aggregate exactly,
+    whatever the directory layout."""
+    from pyspark.sql import functions as F
+
+    from ..engine.scratch import scratch_dir
+    from .rollup import compact_rollup, maintain_hourly_rollup, serve_hourly
+
+    src = _stream(spark, sf_dir, "events")
+    store = scratch_dir("fsbd_serving_store_")
+    maintain_hourly_rollup(src, store, scratch_dir("fsbd_serving_ckp_"))
+    gen1 = scratch_dir("fsbd_serving_gen1_")
+    compact_rollup(spark, store, gen1)
+    hourly = serve_hourly(spark, gen1)
+    t1, t2 = "2024-01-10 00:00:00", "2024-01-20 00:00:00"
+    return (
+        hourly.where((F.col("hour") >= F.lit(t1).cast("timestamp"))
+                     & (F.col("hour") < F.lit(t2).cast("timestamp")))
+        .groupBy("event_type")
+        .agg(F.sum("n_events").alias("events"),
+             F.round(F.sum("sum_value"), 4).cast("double").alias("total_value"))
+    )
+
+
+@register(
     "stream_lambda_merged_wordcount",
     oracle=_WC_SQL,
     description="lambda merged view: batch word-count view + speed-layer "

@@ -285,7 +285,7 @@ def test_plan_audit_covers_every_batch_query(reg):
     path = os.path.join(os.path.dirname(__file__), "..", "PLANAUDIT.md")
     with open(path) as f:
         text = f.read()
-    audited = set(re.findall(r"^\| (\w+) \|", text, flags=re.M)) - {"query"}
+    audited = set(re.findall(r"^\| (\w+) \|", text, flags=re.M)) - {"query", "scale"}
     batch = {n for n, spec in reg.items() if "streaming" not in spec.tags}
     stream = {n for n, spec in reg.items() if "streaming" in spec.tags}
     missing = sorted(batch - audited)
@@ -353,3 +353,21 @@ def test_shuffle_audit_metric_extraction(spark, reg):
     r2 = sa.measure(spark, reg["q2_filter_project"].builder, SF)
     assert r2["scanned"] > 0, r2
     assert r2["shuffled"] == 0 and r2["exchanges"] == 0, r2
+
+
+def test_ivf_persisted_index_serve_uses_dynamic_partition_pruning(spark):
+    """ann_ivf_index_persist stores the corpus cell-clustered and joins
+    the broadcast probe set on the PARTITION column: the index scan
+    must carry a dynamicpruning PartitionFilter so a serve reads only
+    the probed cells' files (probes/C of the corpus) — the on-disk
+    twin of the in-query variant's probes/C memory scan."""
+    from full_stack_big_data_spark.operators.registry import load_all
+
+    reg = load_all()
+    df = reg["ann_ivf_index_persist"].builder(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    idx_scans = [l for l in plan.splitlines()
+                 if "fsbd_ivf_index" in l and "FileScan" in l]
+    assert idx_scans, "index scan not found in plan"
+    assert any("dynamicpruning" in l and "PartitionFilters" in l
+               for l in idx_scans), idx_scans[0][:500]

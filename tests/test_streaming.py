@@ -374,3 +374,37 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # the straggler was counted as a watermark drop, not merged
     assert emitted == {("10:00", "a"): 2}, emitted
     assert dropped == 1, [p["stateOperators"] for p in q.recentProgress]
+
+
+def test_rollup_compaction_preserves_serving_and_bounds_files(spark, tmp_path):
+    """compact_rollup (r7): folding the batch-keyed partial dirs into
+    one generation must (a) leave the served rollup bit-identical and
+    (b) actually bound the small-file count — the store's real scale
+    limit at one dir per micro-batch."""
+    import glob
+    import os
+
+    from full_stack_big_data_spark.streaming.core import stream_table
+    from full_stack_big_data_spark.streaming.rollup import (
+        compact_rollup, maintain_hourly_rollup, serve_hourly)
+    from conftest import SF_SMOKE
+
+    ev = spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet"))
+    src = stream_table(spark, os.path.join(SF_SMOKE, "events.parquet"), ev)
+    store, gen1 = str(tmp_path / "store"), str(tmp_path / "gen1")
+    maintain_hourly_rollup(src, store, str(tmp_path / "ckp"))
+    compact_rollup(spark, store, gen1)
+
+    def canon(df):
+        return sorted(map(repr, df.collect()))
+
+    assert canon(serve_hourly(spark, gen1)) == canon(serve_hourly(spark, store))
+
+    def parquet_files(root):
+        return [p for p in glob.glob(f"{root}/**/*.parquet", recursive=True)]
+
+    # one generation dir vs one dir per micro-batch
+    n_store, n_gen = len(parquet_files(store)), len(parquet_files(gen1))
+    batch_dirs = len(glob.glob(f"{store}/batch_id=*"))
+    assert batch_dirs >= 1 and n_gen <= n_store
+    assert len(glob.glob(f"{gen1}/batch_id=*")) == 0
