@@ -601,6 +601,63 @@ def ann_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivf_index_persist",
+    oracle=_ivf_scaled_oracle(),
+    description=f"persisted IVF index lifecycle: cell-clustered corpus "
+                f"(embedding stored WITH its cell, {IVF_CELLS_WIDE} "
+                f"partitions) written to parquet, queries served FROM the "
+                f"on-disk index — same oracle as ann_ivf_scaled, so the "
+                f"hash proves persisted == in-query",
+    tags=("similarity", "ann", "ivf", "storage"),
+)
+def ann_ivf_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_index_persist``'s pattern applied to the scaled IVF: a
+    deployment assigns the corpus to cells once per dump and stores the
+    VECTORS cell-clustered — that data locality is the actual point of
+    IVF (a probe reads only its cells' files; the SRP index stores ids
+    and joins vectors back, IVF stores the vectors in the index). This
+    entry runs the full lifecycle: assign with the corpus-scaled sign
+    codebook, write parquet partitioned by cell, read back, serve the
+    query batch from the on-disk index. Reusing ``ann_ivf_scaled``'s
+    oracle makes the driver hash a round-trip proof.
+
+    Scale: the write is one map-side pass (assignment is the Arrow UDF,
+    no shuffle before the partitioned write); serving joins the
+    broadcast probe set against the index on the PARTITION column, so
+    dynamic partition pruning limits the scan to probed cells —
+    probes/C of the corpus read from disk, the same fraction the
+    in-query variant scans from memory (plan pinned in
+    tests/test_plans.py).
+    """
+    from ..engine.scratch import scratch_dir
+
+    e = Catalog(spark, sf_dir).embeddings
+    corpus = (ivf_cells_scaled(e, probes=1)
+              .select("vec_id", "embedding", F.col("cells")[0].alias("cell")))
+    path = scratch_dir("fsbd_ivf_index_")
+    corpus.write.mode("overwrite").partitionBy("cell").parquet(path)
+    index = spark.read.parquet(path)
+
+    q = (ivf_cells_scaled(e.where(F.col("vec_id") < N_QUERIES),
+                          probes=IVF_PROBES_WIDE)
+         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+                 F.explode("cells").alias("cell")))
+    cand = (
+        F.broadcast(q).join(index, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "embedding")
+    )
+    scored = cand.select("query_id", "neighbor_id",
+                         cosine_sim(F.col("embedding"), F.col("qv")).alias("cos"))
+    return (
+        grouped_topk(scored, ["query_id"],
+                     [F.desc("cos"), F.asc("neighbor_id")],
+                     TOP_K, F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
 # Broadcast path is used while the corpus parquet fits well under driver/
 # executor memory as a dense float64 matrix (bytes on disk ≈ bytes as
 # float32; ×2 for the widen). 256 MiB of parquet ≈ 1 M vectors at dim 64
