@@ -71,6 +71,10 @@ PROBES = [
     # item 2 — last fixture-pinned index constant)
     ("ann_ivf_scaled", "linear",
      "C ≈ N/64 sign codebook: occupancy, and so probe scan, flat"),
+    ("ann_ivf_index_persist", "linear",
+     "partitioned index write is map-side; serve is DPP-pruned to probes/C"),
+    ("multimodal_decode_dispatch", "linear",
+     "two map-only Arrow passes, zero exchanges"),
 ]
 
 
