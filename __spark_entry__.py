@@ -157,11 +157,14 @@ def _changed_query_names(reg) -> list[str]:
             return False
 
     changed_files = {f for f in changed_files if not _code_identical(f)}
-    # Diagnostics-only modules (consumed by scripts/tests, never by a
-    # builder): a change here cannot alter query results, so it must
-    # not trip the unreached-engine-change → "everything changed"
-    # fallback below.
-    changed_files -= {os.path.normpath("full_stack_big_data_spark/streaming/audit.py")}
+    # Diagnostics/harness-only modules (consumed by scripts/tests or by
+    # THIS ordering logic itself, never by a builder): a change here
+    # cannot alter query results, so it must not trip the
+    # unreached-engine-change → "everything changed" fallback below.
+    changed_files -= {
+        os.path.normpath("full_stack_big_data_spark/streaming/audit.py"),
+        os.path.normpath("full_stack_big_data_spark/engine/changedet.py"),
+    }
     if not changed_files:
         return []
 
