@@ -304,15 +304,15 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash near-dup.
 # ---------------------------------------------------------------------------
 
-def _simhash_sig_sql() -> str:
-    """Per-doc 32-bit simhash from shingle hex64 hashes (DuckDB)."""
+def _simhash_sig_sql(bits: int = SIMHASH_BITS) -> str:
+    """Per-doc ``bits``-wide simhash from shingle hex64 hashes (DuckDB)."""
     h = "('0x' || substring(md5(g), 1, 15))::BIGINT"
     bit_sums = ",\n         ".join(
         f"sum(CASE WHEN ({h} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
-        for j in range(SIMHASH_BITS)
+        for j in range(bits)
     )
     sig = " + ".join(
-        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
     )
     return f"""
 sig AS (
@@ -323,8 +323,8 @@ sig AS (
 )"""
 
 
-def _simhash_oracle() -> str:
-    # Oracle uses brute-force all-pairs: nibble banding is lossless for
+def _simhash_oracle(bits: int = SIMHASH_BITS) -> str:
+    # Oracle uses brute-force all-pairs: the banding is lossless for
     # hamming ≤ 4, so the banded Spark plan must match this exactly.
     return f"""
 WITH sh AS (
@@ -332,7 +332,7 @@ WITH sh AS (
   WHERE len({tokens_sql('text')}) >= {SHINGLE_N}
 ), ex AS (
   SELECT doc_id, unnest(s) AS g FROM sh
-), {_simhash_sig_sql()}
+), {_simhash_sig_sql(bits)}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -353,24 +353,78 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # strictly more than half the shingle hashes have bit j set. The old
     # explode → groupBy(doc_id, 32 sums) shuffled the whole exploded
     # shingle table; this shuffles nothing.
-    hashed = (_shingle_sets(spark, sf_dir)
-              .select("doc_id", F.transform("s", lambda g: hex64(g)).alias("h")))
+    #
+    # Blocking: 8 nibble bands; pigeonhole-complete for hamming ≤ 4, so
+    # no candidate the brute-force scan would keep is ever lost. The
+    # 4-bit band width is a FIXTURE constant (16 buckets/band →
+    # occupancy N/16, quadratic in N): `dedup_simhash_scaled` below is
+    # the corpus-sized operating point.
+    return simhash_pairs(_shingle_sets(spark, sf_dir),
+                         bits=SIMHASH_BITS, band_bits=4)
+
+
+SIMHASH_BANDS_SCALED = HAMMING_MAX + 1   # pigeonhole minimum: 5 bands
+SIMHASH_BAND_BITS_SCALED = 12            # 2^12 buckets/band ≈ N/5 at N=20k
+SIMHASH_BITS_SCALED = SIMHASH_BANDS_SCALED * SIMHASH_BAND_BITS_SCALED  # 60
+
+
+@register(
+    "dedup_simhash_scaled",
+    oracle=_simhash_oracle(bits=SIMHASH_BITS_SCALED),
+    description=f"SimHash at the corpus-scaled operating point: "
+                f"{SIMHASH_BITS_SCALED}-bit signature, the pigeonhole-"
+                f"minimum {SIMHASH_BANDS_SCALED} bands × "
+                f"{SIMHASH_BAND_BITS_SCALED} bits (4096 buckets/band), "
+                f"hamming≤{HAMMING_MAX}, oracle-hashed",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_simhash``'s deployment operating point — the same
+    graduation the SRP width and IVF cells got after the sf1.0 probes
+    (rounds 6-7): the fixture's 4-bit bands give a FIXED 16-bucket
+    space per band, so per-band occupancy is N/16 and the band
+    self-join is Θ(N²/16) — quadratic no matter the band count. Two
+    knobs fix it together: band WIDTH grows with log₂(N) (12 bits →
+    4096 buckets, occupancy N/4096), and the band COUNT drops to the
+    pigeonhole minimum d+1 = 5 (d bit-flips corrupt at most d of 5
+    disjoint bands, so one band always survives intact — lossless),
+    which also cuts the explode fan-out from 8 rows/doc to 5. The
+    signature widens to 5×12 = 60 bits, the full hex64 hash width.
+    Semantics note (the documented trade, as with
+    ``embedding_neardup_banded_scaled``): hamming ≤ 4 over 60 bits is
+    a FINER near-dup criterion than over 32 — right for dedup at
+    corpus scale, where only genuinely close signatures should pair.
+    The oracle stays brute-force all-pairs, so the driver hash proves
+    the wider banding lossless, not just self-consistent."""
+    return simhash_pairs(_shingle_sets(spark, sf_dir),
+                         bits=SIMHASH_BITS_SCALED,
+                         band_bits=SIMHASH_BAND_BITS_SCALED)
+
+
+def simhash_pairs(sh: DataFrame, bits: int, band_bits: int) -> DataFrame:
+    """Parametric SimHash near-dup core: map-side ``bits``-wide
+    signature from the shingle arrays, disjoint ``band_bits``-wide
+    banding (``bits`` must divide evenly), band-bucket self-join,
+    exact hamming verify. Lossless for hamming ≤ bands-1."""
+    assert bits % band_bits == 0, (bits, band_bits)
+    hashed = sh.select(
+        "doc_id", F.transform("s", lambda g: hex64(g)).alias("h"))
     ones = [F.size(F.filter("h", lambda x: F.shiftright(x, j).bitwiseAND(1) == 1))
-            for j in range(SIMHASH_BITS)]
+            for j in range(bits)]
     sig_expr = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(ones[j] * 2 > F.size("h"), F.lit(1 << j)).otherwise(0)
+    for j in range(bits):
+        term = F.when(ones[j] * 2 > F.size("h"), F.lit(1 << j)).otherwise(F.lit(0))
         sig_expr = term if sig_expr is None else sig_expr + term
     sig = hashed.select("doc_id", sig_expr.cast("bigint").alias("simhash"))
 
-    # Blocking: 8 nibble bands; pigeonhole-complete for hamming ≤ 4, so
-    # no candidate the brute-force scan would keep is ever lost.
+    mask = (1 << band_bits) - 1
     bands = sig.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(bnd).alias("band"),
-                     F.shiftright("simhash", 4 * bnd).bitwiseAND(15).alias("nib"))
-            for bnd in range(SIMHASH_BITS // 4)
+                     F.shiftright("simhash", band_bits * bnd)
+                     .bitwiseAND(mask).alias("nib"))
+            for bnd in range(bits // band_bits)
         ])).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.nib")
 

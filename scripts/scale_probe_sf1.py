@@ -75,6 +75,8 @@ PROBES = [
      "partitioned index write is map-side; serve is DPP-pruned to probes/C"),
     ("multimodal_decode_dispatch", "linear",
      "two map-only Arrow passes, zero exchanges"),
+    ("dedup_simhash_scaled", "output",
+     "12-bit bands: occupancy N/4096, candidates ∝ near-pairs"),
 ]
 
 
