@@ -38,10 +38,75 @@ NAMES = ["stream_dedup_watermarked", "stream_stateful_user_stats",
          "stream_cdc_upsert"]
 
 
+def eviction_probe(spark, col: ProgressCollector, label: str, sf: str,
+                   n_files: int = 10, horizon: str = "2 days") -> tuple:
+    """Measure watermark EVICTION at scale — the registered
+    ``stream_dedup_watermarked`` uses a horizon covering the whole
+    30-day replay (so its drain never evicts, by design); here the
+    same operator runs with a short horizon over ts-ORDERED staged
+    files (one 3-day chunk per file, one file per micro-batch), so the
+    watermark sweeps the span and key state ages out mid-stream. The
+    operating claim: peak/final state ∝ keys per horizon, far below
+    the total key universe, with eviction doing the bounding."""
+    from pyspark.sql import functions as F
+
+    from full_stack_big_data_spark.engine.scratch import scratch_dir
+
+    ev = Catalog(spark, sf).events
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    staged = scratch_dir("fsbd_evict_stage_")
+    span = (hi - lo).total_seconds() or 1.0
+    for i in range(n_files):  # sequential writes → mtime order == ts order
+        frac_lo = F.lit(lo) + F.expr(f"INTERVAL {int(span * i / n_files)} SECONDS")
+        frac_hi = F.lit(lo) + F.expr(f"INTERVAL {int(span * (i + 1) / n_files)} SECONDS")
+        chunk = ev.where((F.col("ts") >= frac_lo)
+                         & ((F.col("ts") < frac_hi) | F.lit(i == n_files - 1)))
+        chunk.coalesce(1).write.mode("append").parquet(staged)
+
+    col.reset()
+    sdf = (spark.readStream.schema(ev.schema)
+           .option("maxFilesPerTrigger", 1).parquet(staged)
+           .select("user_id", "event_type", "ts")
+           .withWatermark("ts", horizon)
+           .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+           .select("user_id", "event_type"))
+    from full_stack_big_data_spark.streaming.core import run_to_completion
+    out_rows = run_to_completion(sdf, output_mode="append").count()
+    if not col.drain(timeout=180):
+        return (label, "PARTIAL FEED", 0, 0, 0, 0, 0, 0)
+    s = summarize(col.progress)
+    (op,) = s["state_operators"]
+    pairs = ev.select("user_id", "event_type").distinct().count()
+    return (label, s["n_batches"], s["input_rows"], out_rows, pairs,
+            op["final_state_rows"], op["rows_removed"],
+            op["peak_state_bytes"] // 1024)
+
+
 def main() -> int:
     if not os.path.isdir(SCALES[1][1]):
         print("missing sf1.0: run scripts/make_sf1.py first")
         return 2
+    if "--eviction" in sys.argv:
+        spark = get_spark(app_name="fsbd-eviction-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        col = ProgressCollector()
+        spark.streams.addListener(col)
+        print("| scale | batches | input rows | out rows | distinct pairs | "
+              "final state | evicted | peak KiB |")
+        print("|---|---|---|---|---|---|---|---|")
+        bad = []
+        try:
+            for label, sf in SCALES:
+                r = eviction_probe(spark, col, label, sf)
+                print("| " + " | ".join(str(x) for x in r) + " |", flush=True)
+                if r[1] == "PARTIAL FEED" or r[6] == 0 or not r[5] < r[4]:
+                    bad.append(label)
+        finally:
+            spark.streams.removeListener(col)
+        print(f"\nEVICTION {'OK' if not bad else 'FAIL'}: "
+              f"{bad or 'state bounded by horizon, eviction active at both scales'}")
+        spark.stop()
+        return 1 if bad else 0
     spark = get_spark(app_name="fsbd-stream-state-probe")
     spark.sparkContext.setLogLevel("ERROR")
     reg = load_all()
