@@ -161,7 +161,12 @@ def _changed_query_names(reg) -> list[str]:
     # THIS ordering logic itself, never by a builder): a change here
     # cannot alter query results, so it must not trip the
     # unreached-engine-change → "everything changed" fallback below.
-    changed_files -= {
+    # NOT subtracted here: the exclusion is applied only at the fallback
+    # check AND only for files absent from the builders' import closure,
+    # so it self-invalidates — if a builder ever starts importing one of
+    # these, its changes mark dependents through the dependency walk and
+    # the exclusion becomes a no-op (r7 ADVICE).
+    _DIAG_ONLY = {
         os.path.normpath("full_stack_big_data_spark/streaming/audit.py"),
         os.path.normpath("full_stack_big_data_spark/engine/changedet.py"),
     }
@@ -241,7 +246,11 @@ def _changed_query_names(reg) -> list[str]:
             for n in by_file[f]:
                 cand_roots[n] = (f.replace(os.sep, "/"),
                                  inspect.unwrap(reg[n].builder).__name__)
-    if changed_files - reachable:  # unreached engine change → all changed
+    # Unreached engine change → all changed, EXCEPT the diagnostics-only
+    # files — and those are forgiven only while genuinely unreachable
+    # (a _DIAG_ONLY file inside `reachable` never reaches this set, its
+    # dependents were already marked above).
+    if changed_files - reachable - _DIAG_ONLY:
         return list(reg)
 
     # File-level candidates over-mark badly (a new operator in a module

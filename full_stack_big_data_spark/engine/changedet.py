@@ -178,6 +178,7 @@ class _Resolver:
         out: set[tuple[str, str, str]] = set()
         seen: set[tuple[str, str]] = set()
         whole_files: set[str] = set()
+        visited_files: set[str] = set()
         stack: list[tuple[str, str]] = [(relfile, root_name)]
         while stack:
             f, name = stack.pop()
@@ -185,6 +186,7 @@ class _Resolver:
                 continue
             seen.add((f, name))
             mod = self.module(f)
+            visited_files.add(f)
             if name in mod.defs:
                 for node in mod.defs[name]:
                     out.add((f, name, ast.dump(node)))
@@ -223,6 +225,17 @@ class _Resolver:
                 # name may come from any of them — depend on them whole
                 whole_files.update(mod.star_deps)
             # else: builtin / external — cannot change in this repo
+        # Anonymous module-level statements (bare calls, dict/list
+        # mutations at import time) run when the module is imported and
+        # can alter the behavior of every name the module exports, so
+        # they belong to the closure of every root whose walk touched
+        # the file. Without this, a module-level side-effect edit would
+        # leave fingerprints unchanged — anti-conservative.
+        for f in visited_files:
+            loose = self.module(f).loose
+            if loose:
+                out.add((f, "<loose>",
+                         "\n".join(ast.dump(s) for s in loose)))
         for f in whole_files:
             out.add((f, "<module>", self.sources[f]))
         return out

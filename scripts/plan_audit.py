@@ -43,6 +43,13 @@ from full_stack_big_data_spark.plans.checks import plan_string
 
 SF = os.environ.get("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.001")
 
+# Hand-maintained measured sections (shuffle_audit.py /
+# stream_state_probe.py output + reviewed prose): carried verbatim
+# across regens by main(), and excluded from check_only()'s coverage
+# parse — a measured-table row is evidence, not an audit row.
+CARRIED_SECTION_MARKERS = ("## Measured shuffle volume",
+                           "## Streaming state at scale")
+
 # Bounded-input SinglePartition exchanges that are fine by construction:
 # the audit flags them; this allowlist carries the reviewed justification.
 SINGLE_PARTITION_OK = {
@@ -229,7 +236,13 @@ def check_only() -> None:
     path = os.path.join(HERE, "PLANAUDIT.md")
     with open(path) as f:
         text = f.read()
-    audited = set(re.findall(r"^\| (\w+) \|", text, flags=re.M)) - {"query", "scale"}
+    # Parse ONLY the generated audit tables: cut the file at the first
+    # hand-maintained carried section (r7 ADVICE — a measured-table row
+    # must not count as audit coverage, and new measured tables must not
+    # require growing a header-word exclusion set).
+    idx = min((text.index(m) for m in CARRIED_SECTION_MARKERS if m in text),
+              default=len(text))
+    audited = set(re.findall(r"^\| (\w+) \|", text[:idx], flags=re.M)) - {"query"}
     live = set(reg)
     missing = sorted(live - audited)
     stale = sorted(audited - live)
@@ -314,8 +327,7 @@ def main() -> None:
     if os.path.exists(out_path):
         with open(out_path) as f:
             old = f.read()
-        idx = min((old.index(m) for m in
-                   ("## Measured shuffle volume", "## Streaming state at scale")
+        idx = min((old.index(m) for m in CARRIED_SECTION_MARKERS
                    if m in old), default=None)
         if idx is not None:
             lines += ["", old[idx:].rstrip()]

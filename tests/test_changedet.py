@@ -92,6 +92,32 @@ def test_function_local_import_resolved():
     assert w["q_beta"] == b["q_beta"]
 
 
+def test_module_level_side_effect_marks_the_files_builders():
+    # A loose statement (bare call / mutation at import time) runs on
+    # import and can change behavior of everything the module defines —
+    # it must participate in the fingerprint of every builder whose
+    # closure touches that file (r7 ADVICE: _Module.loose was dead).
+    base = _edit(BASE, "operators/alpha.py", "SCALE = 10",
+                 "SCALE = 10\nprint('side effect v1')")
+    work = _edit(BASE, "operators/alpha.py", "SCALE = 10",
+                 "SCALE = 10\nprint('side effect v2')")
+    b, w = builder_fingerprints(base, ROOTS), builder_fingerprints(work, ROOTS)
+    assert w["q_alpha"] != b["q_alpha"]
+    assert w["q_beta"] != b["q_beta"]
+    assert w["q_gamma"] == b["q_gamma"]   # gamma never touches alpha.py
+
+
+def test_side_effect_in_imported_module_marks_importers():
+    base = _edit(BASE, "functions/skew.py", "LIMIT = 64",
+                 "LIMIT = 64\nregistry = []\nregistry.append(1)")
+    work = _edit(BASE, "functions/skew.py", "LIMIT = 64",
+                 "LIMIT = 64\nregistry = []\nregistry.append(2)")
+    b, w = builder_fingerprints(base, ROOTS), builder_fingerprints(work, ROOTS)
+    assert w["q_alpha"] != b["q_alpha"]
+    assert w["q_gamma"] != b["q_gamma"]
+    assert w["q_beta"] == b["q_beta"]     # beta has no skew.py dependency
+
+
 def test_missing_builder_is_none():
     roots = dict(ROOTS, q_ghost=(f"{PKG}/operators/alpha.py", "q_ghost"))
     fps = builder_fingerprints(BASE, roots)
