@@ -1,0 +1,154 @@
+"""Fixture-geometry guard (r7 verdict item 3).
+
+Three rounds in a row the same hazard class recurred: a bucket-geometry
+constant pinned for the sf0.01 oracle fixtures (SRP bits r6, IVF cells
+r7, SimHash band width r7) silently went quadratic at corpus scale
+because bucket SPACE was fixed while N grew. Each fix was manual. This
+test makes the lesson structural:
+
+1. every registry entry whose tags mark it as bucket-geometry-bearing
+   (``lsh`` / ``ivf`` / ``simhash``) must be ADJUDICATED below — either
+   a fixture operating point paired with a registered, oracle-gated
+   ``*_scaled`` sibling, a scaled sibling itself, a same-knob reuse of
+   a graduation pinned elsewhere, or a documented unbounded-bucket-space
+   design (MinHash band signatures hash into an effectively unbounded
+   space, so occupancy tracks true duplicates, not N). Registering a
+   NEW banded operator without adjudicating it here fails the test.
+2. every scaled operating point's geometry must DERIVE from the
+   N/occupancy sizing rule (``ivf_cells_for_corpus``-style), not be
+   another magic number: occupancy at the sf1.0 probe corpus must land
+   inside the rule's band.
+"""
+
+from __future__ import annotations
+
+import math
+
+from full_stack_big_data_spark.operators import dedup, similarity
+from full_stack_big_data_spark.operators.registry import load_all
+
+# The sf1.0 probe corpus (scripts/make_sf1.py): 20 k embeddings / 20 k
+# documents — the N every scaled operating point was sized for.
+SF1_N = 20_000
+
+# Bucket-geometry tag set: any registry entry carrying one of these is
+# in the hazard class and must appear in exactly one bucket below.
+GEOMETRY_TAGS = {"lsh", "ivf", "simhash"}
+
+# Fixture operating point → its corpus-scaled, oracle-gated sibling.
+FIXTURE_TO_SCALED = {
+    "dedup_simhash": "dedup_simhash_scaled",
+    "ann_ivf": "ann_ivf_scaled",
+    "embedding_neardup_banded": "embedding_neardup_banded_scaled",
+    "emb_knn_graph": "emb_knn_graph_scaled",
+}
+
+# Scaled operating points (including storage/serving variants that run
+# AT the scaled geometry).
+SCALED = {
+    "dedup_simhash_scaled",
+    "ann_ivf_scaled",
+    "ann_ivf_index_persist",        # persists/serves the scaled IVF index
+    "embedding_neardup_banded_scaled",
+    "emb_knn_graph_scaled",
+}
+
+# Entries that reuse a knob whose graduation is already pinned by a
+# scaled sibling elsewhere — re-registering the same geometry would
+# duplicate the oracle without new coverage.
+SAME_KNOB = {
+    "ann_srp_lsh": "embedding_neardup_banded_scaled",       # SRP_BITS knob
+    "ann_incremental": "embedding_neardup_banded_scaled",   # SRP_BITS knob
+    "ann_index_persist": "embedding_neardup_banded_scaled", # SRP_BITS knob
+}
+
+# Banding into an UNBOUNDED bucket space: MinHash band signatures are
+# hashes of r minhash values — the bucket id domain is the hash range,
+# so per-bucket occupancy tracks true-duplicate density, not N/buckets.
+# No fixed geometry to outgrow (measured flat in the sf1.0 probes).
+UNBOUNDED_BUCKET_SPACE = {
+    "dedup_minhash_lsh",
+    "dedup_incremental",
+    "decontam_fuzzy",   # bipartite join over the same _band_rows md5 buckets
+}
+
+
+def test_every_geometry_tagged_entry_is_adjudicated():
+    reg = load_all()
+    tagged = {n for n, spec in reg.items()
+              if GEOMETRY_TAGS & set(spec.tags)}
+    adjudicated = (set(FIXTURE_TO_SCALED) | SCALED | set(SAME_KNOB)
+                   | UNBOUNDED_BUCKET_SPACE)
+    unadjudicated = tagged - adjudicated
+    assert not unadjudicated, (
+        f"new bucket-geometry operator(s) {sorted(unadjudicated)} — "
+        f"either register an oracle-gated *_scaled sibling sized by the "
+        f"N/occupancy rule and add the pair to FIXTURE_TO_SCALED, or "
+        f"adjudicate the entry into SAME_KNOB / UNBOUNDED_BUCKET_SPACE "
+        f"with the reviewed reason (tests/test_geometry_guard.py)")
+    # No stale adjudications for queries that no longer exist either.
+    ghosts = adjudicated - set(reg) - set(SAME_KNOB.values())
+    assert not ghosts, f"adjudicated but unregistered: {sorted(ghosts)}"
+
+
+def test_fixtures_have_registered_oracle_gated_scaled_siblings():
+    reg = load_all()
+    for fixture, scaled in FIXTURE_TO_SCALED.items():
+        assert fixture in reg, fixture
+        assert scaled in reg, (fixture, scaled)
+        assert reg[scaled].oracle is not None, (
+            f"{scaled} must be oracle-gated — a scaled sibling without "
+            f"a DuckDB twin is a rows-only claim")
+    for name, covered_by in SAME_KNOB.items():
+        assert covered_by in reg and reg[covered_by].oracle is not None, name
+
+
+def test_ivf_cells_derive_from_the_sizing_rule():
+    assert similarity.IVF_CELLS_WIDE == similarity.ivf_cells_for_corpus(SF1_N)
+    # The rule itself: occupancy stays within 2x of target across scales.
+    for n in (SF1_N, 10 * SF1_N, 100 * SF1_N):
+        cells = similarity.ivf_cells_for_corpus(n)
+        occ = n / cells
+        assert occ <= 2 * similarity.IVF_OCCUPANCY, (n, cells, occ)
+
+
+def test_srp_bits_derive_from_the_occupancy_band():
+    # 2^bits ~= N/64: per-bucket occupancy at the probe corpus must sit
+    # inside the rule's band (within 2x either side of the target 64,
+    # log2 rounding can land on either neighbor power of two).
+    occ = SF1_N / (2 ** similarity.SRP_BITS_WIDE)
+    assert 16 <= occ <= 128, occ
+    # And the fixture really is the hazard the sibling graduates from:
+    fixture_occ = SF1_N / (2 ** similarity.SRP_BITS)
+    assert fixture_occ > 128, "fixture no longer a hazard — update guard"
+
+
+def test_simhash_scaled_geometry_derives_from_the_rules():
+    # Band COUNT: the pigeonhole minimum for hamming <= HAMMING_MAX
+    # (any fewer bands loses pairs; any more multiplies candidates).
+    assert dedup.SIMHASH_BANDS_SCALED == dedup.HAMMING_MAX + 1
+    # Band WIDTH: bucket space per band sized to the corpus.
+    occ = SF1_N / (2 ** dedup.SIMHASH_BAND_BITS_SCALED)
+    assert occ <= 64, occ
+    # Signature width is exactly bands x band_bits (disjoint bands).
+    assert (dedup.SIMHASH_BITS_SCALED
+            == dedup.SIMHASH_BANDS_SCALED * dedup.SIMHASH_BAND_BITS_SCALED)
+    # The fixture point stays quadratic by construction — documented,
+    # not silently fixed (its _scaled sibling is the deployment point):
+    # 4-bit nibble bands give 16 buckets/band, occupancy N/16.
+    assert SF1_N / 16 > 128, "fixture no longer a hazard — update guard"
+
+
+def test_minhash_bucket_space_is_genuinely_unbounded():
+    # The UNBOUNDED_BUCKET_SPACE adjudication rests on band signatures
+    # hashing into the full md5 space — if the banding ever switches to
+    # a modular/masked bucket id, per-bucket occupancy becomes N/space
+    # and dedup_minhash_lsh must move to FIXTURE_TO_SCALED.
+    import inspect
+
+    src = inspect.getsource(dedup._band_rows)
+    assert "md5" in src, (
+        "minhash bucket ids no longer full-width hashes — re-adjudicate "
+        "dedup_minhash_lsh in tests/test_geometry_guard.py")
+    assert "%" not in src.split("md5")[-1].split("alias")[0], (
+        "bucket id reduced modulo a fixed space — re-adjudicate")
