@@ -52,6 +52,14 @@ HEADLINE = [
     # operating point and the container-sniffing mixed-media decode
     "ann_ivf_scaled",
     "multimodal_decode_dispatch",
+    # r8 (r7 verdict item 2): the registry's two heaviest plans were
+    # only builder-probed, never driver-benched — regressions there
+    # were invisible to BENCH_r{N}. dedup_simhash is the documented
+    # fixture operating point (Θ(N²/16) candidate join by construction,
+    # operators/dedup.py); its _scaled sibling is the deployment point.
+    "dedup_simhash",
+    "dedup_simhash_scaled",
+    "ann_ivf_index_persist",
 ]
 
 

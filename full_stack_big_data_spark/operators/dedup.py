@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..engine.catalog import Catalog
+from ..functions import observability
 from ..functions.hashing import hex64, hex64_sql
 from ..functions.text import token_ngrams, token_ngrams_sql, tokens, tokens_sql
 from .registry import register
@@ -225,8 +226,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
+    # Candidate-volume sensor (identity unless a probe enabled it).
+    cand = observability.observe_candidates(cand, "minhash_lsh").distinct()
 
     # Verify: join each candidate pair to the compact per-doc arrays and
     # intersect map-side — no shuffle of the exploded shingle table, and
@@ -430,12 +432,21 @@ def simhash_pairs(sh: DataFrame, bits: int, band_bits: int) -> DataFrame:
 
     a, b = bands.alias("a"), bands.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
+    collisions = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.nib") == F.col("b.nib"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
                 hamming.alias("hamming"))
+    )
+    # Candidate-volume sensor (identity unless a probe enabled it):
+    # raw bucket collisions BEFORE the hamming verify is the quantity
+    # the band geometry bounds — the fixture's quadratic was invisible
+    # in wall time at sf1.0, it is not invisible here.
+    collisions = observability.observe_candidates(
+        collisions, f"simhash_bits{bits}_band{band_bits}")
+    return (
+        collisions
         .where(F.col("hamming") <= HAMMING_MAX)
         .distinct()
     )

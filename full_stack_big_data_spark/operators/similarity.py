@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import ArrayType, IntegerType, LongType
 
 from ..engine.catalog import Catalog
+from ..functions import observability
 from ..functions.skew import grouped_topk
 from ..functions.vectors import cosine_sim
 from .registry import register
@@ -947,8 +948,11 @@ def banded_neardup_pairs(src: DataFrame, threshold: float = NEARDUP_COS,
     cand = (buckets.select(F.col("vec_id").alias("vec_a"), "table_id", "bucket")
             .join(buckets, ["table_id", "bucket"])
             .where(F.col("vec_a") < F.col("vec_id"))
-            .select("vec_a", F.col("vec_id").alias("vec_b"))
-            .distinct())
+            .select("vec_a", F.col("vec_id").alias("vec_b")))
+    # Candidate-volume sensor (identity unless a probe enabled it):
+    # raw SRP bucket collisions before the exact-cosine verify.
+    cand = observability.observe_candidates(
+        cand, f"srp_t{tables}_b{bits}").distinct()
     # verify: embeddings join the deduplicated pair set, once per side
     ea = src.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     eb = src.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))

@@ -10,7 +10,7 @@ hot path. At 100 TB these are embarrassingly parallel map-only plans.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..engine.catalog import Catalog
 from ..functions.text import (
@@ -746,6 +746,143 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("cnt").desc(), "pair")
     return (top.withColumn("rank", F.row_number().over(w).cast("bigint"))
             .select("rank", "pair", "cnt"))
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training: the full iterative merge loop.
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 8
+
+
+def _bpe_train_oracle(k: int = BPE_MERGES) -> str:
+    """Unrolled DuckDB twin of the k-merge BPE training loop: per step,
+    pair counts over the current symbol sequences → argmax merge →
+    greedy apply. Symbol sequences are wrapped as ``;sym|`` runs (the
+    token alphabet is [a-z0-9_], so ``;``/``|`` are safe structural
+    chars): the merge pattern ``;L|;R|`` → ``;M|`` consumes both whole
+    tokens with no shared boundary character, so one ``replace()`` pass
+    IS the canonical leftmost non-overlapping greedy merge — the
+    space-separated encoding needs fixpoint iteration because adjacent
+    matches share a separator."""
+    parts = [f"""WITH wc AS (
+  SELECT g AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents, UNNEST({tokens_sql('text')}) AS u(g)
+  GROUP BY g
+), w0 AS (
+  SELECT regexp_replace(word || '_', '(.)', ';\\1|', 'g') AS seq, cnt FROM wc
+)"""]
+    for i in range(1, k + 1):
+        parts.append(f""", p{i} AS (
+  SELECT list_extract(l, u.i) AS lhs, list_extract(l, u.i + 1) AS rhs, cnt
+  FROM (SELECT string_split(trim(seq, ';|'), '|;') AS l, cnt FROM w{i - 1}) t,
+       UNNEST(range(1, len(l))) AS u(i)
+), b{i} AS (
+  SELECT CAST({i} AS BIGINT) AS step, lhs, rhs, lhs || rhs AS merged,
+         CAST(SUM(cnt) AS BIGINT) AS cnt
+  FROM p{i} GROUP BY lhs, rhs
+  ORDER BY cnt DESC, lhs, rhs LIMIT 1
+), w{i} AS (
+  SELECT replace(w.seq, ';' || b.lhs || '|;' || b.rhs || '|',
+                 ';' || b.merged || '|') AS seq, w.cnt AS cnt
+  FROM w{i - 1} w, b{i} b
+)""")
+    union = " UNION ALL ".join(f"SELECT * FROM b{i}" for i in range(1, k + 1))
+    parts.append(f"\nSELECT step, lhs, rhs, merged, cnt FROM ({union})")
+    return "".join(parts)
+
+
+def _bpe_symbols(seq: Column) -> Column:
+    """Wrapped ``;a|;b|...`` sequence → array of symbols."""
+    return F.split(F.btrim(seq, F.lit(";|")), r"\|;")
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_bpe_train_oracle(),
+    description=f"BPE tokenizer training: {BPE_MERGES} iterative merges "
+                f"over the distinct-word table, greedy leftmost apply, "
+                f"merge table out",
+    tags=("text", "vocab", "iterative"),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BPE training loop ``bpe_pair_counts`` is one step of:
+    count corpus-weighted adjacent symbol pairs, merge the argmax pair
+    (ties: count desc, then lexicographic) in every word, repeat. The
+    returned merge table — (step, lhs, rhs, merged, cnt) with cnt the
+    pre-merge pair count — IS the trained tokenizer artifact;
+    ``tokenize_corpus``/``vocab_build`` consume a finished vocabulary
+    downstream.
+
+    Dataflow-only iteration (zero ``collect``): the argmax merge is a
+    1-row DataFrame broadcast-cross-joined back into the word table,
+    with the merge applied by ``F.replace`` over the ``;sym|``-wrapped
+    sequence encoding (one replace pass == canonical greedy
+    leftmost-non-overlapping apply — see ``_bpe_train_oracle``). The
+    same unroll-with-``localCheckpoint`` discipline as ``q_pagerank`` /
+    ``min_label_components``: each round's word table truncates its
+    lineage and frees the superseded round's blocks, so round k's plan
+    is O(1), not O(k).
+
+    Scale (why real BPE trainers are feasible at 100 TB): the corpus is
+    touched EXACTLY ONCE (the word-count shuffle, map-side combinable);
+    all k iterations run over the Heaps-law distinct-word table —
+    pair counting shuffles vocabulary-bounded (lhs, rhs) partials, the
+    merge apply is map-only, and the broadcast is a single row. At a
+    real 30k-merge run the per-iteration driver latency dominates, so a
+    deployment batches non-overlapping merges per sweep; the semantics
+    pinned here (argmax + greedy apply) are the per-merge unit either
+    way."""
+    d = Catalog(spark, sf_dir).documents
+    wc = (d.select(F.explode(tokens("text")).alias("word"))
+          .groupBy("word").agg(F.count("*").cast("bigint").alias("cnt")))
+    words = wc.select(
+        F.regexp_replace(F.concat(F.col("word"), F.lit("_")),
+                         "(.)", ";$1|").alias("seq"),
+        "cnt").localCheckpoint(eager=True)
+
+    from .dedup import _free_local_checkpoint
+
+    merge_steps: list[DataFrame] = []
+    for step in range(1, BPE_MERGES + 1):
+        syms = _bpe_symbols(F.col("seq"))
+        n = F.size(syms)
+        # sequence(1, 0) yields DESCENDING [1, 0], never empty — guard
+        # single-symbol words (fully merged) out of pair generation.
+        idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)) \
+               .otherwise(F.array().cast("array<int>"))
+        pairs = (words.select(syms.alias("s"), "cnt",
+                              F.explode(idx).alias("i"))
+                 .select(F.element_at("s", F.col("i")).alias("lhs"),
+                         F.element_at("s", F.col("i") + 1).alias("rhs"),
+                         "cnt"))
+        best = (pairs.groupBy("lhs", "rhs")
+                .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "lhs", "rhs").limit(1)
+                .select(F.lit(step).cast("bigint").alias("step"),
+                        "lhs", "rhs",
+                        F.concat("lhs", "rhs").alias("merged"), "cnt")
+                .localCheckpoint(eager=True))   # 1 row, read twice
+        merge_steps.append(best)
+
+        pat = F.concat(F.lit(";"), F.col("m_lhs"), F.lit("|;"),
+                       F.col("m_rhs"), F.lit("|"))
+        rep = F.concat(F.lit(";"), F.col("m_lhs"), F.col("m_rhs"),
+                       F.lit("|"))
+        prev = words
+        words = (words.crossJoin(F.broadcast(
+                    best.select(F.col("lhs").alias("m_lhs"),
+                                F.col("rhs").alias("m_rhs"))))
+                 .select(F.replace(F.col("seq"), pat, rep).alias("seq"),
+                         "cnt")
+                 .localCheckpoint(eager=True))
+        _free_local_checkpoint(prev)
+
+    out = merge_steps[0]
+    for b in merge_steps[1:]:
+        out = out.unionAll(b)
+    _free_local_checkpoint(words)   # final round's words: never read
+    return out
 
 
 # ---------------------------------------------------------------------------

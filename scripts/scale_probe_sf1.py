@@ -77,7 +77,30 @@ PROBES = [
      "two map-only Arrow passes, zero exchanges"),
     ("dedup_simhash_scaled", "output",
      "12-bit bands: occupancy N/4096, candidates ∝ near-pairs"),
+    # batch 4 (round 8): the iterative BPE trainer, and the simhash
+    # FIXTURE operating point — probed not to pass but to make its
+    # documented quadratic VISIBLE in the candidates column (r7 verdict
+    # item 4: wall time on a 32-core box absorbed the blowup; the
+    # candidate count cannot hide it).
+    ("bpe_train_merges", "linear",
+     "k merges over the Heaps-law word table; corpus touched once"),
+    ("dedup_simhash", "fixture",
+     "4-bit nibble bands: occupancy N/16 — Θ(N²/16) by construction"),
 ]
+
+# Candidate-volume ceilings for the banded families (r7 verdict item 4):
+# query -> (corpus table, documented cand/N ceiling, violation expected).
+# The ceiling is the design bound the geometry buys: bands x occupancy/2
+# with occupancy held ≈ constant by the N/occupancy sizing rule (SRP's
+# 16 tables x occ 64 -> 512; simhash's 5 bands x occ ~5 and minhash's
+# true-dup-driven buckets sit far below 64). The FIXTURE simhash row is
+# EXPECTED to blow through it — that's the sensor working.
+CAND_CEIL = {
+    "dedup_simhash": ("documents", 64.0, True),
+    "dedup_simhash_scaled": ("documents", 64.0, False),
+    "dedup_minhash_lsh": ("documents", 64.0, False),
+    "embedding_dedup_clusters": ("embeddings", 1024.0, False),
+}
 
 
 def _clusters_scaled_bits(spark, sf):
@@ -159,8 +182,8 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     reg = load_all()
     bad = []
-    print(f"| query | sf0.1 s | sf1.0 s | ratio | pred | rows 0.1->1.0 | 1P delta | verdict |")
-    print(f"|---|---|---|---|---|---|---|---|")
+    print(f"| query | sf0.1 s | sf1.0 s | ratio | pred | rows 0.1->1.0 | 1P delta | cand/N @sf1.0 | verdict |")
+    print(f"|---|---|---|---|---|---|---|---|---|")
     for name in names:
         model = meta.get(name, ("linear", ""))[0]
         b = BUILDER_OVERRIDES.get(name, reg[name].builder)
@@ -168,21 +191,57 @@ def main() -> int:
         t10, r10 = _timed(spark, b, SF10, reps)
         cart1, sp1 = _plan_flags(spark, b, SF01)
         cart10, sp10 = _plan_flags(spark, b, SF10)
+        cand_str, cand_bad = _candidates(spark, b, name)
         pred = 10.0
         if model == "output" and r1:
             pred = max(10.0, r10 / r1)
         ratio = t10 / t1 if t1 > 0 else float("inf")
-        ok = ratio <= pred * 1.2 and cart10 != "CARTESIAN"
+        wall_ok = (model == "fixture"   # documented quadratic: no wall gate
+                   or ratio <= pred * 1.2)
+        ok = wall_ok and cart10 != "CARTESIAN" and not cand_bad
         if not ok:
             bad.append(name)
+        verdict = ("FIXTURE (documented)" if model == "fixture" and ok
+                   else "OK" if ok else "SUPERLINEAR/FLIP")
         sp_delta = "n/a" if min(sp1, sp10) < 0 else str(sp10 - sp1)
         print(f"| {name} | {t1:.2f} | {t10:.2f} | {ratio:.1f}x | {pred:.0f}x "
               f"| {r1}->{r10} | {sp_delta}"
               f"{' ' + cart10 if cart10 == 'CARTESIAN' else ''} "
-              f"| {'OK' if ok else 'SUPERLINEAR/FLIP'} |", flush=True)
+              f"| {cand_str} | {verdict} |", flush=True)
     print(f"\nPROBE FAILS: {bad or 'none'} / {len(names)}")
     spark.stop()
     return 1 if bad else 0
+
+
+def _candidates(spark, builder, name: str) -> tuple[str, bool]:
+    """Run the query once at sf1.0 with the candidate sensor on and
+    grade total raw bucket collisions per corpus row against the
+    family's documented ceiling. Returns (table cell, is_failure):
+    a ceiling breach on a deployment row fails; the fixture row is
+    REQUIRED to breach — a fixture that suddenly passed would mean the
+    corpus or geometry drifted and the guard is stale."""
+    info = CAND_CEIL.get(name)
+    if info is None:
+        return "", False
+    table, ceil, expect_violation = info
+    from full_stack_big_data_spark.engine.catalog import Catalog
+    from full_stack_big_data_spark.functions import observability as obs
+
+    obs.enable()
+    try:
+        builder(spark, SF10).write.format("noop").mode("overwrite").save()
+        total = sum(obs.candidate_counts().values())
+    finally:
+        obs.disable()
+        release_scoped_cache(spark)
+    n = getattr(Catalog(spark, SF10), table).count()
+    ratio = total / max(n, 1)
+    breached = ratio > ceil
+    status = ("BLOWUP (expected)" if breached and expect_violation
+              else "BLOWUP" if breached
+              else "over-ceiling EXPECTED but passed" if expect_violation
+              else "ok")
+    return f"{ratio:.1f} (≤{ceil:.0f}: {status})", breached != expect_violation
 
 
 if __name__ == "__main__":
