@@ -199,3 +199,113 @@ def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (totals.join(F.broadcast(kept_agg), "source")
             .select("source", "n_docs", "n_kept",
                     F.col("chars_kept").cast("bigint").alias("chars_kept")))
+
+
+# ---------------------------------------------------------------------------
+# Temperature-rebalanced domain mixture (UNIMAX-style alpha sampling).
+# ---------------------------------------------------------------------------
+
+TEMP_WEIGHT_Q = 1000   # sqrt(count) quantized to integer thousandths
+TEMP_BUDGET_DEN = 2    # keep budget = total_docs / 2
+
+
+@register(
+    "sample_temperature",
+    oracle=f"""
+WITH c AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+), s AS (
+  SELECT lang, n_docs,
+         CAST(FLOOR(sqrt(n_docs) * {TEMP_WEIGHT_Q}) AS BIGINT) AS weight_x1000
+  FROM c
+), tot AS (
+  SELECT CAST(SUM(weight_x1000) AS BIGINT) AS sw,
+         CAST(SUM(n_docs) AS BIGINT) AS n FROM s
+), t AS (
+  SELECT lang, n_docs, weight_x1000,
+         LEAST(n_docs, ((n // {TEMP_BUDGET_DEN}) * weight_x1000) // sw)
+           AS n_target
+  FROM s, tot
+), ranked AS (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {hex64_sql("'temp|' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+  FROM documents
+), kept AS (
+  SELECT r.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST(SUM(r.n_chars) AS BIGINT) AS chars_kept
+  FROM ranked r JOIN t USING (lang)
+  WHERE r.rn <= t.n_target
+  GROUP BY r.lang
+)
+SELECT t.lang, t.n_docs, t.weight_x1000, t.n_target,
+       COALESCE(kept.n_kept, 0) AS n_kept,
+       COALESCE(kept.chars_kept, 0) AS chars_kept
+FROM t LEFT JOIN kept USING (lang)
+""",
+    description=f"temperature-rebalanced mixture (alpha=0.5): per-language "
+                f"targets ∝ sqrt(count), 1/{TEMP_BUDGET_DEN} corpus budget, "
+                f"content-hash membership",
+    tags=("sampling", "curation", "agg"),
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced language mixture — the multilingual
+    curation step (UNIMAX / alpha-sampling family): keep a corpus-half
+    budget allocated across languages ∝ count^alpha with alpha = 0.5,
+    so the head language (en, ~44% of this corpus) shrinks toward the
+    tail instead of dominating by raw mass. ``sample_domain_cap`` is
+    the hard-cap variant of the same idea over sources; this one
+    reallocates proportionally over the SKEWED dimension (sources are
+    uniform in this corpus; languages are the Zipfian one).
+
+    Determinism across engines, no floats in any comparison: the only
+    irrational step, sqrt(count), is computed ONCE per domain on an
+    exact-in-double integer (IEEE-754 sqrt is correctly rounded in
+    both the JVM and DuckDB's libm) and immediately floor-quantized to
+    integer thousandths; everything after — the weight sum, the
+    target ``(budget * w) DIV sum_w``, the rank cutoff — is pure
+    int64, order-free. (At petabyte doc counts the budget*weight
+    product needs DECIMAL(38); bigint holds to ~9e18, fine at any
+    gate scale and flagged here for the deployment.)
+
+    Membership is content-hash order per lang (stable under layout
+    and appends, the ``sample_*`` family invariant). Scale shape: two
+    domain-sized aggregates, one 1-row scalar broadcast, and a
+    row_number window partitioned by lang — one lang-keyed
+    exchange of (lang, doc_id, n_chars) triples; a Zipfian-hot
+    lang concentrates that window's partition, which AQE skew-split
+    handles for the sort (the downstream aggregate is map-side). The
+    report is domain-sized; per-doc membership never leaves the
+    executors."""
+    d = Catalog(spark, sf_dir).documents
+    c = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_docs"))
+    s = c.withColumn(
+        "weight_x1000",
+        F.floor(F.sqrt(F.col("n_docs")) * TEMP_WEIGHT_Q).cast("bigint"))
+    tot = s.agg(F.sum("weight_x1000").cast("bigint").alias("sw"),
+                F.sum("n_docs").cast("bigint").alias("n"))
+    t = (s.crossJoin(F.broadcast(tot))
+         .withColumn(
+             "n_target",
+             F.least(F.col("n_docs"),
+                     F.expr(f"((n DIV {TEMP_BUDGET_DEN}) * weight_x1000) "
+                            f"DIV sw")))
+         .select("lang", "n_docs", "weight_x1000", "n_target"))
+
+    from pyspark.sql import Window
+    h = hex64(F.concat(F.lit("temp|"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = (d.select("lang", "doc_id", "n_chars")
+              .withColumn("rn", F.row_number().over(w)))
+    kept = (ranked.join(F.broadcast(t.select("lang", "n_target")), "lang")
+            .where(F.col("rn") <= F.col("n_target"))
+            .groupBy("lang")
+            .agg(F.count("*").cast("bigint").alias("n_kept"),
+                 F.sum("n_chars").cast("bigint").alias("chars_kept")))
+    return (t.join(F.broadcast(kept), "lang", "left")
+            .select("lang", "n_docs", "weight_x1000", "n_target",
+                    F.coalesce("n_kept", F.lit(0)).cast("bigint")
+                     .alias("n_kept"),
+                    F.coalesce("chars_kept", F.lit(0)).cast("bigint")
+                     .alias("chars_kept")))

@@ -755,16 +755,20 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 8
 
 
-def _bpe_train_oracle(k: int = BPE_MERGES) -> str:
-    """Unrolled DuckDB twin of the k-merge BPE training loop: per step,
-    pair counts over the current symbol sequences → argmax merge →
-    greedy apply. Symbol sequences are wrapped as ``;sym|`` runs (the
+def _bpe_oracle_prefix(k: int = BPE_MERGES) -> str:
+    """Shared DuckDB CTE prefix for the k-merge BPE training loop: per
+    step, pair counts over the current symbol sequences → argmax merge
+    → greedy apply. Symbol sequences are wrapped as ``;sym|`` runs (the
     token alphabet is [a-z0-9_], so ``;``/``|`` are safe structural
     chars): the merge pattern ``;L|;R|`` → ``;M|`` consumes both whole
     tokens with no shared boundary character, so one ``replace()`` pass
     IS the canonical leftmost non-overlapping greedy merge — the
     space-separated encoding needs fixpoint iteration because adjacent
-    matches share a separator."""
+    matches share a separator. The apply is a LEFT join against the
+    (at most 1-row) argmax so a fully-merged vocabulary — no pairs
+    left anywhere — carries the word table through unchanged instead
+    of annihilating it (matters for ``bpe_tokenize_apply``; the merge
+    table itself just stops growing either way)."""
     parts = [f"""WITH wc AS (
   SELECT g AS word, CAST(COUNT(*) AS BIGINT) AS cnt
   FROM documents, UNNEST({tokens_sql('text')}) AS u(g)
@@ -783,13 +787,18 @@ def _bpe_train_oracle(k: int = BPE_MERGES) -> str:
   FROM p{i} GROUP BY lhs, rhs
   ORDER BY cnt DESC, lhs, rhs LIMIT 1
 ), w{i} AS (
-  SELECT replace(w.seq, ';' || b.lhs || '|;' || b.rhs || '|',
-                 ';' || b.merged || '|') AS seq, w.cnt AS cnt
-  FROM w{i - 1} w, b{i} b
+  SELECT CASE WHEN b.lhs IS NULL THEN w.seq
+         ELSE replace(w.seq, ';' || b.lhs || '|;' || b.rhs || '|',
+                      ';' || b.merged || '|') END AS seq, w.cnt AS cnt
+  FROM w{i - 1} w LEFT JOIN b{i} b ON TRUE
 )""")
-    union = " UNION ALL ".join(f"SELECT * FROM b{i}" for i in range(1, k + 1))
-    parts.append(f"\nSELECT step, lhs, rhs, merged, cnt FROM ({union})")
     return "".join(parts)
+
+
+def _bpe_train_oracle(k: int = BPE_MERGES) -> str:
+    union = " UNION ALL ".join(f"SELECT * FROM b{i}" for i in range(1, k + 1))
+    return (_bpe_oracle_prefix(k)
+            + f"\nSELECT step, lhs, rhs, merged, cnt FROM ({union})")
 
 
 def _bpe_symbols(seq: Column) -> Column:
@@ -833,6 +842,29 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment batches non-overlapping merges per sweep; the semantics
     pinned here (argmax + greedy apply) are the per-merge unit either
     way."""
+    from .dedup import _free_local_checkpoint
+
+    words, merge_steps = _bpe_train(spark, sf_dir)
+    out = merge_steps[0]
+    for b in merge_steps[1:]:
+        out = out.unionAll(b)
+    _free_local_checkpoint(words)   # final word table: never read here
+    return out
+
+
+def _bpe_train(spark: SparkSession,
+               sf_dir: str) -> tuple[DataFrame, list[DataFrame]]:
+    """The k-merge training loop shared by ``bpe_train_merges`` (which
+    returns the merge table) and ``bpe_tokenize_apply`` (which consumes
+    the final word table). Returns (final words — eagerly checkpointed,
+    caller frees it if unused — and the k 1-row merge DataFrames).
+
+    The merge apply is a LEFT 1-row-broadcast join (not a crossJoin) so
+    an exhausted vocabulary — no adjacent pairs anywhere — passes the
+    word table through unchanged instead of annihilating it against an
+    empty argmax (mirrors the oracle's ``LEFT JOIN b{i} ON TRUE``)."""
+    from .dedup import _free_local_checkpoint
+
     d = Catalog(spark, sf_dir).documents
     wc = (d.select(F.explode(tokens("text")).alias("word"))
           .groupBy("word").agg(F.count("*").cast("bigint").alias("cnt")))
@@ -840,8 +872,6 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(F.concat(F.col("word"), F.lit("_")),
                          "(.)", ";$1|").alias("seq"),
         "cnt").localCheckpoint(eager=True)
-
-    from .dedup import _free_local_checkpoint
 
     merge_steps: list[DataFrame] = []
     for step in range(1, BPE_MERGES + 1):
@@ -870,19 +900,51 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep = F.concat(F.lit(";"), F.col("m_lhs"), F.col("m_rhs"),
                        F.lit("|"))
         prev = words
-        words = (words.crossJoin(F.broadcast(
+        words = (words.join(F.broadcast(
                     best.select(F.col("lhs").alias("m_lhs"),
-                                F.col("rhs").alias("m_rhs"))))
-                 .select(F.replace(F.col("seq"), pat, rep).alias("seq"),
+                                F.col("rhs").alias("m_rhs"))),
+                    F.lit(True), "left")
+                 .select(F.when(F.col("m_lhs").isNull(), F.col("seq"))
+                          .otherwise(F.replace(F.col("seq"), pat, rep))
+                          .alias("seq"),
                          "cnt")
                  .localCheckpoint(eager=True))
         _free_local_checkpoint(prev)
+    return words, merge_steps
 
-    out = merge_steps[0]
-    for b in merge_steps[1:]:
-        out = out.unionAll(b)
-    _free_local_checkpoint(words)   # final round's words: never read
-    return out
+
+@register(
+    "bpe_tokenize_apply",
+    oracle=_bpe_oracle_prefix() + """
+SELECT t.tok AS token, CAST(SUM(cnt) AS BIGINT) AS cnt
+FROM (SELECT string_split(trim(seq, ';|'), '|;') AS l, cnt
+      FROM w""" + str(BPE_MERGES) + """),
+     UNNEST(l) AS t(tok)
+GROUP BY t.tok
+""",
+    description=f"apply the {BPE_MERGES} trained BPE merges: corpus "
+                f"token histogram under the trained tokenizer",
+    tags=("text", "vocab", "iterative"),
+)
+def bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumer end of the tokenizer story: tokenize the corpus
+    with the merges ``bpe_train_merges`` learned and return the token
+    histogram — (token, cnt) for every surviving symbol, corpus-
+    weighted. This is the table a vocabulary file is cut from and the
+    input to token-budget accounting; training is inlined as the
+    amortization upper bound (the ``ann_pq_adc_trained`` precedent —
+    a deployment serves the stored merge table instead).
+
+    Scale: identical posture to the trainer (one corpus scan, then
+    Heaps-law-bounded iterations), plus one vocabulary-bounded count
+    shuffle at the end. The histogram is bounded by |alphabet| + k
+    merge symbols + partial-merge residues — tens of rows, not corpus-
+    sized."""
+    words, _steps = _bpe_train(spark, sf_dir)
+    syms = _bpe_symbols(F.col("seq"))
+    return (words.select(F.explode(syms).alias("token"), "cnt")
+            .groupBy("token")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt")))
 
 
 # ---------------------------------------------------------------------------

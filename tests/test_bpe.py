@@ -52,6 +52,35 @@ def test_greedy_apply_over_symbol_runs(spark, tmp_path):
     ]
 
 
+def test_tokenize_apply_survives_exhausted_vocabulary(spark, tmp_path):
+    # "aaaa" fully merges by step 3; steps 4..8 have an EMPTY argmax.
+    # The left-join apply must carry the word table through those empty
+    # rounds — the corpus tokenizes to its single fused symbol, it does
+    # not vanish.
+    d = tmp_path / "corpus"
+    (spark.createDataFrame([(0, "aaaa", "en", "test", 4)],
+                           "doc_id long, text string, lang string, "
+                           "source string, n_chars long")
+     .write.parquet(str(d / "documents.parquet")))
+    reg = load_all()
+    got = sorted(map(tuple,
+                     reg["bpe_tokenize_apply"].builder(spark, str(d)).collect()))
+    assert got == [("aaaa_", 1)]
+
+
+def test_tokenize_histogram_reflects_the_final_merge(spark):
+    # The step-8 merged symbol is created cnt_8 times and nothing after
+    # step 8 can consume it, so the tokenizer's histogram must report
+    # exactly that count for it.
+    reg = load_all()
+    merges = sorted(map(tuple,
+                        reg["bpe_train_merges"].builder(spark, SF).collect()))
+    last = merges[-1]
+    hist = {r.token: r.cnt
+            for r in reg["bpe_tokenize_apply"].builder(spark, SF).collect()}
+    assert hist[last[3]] == last[4]
+
+
 def test_trainer_consistency_on_the_fixture_corpus(spark):
     reg = load_all()
     merges = sorted(map(tuple,

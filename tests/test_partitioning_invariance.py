@@ -29,6 +29,8 @@ QUERIES = [
     "ann_incremental",         # bucket-index join + per-query top-k
     "q_attribution_last_touch",  # as-of carry-forward window
     "sample_domain_cap",       # per-domain quota via salted top-k
+    "sample_temperature",      # integer alpha-weights + hash-rank cutoff
+    "bpe_train_merges",        # argmax-merge loop over the word table
     "vocab_build",             # TakeOrdered top-V + bounded 1P window
     "text_boilerplate_ngrams",  # doc-frequency threshold vs broadcast scalar
     "layout_zorder",           # range-partitioned rewrite + filtered read-back
