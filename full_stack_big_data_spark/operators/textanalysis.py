@@ -806,6 +806,19 @@ def _bpe_symbols(seq: Column) -> Column:
     return F.split(F.btrim(seq, F.lit(";|")), r"\|;")
 
 
+def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct-word table in the wrapped symbol encoding: one
+    corpus scan (map-side-combinable count shuffle), then map-only
+    wrapping — (seq, cnt), seq = ``;c|`` per character of word + ``_``."""
+    d = Catalog(spark, sf_dir).documents
+    wc = (d.select(F.explode(tokens("text")).alias("word"))
+          .groupBy("word").agg(F.count("*").cast("bigint").alias("cnt")))
+    return wc.select(
+        F.regexp_replace(F.concat(F.col("word"), F.lit("_")),
+                         "(.)", ";$1|").alias("seq"),
+        "cnt")
+
+
 @register(
     "bpe_train_merges",
     oracle=_bpe_train_oracle(),
@@ -865,13 +878,7 @@ def _bpe_train(spark: SparkSession,
     empty argmax (mirrors the oracle's ``LEFT JOIN b{i} ON TRUE``)."""
     from .dedup import _free_local_checkpoint
 
-    d = Catalog(spark, sf_dir).documents
-    wc = (d.select(F.explode(tokens("text")).alias("word"))
-          .groupBy("word").agg(F.count("*").cast("bigint").alias("cnt")))
-    words = wc.select(
-        F.regexp_replace(F.concat(F.col("word"), F.lit("_")),
-                         "(.)", ";$1|").alias("seq"),
-        "cnt").localCheckpoint(eager=True)
+    words = _bpe_words(spark, sf_dir).localCheckpoint(eager=True)
 
     merge_steps: list[DataFrame] = []
     for step in range(1, BPE_MERGES + 1):
@@ -943,6 +950,83 @@ def bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     words, _steps = _bpe_train(spark, sf_dir)
     syms = _bpe_symbols(F.col("seq"))
     return (words.select(F.explode(syms).alias("token"), "cnt")
+            .groupBy("token")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt")))
+
+
+_BPE_ARTIFACT_DIRS: dict[str, str] = {}
+
+
+def _bpe_artifact_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the trained merge table for ``sf_dir`` as parquet,
+    ONCE per process; later calls serve from disk. The merge table is a
+    deterministic function of the corpus, so reuse cannot change an
+    answer — it removes the k training rounds from the serve path (the
+    ``_pq_artifact_dir`` economics: merges retrain per corpus dump,
+    tokenization runs forever)."""
+    path = _BPE_ARTIFACT_DIRS.get(sf_dir)
+    if path is not None:
+        return path
+    from ..engine.scratch import scratch_dir
+    from .dedup import _free_local_checkpoint
+
+    path = scratch_dir("fsbd_bpe_merges_")
+    words, steps = _bpe_train(spark, sf_dir)
+    _free_local_checkpoint(words)
+    out = steps[0]
+    for b in steps[1:]:
+        out = out.unionAll(b)
+    out.coalesce(1).write.mode("overwrite").parquet(path)
+    for b in steps:
+        _free_local_checkpoint(b)
+    _BPE_ARTIFACT_DIRS[sf_dir] = path
+    return path
+
+
+@register(
+    "bpe_merges_persist",
+    oracle=_bpe_oracle_prefix() + """
+SELECT t.tok AS token, CAST(SUM(cnt) AS BIGINT) AS cnt
+FROM (SELECT string_split(trim(seq, ';|'), '|;') AS l, cnt
+      FROM w""" + str(BPE_MERGES) + """),
+     UNNEST(l) AS t(tok)
+GROUP BY t.tok
+""",
+    description="persisted-tokenizer lifecycle: merge table stored as "
+                "parquet, tokenization served from disk by ONE fold "
+                "pass — same oracle as bpe_tokenize_apply, so the hash "
+                "proves persisted == trained-inline",
+    tags=("text", "vocab", "storage"),
+)
+def bpe_merges_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployment serve path of the tokenizer: read the STORED
+    merge table and tokenize the corpus with a single ``F.aggregate``
+    fold over the step-ordered merges — one map-only pass applying all
+    k merges per word, no per-merge rounds, no training scan (the
+    trainer's k checkpointed rounds exist to DISCOVER the merges; a
+    tokenizer that already has them needs exactly one pass). Reuses
+    ``bpe_tokenize_apply``'s oracle, so the driver hash is a round-trip
+    proof that the persisted artifact serves bit-identical tokens.
+
+    Scale: the merge table is k rows (collected into one 1-row array —
+    corpus-size-free, the broadcast-codebook pattern); the word table
+    is Heaps-law-bounded; the fold is whole-stage-codegen string work,
+    zero Python. Merge ORDER is load-bearing (BPE merges compose) and
+    enforced by ``array_sort`` over (step, lhs, rhs) structs, not by
+    row order off disk."""
+    merges = spark.read.parquet(_bpe_artifact_dir(spark, sf_dir))
+    marr = (merges
+            .agg(F.array_sort(F.collect_list(
+                F.struct("step", "lhs", "rhs"))).alias("ms")))
+    apply_all = F.aggregate(
+        F.col("ms"), F.col("seq"),
+        lambda acc, m: F.replace(
+            acc,
+            F.concat(F.lit(";"), m["lhs"], F.lit("|;"), m["rhs"], F.lit("|")),
+            F.concat(F.lit(";"), m["lhs"], m["rhs"], F.lit("|"))))
+    words = _bpe_words(spark, sf_dir)
+    return (words.join(F.broadcast(marr), F.lit(True), "left")
+            .select(F.explode(_bpe_symbols(apply_all)).alias("token"), "cnt")
             .groupBy("token")
             .agg(F.sum("cnt").cast("bigint").alias("cnt")))
 

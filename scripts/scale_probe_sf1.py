@@ -86,6 +86,10 @@ PROBES = [
      "k merges over the Heaps-law word table; corpus touched once"),
     ("dedup_simhash", "fixture",
      "4-bit nibble bands: occupancy N/16 — Θ(N²/16) by construction"),
+    ("bpe_merges_persist", "linear",
+     "stored merges + one fold pass: corpus scan + vocab-bounded agg"),
+    ("sample_temperature", "linear",
+     "two lang-sized aggs + one lang-keyed window exchange"),
 ]
 
 # Candidate-volume ceilings for the banded families (r7 verdict item 4):

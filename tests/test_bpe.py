@@ -97,3 +97,22 @@ def test_trainer_consistency_on_the_fixture_corpus(spark):
     top = {r.rank: (r.pair, r.cnt)
            for r in reg["bpe_pair_counts"].builder(spark, SF).collect()}
     assert (merges[0][1] + merges[0][2], merges[0][4]) == top[1]
+
+
+def test_persist_serves_identical_tokens_from_disk(spark):
+    """bpe_merges_persist must (a) scan the stored artifact, not a
+    retraining lineage, and (b) produce exactly bpe_tokenize_apply's
+    histogram — the persisted-artifact round-trip proof."""
+    reg = load_all()
+    inline = sorted(map(tuple,
+                        reg["bpe_tokenize_apply"].builder(spark, SF).collect()))
+    served = sorted(map(tuple,
+                        reg["bpe_merges_persist"].builder(spark, SF).collect()))
+    assert served == inline
+    # the serve plan reads the parquet artifact (train-once economics):
+    # a parquet relation bearing the merge-table schema, reachable only
+    # through the stored artifact ('merged' never appears in the
+    # tokenize path's own lineage)
+    plan = reg["bpe_merges_persist"].builder(spark, SF) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "merged#" in plan and "parquet" in plan
