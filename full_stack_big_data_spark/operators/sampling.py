@@ -272,12 +272,16 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     Membership is content-hash order per lang (stable under layout
     and appends, the ``sample_*`` family invariant). Scale shape: two
     domain-sized aggregates, one 1-row scalar broadcast, and a
-    row_number window partitioned by lang — one lang-keyed
-    exchange of (lang, doc_id, n_chars) triples; a Zipfian-hot
-    lang concentrates that window's partition, which AQE skew-split
-    handles for the sort (the downstream aggregate is map-side). The
-    report is domain-sized; per-doc membership never leaves the
-    executors."""
+    row_number window partitioned by lang — one lang-keyed exchange of
+    slim (lang, doc_id, n_chars) triples. A Zipfian-hot language
+    concentrates its window partition, and AQE skew handling does NOT
+    apply to window exchanges (joins only) — at a pathological head
+    domain a deployment swaps the window for the two-phase exact rank
+    ``corpus_shuffle`` pins (per-(lang, hash-salt) local row_number +
+    broadcast per-salt offsets), trading one extra domain-sized
+    exchange for bounded per-partition sorts; at this corpus's 5-way
+    lang split the single window is the cheaper plan. The report is
+    domain-sized; per-doc membership never leaves the executors."""
     d = Catalog(spark, sf_dir).documents
     c = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_docs"))
     s = c.withColumn(
