@@ -128,6 +128,12 @@ class _Module:
                 self.star_deps.extend(stars)
             elif isinstance(stmt, (ast.If, ast.Try, ast.With, ast.For,
                                    ast.While)):
+                # The compound statement's guard/context expressions run
+                # at import time just like a loose statement — hash them
+                # into <loose> so editing a module-level `if FLAG:` test
+                # or `with open(p):` context expr invalidates
+                # fingerprints (r8 ADVICE; stmt children alone miss it).
+                self.loose.extend(_guard_exprs(stmt))
                 for child in ast.iter_child_nodes(stmt):
                     if isinstance(child, ast.stmt):
                         visit(child)
@@ -136,6 +142,27 @@ class _Module:
 
         for stmt in tree.body:
             visit(stmt)
+
+
+def _guard_exprs(stmt: ast.stmt) -> list[ast.AST]:
+    """The expressions a module-level compound statement evaluates
+    before/around its body: If/While tests, For target+iter, With
+    items, Try handler types. These execute at import time, so they
+    must participate in the <loose> fingerprint."""
+    if isinstance(stmt, (ast.If, ast.While)):
+        return [stmt.test]
+    if isinstance(stmt, (ast.For, ast.AsyncFor)):
+        return [stmt.target, stmt.iter]
+    if isinstance(stmt, (ast.With, ast.AsyncWith)):
+        out: list[ast.AST] = []
+        for item in stmt.items:
+            out.append(item.context_expr)
+            if item.optional_vars is not None:
+                out.append(item.optional_vars)
+        return out
+    if isinstance(stmt, ast.Try):
+        return [h.type for h in stmt.handlers if h.type is not None]
+    return []
 
 
 def _target_names(tgt: ast.expr) -> list[str]:

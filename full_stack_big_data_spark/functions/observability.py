@@ -46,8 +46,12 @@ def enable() -> None:
 
 
 def disable() -> None:
+    """Turn observation off and drop counts — ``candidate_counts()``
+    after ``disable()`` must not serve stale values from the previous
+    enable window (r8 ADVICE)."""
     global _enabled
     _enabled = False
+    _active.clear()
 
 
 def observe_candidates(df: DataFrame, name: str) -> DataFrame:

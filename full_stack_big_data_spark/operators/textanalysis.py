@@ -947,7 +947,14 @@ def bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle at the end. The histogram is bounded by |alphabet| + k
     merge symbols + partial-merge residues — tens of rows, not corpus-
     sized."""
+    from .dedup import _free_local_checkpoint
+
     words, _steps = _bpe_train(spark, sf_dir)
+    # The returned plan depends only on the final checkpointed words
+    # table; free the per-step 1-row merge checkpoints (r8 ADVICE —
+    # localCheckpoint blocks outlive clearCache otherwise).
+    for b in _steps:
+        _free_local_checkpoint(b)
     syms = _bpe_symbols(F.col("seq"))
     return (words.select(F.explode(syms).alias("token"), "cnt")
             .groupBy("token")

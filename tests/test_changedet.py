@@ -118,6 +118,32 @@ def test_side_effect_in_imported_module_marks_importers():
     assert w["q_beta"] == b["q_beta"]     # beta has no skew.py dependency
 
 
+def test_compound_guard_expr_marks_the_files_builders():
+    # A module-level `if FLAG:` test / `with open(p):` context expr
+    # executes at import time just like a loose statement; editing the
+    # GUARD (not the body) must invalidate fingerprints (r8 ADVICE —
+    # only stmt children of compound statements were visited).
+    base = _edit(BASE, "operators/alpha.py", "SCALE = 10",
+                 "SCALE = 10\nif SCALE > 1:\n    pass")
+    work = _edit(BASE, "operators/alpha.py", "SCALE = 10",
+                 "SCALE = 10\nif SCALE > 2:\n    pass")
+    b, w = builder_fingerprints(base, ROOTS), builder_fingerprints(work, ROOTS)
+    assert w["q_alpha"] != b["q_alpha"]
+    assert w["q_beta"] != b["q_beta"]
+    assert w["q_gamma"] == b["q_gamma"]
+
+
+def test_with_context_expr_marks_the_files_builders():
+    base = _edit(BASE, "functions/skew.py", "LIMIT = 64",
+                 "LIMIT = 64\nwith open('/dev/null') as _f:\n    pass")
+    work = _edit(BASE, "functions/skew.py", "LIMIT = 64",
+                 "LIMIT = 64\nwith open('/dev/zero') as _f:\n    pass")
+    b, w = builder_fingerprints(base, ROOTS), builder_fingerprints(work, ROOTS)
+    assert w["q_alpha"] != b["q_alpha"]
+    assert w["q_gamma"] != b["q_gamma"]
+    assert w["q_beta"] == b["q_beta"]
+
+
 def test_missing_builder_is_none():
     roots = dict(ROOTS, q_ghost=(f"{PKG}/operators/alpha.py", "q_ghost"))
     fps = builder_fingerprints(BASE, roots)

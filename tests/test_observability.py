@@ -47,6 +47,19 @@ def test_counts_cover_all_three_banded_paths(spark):
     assert counts["simhash_bits32_band4"] >= verified
 
 
+def test_disable_drops_previous_window_counts(spark):
+    """candidate_counts() after disable() must not serve stale counts
+    from the previous enable window, regardless of test ordering
+    (r8 ADVICE: _active survived disable())."""
+    obs.enable()
+    try:
+        _run(spark, "dedup_simhash")
+        assert obs.candidate_counts()  # sensor did fire in-window
+    finally:
+        obs.disable()
+    assert obs.candidate_counts() == {}
+
+
 def test_enabled_does_not_change_results(spark):
     reg = load_all()
     base = sorted(map(tuple, reg["dedup_simhash"].builder(spark, SF).collect()))
