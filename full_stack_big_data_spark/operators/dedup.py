@@ -405,10 +405,8 @@ def dedup_simhash_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_pairs(sh: DataFrame, bits: int, band_bits: int) -> DataFrame:
     """Parametric SimHash near-dup core: map-side ``bits``-wide
-    signature from the shingle arrays, disjoint ``band_bits``-wide
-    banding (``bits`` must divide evenly), band-bucket self-join,
-    exact hamming verify. Lossless for hamming ≤ bands-1."""
-    assert bits % band_bits == 0, (bits, band_bits)
+    signature from the shingle arrays, then the shared banded-hamming
+    join (:func:`banded_hamming_pairs`). Lossless for hamming ≤ bands-1."""
     hashed = sh.select(
         "doc_id", F.transform("s", lambda g: hex64(g)).alias("h"))
     ones = [F.size(F.filter("h", lambda x: F.shiftright(x, j).bitwiseAND(1) == 1))
@@ -418,20 +416,43 @@ def simhash_pairs(sh: DataFrame, bits: int, band_bits: int) -> DataFrame:
         term = F.when(ones[j] * 2 > F.size("h"), F.lit(1 << j)).otherwise(F.lit(0))
         sig_expr = term if sig_expr is None else sig_expr + term
     sig = hashed.select("doc_id", sig_expr.cast("bigint").alias("simhash"))
+    return banded_hamming_pairs(sig, bits=bits, band_bits=band_bits,
+                                sig_col="simhash",
+                                sensor=f"simhash_bits{bits}_band{band_bits}")
 
+
+def banded_hamming_pairs(sig: DataFrame, bits: int, band_bits: int,
+                         sig_col: str, sensor: str,
+                         hamming_max: int = HAMMING_MAX) -> DataFrame:
+    """Banded hamming-ball self-join over ANY ``bits``-wide integer
+    signature column — the blocking core shared by SimHash
+    (:func:`simhash_pairs`) and the multimodal perceptual hash
+    (``operators.multimodal.multimodal_phash_neardup``): split the
+    signature into ``bits // band_bits`` disjoint bands, self-join on
+    (band, band value), verify exact hamming ≤ ``hamming_max``.
+    Pigeonhole-lossless while hamming_max ≤ bands - 1: d bit flips
+    corrupt at most d bands, so one band always collides intact.
+
+    Returns distinct (doc_a, doc_b, hamming), doc_a < doc_b.
+
+    Scale: the geometry contract is the caller's — bucket space per
+    band is 2^band_bits, so band_bits must grow with log2(N) to hold
+    per-bucket occupancy (and with it the quadratic-in-occupancy
+    bucket self-join) constant; see tests/test_geometry_guard.py."""
+    assert bits % band_bits == 0, (bits, band_bits)
     mask = (1 << band_bits) - 1
     bands = sig.select(
-        "doc_id", "simhash",
+        "doc_id", sig_col,
         F.explode(F.array(*[
             F.struct(F.lit(bnd).alias("band"),
-                     F.shiftright("simhash", band_bits * bnd)
+                     F.shiftright(sig_col, band_bits * bnd)
                      .bitwiseAND(mask).alias("nib"))
             for bnd in range(bits // band_bits)
         ])).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band", "bb.nib")
+    ).select("doc_id", sig_col, "bb.band", "bb.nib")
 
     a, b = bands.alias("a"), bands.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    hamming = F.bit_count(F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}")))
     collisions = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.nib") == F.col("b.nib"))
@@ -443,11 +464,10 @@ def simhash_pairs(sh: DataFrame, bits: int, band_bits: int) -> DataFrame:
     # raw bucket collisions BEFORE the hamming verify is the quantity
     # the band geometry bounds — the fixture's quadratic was invisible
     # in wall time at sf1.0, it is not invisible here.
-    collisions = observability.observe_candidates(
-        collisions, f"simhash_bits{bits}_band{band_bits}")
+    collisions = observability.observe_candidates(collisions, sensor)
     return (
         collisions
-        .where(F.col("hamming") <= HAMMING_MAX)
+        .where(F.col("hamming") <= hamming_max)
         .distinct()
     )
 

@@ -272,17 +272,11 @@ def encode_bmp(data: bytes) -> bytes:
     return header + pixels
 
 
-def decode_bmp(buf: bytes) -> tuple[int, int, int, int]:
-    """REAL BMP decode (no image library): parse the headers, undo the
-    bottom-up padded pixel layout, and return (width, height, bpp,
-    position-weighted checksum). The checksum weights pixel value
-    B + 2G + 3R by 1 + (logical_index % 31), so it is sensitive to row
-    ORDER and padding handling, not just the multiset of bytes.
-
-    Supports what this engine generates (and the overwhelmingly common
-    on-disk case): BI_RGB uncompressed 24-bit, positive height. Anything
-    else raises — a decoder that silently guessed would defeat the
-    parity proof."""
+def _bmp_pixel_array(buf: bytes):
+    """Parse a BI_RGB 24-bit BMP into (width, height, px) where ``px``
+    is the top-down h×w×3 uint8 BGR pixel array — the shared header +
+    layout inversion under :func:`decode_bmp` and :func:`phash_bmp`.
+    Anything but the supported variant raises."""
     import struct
 
     import numpy as np
@@ -299,11 +293,27 @@ def decode_bmp(buf: bytes) -> tuple[int, int, int, int]:
     rowsize = (w * 3 + 3) // 4 * 4
     arr = np.frombuffer(buf, dtype=np.uint8, count=rowsize * h,
                         offset=offset).reshape(h, rowsize)
-    px = arr[:, :w * 3].reshape(h, w, 3)[::-1]   # bottom-up → top-down
+    return w, h, arr[:, :w * 3].reshape(h, w, 3)[::-1]  # bottom-up → top-down
+
+
+def decode_bmp(buf: bytes) -> tuple[int, int, int, int]:
+    """REAL BMP decode (no image library): parse the headers, undo the
+    bottom-up padded pixel layout, and return (width, height, bpp,
+    position-weighted checksum). The checksum weights pixel value
+    B + 2G + 3R by 1 + (logical_index % 31), so it is sensitive to row
+    ORDER and padding handling, not just the multiset of bytes.
+
+    Supports what this engine generates (and the overwhelmingly common
+    on-disk case): BI_RGB uncompressed 24-bit, positive height. Anything
+    else raises — a decoder that silently guessed would defeat the
+    parity proof."""
+    import numpy as np
+
+    w, h, px = _bmp_pixel_array(buf)
     vals = px.astype(np.int64) @ np.array([1, 2, 3], dtype=np.int64)
     weights = 1 + (np.arange(h * w, dtype=np.int64) % 31)
     checksum = int((vals.reshape(-1) * weights).sum() % BMP_CHECK_MOD)
-    return w, h, bpp, checksum
+    return w, h, 24, checksum
 
 
 _BMP_DECODE_SCHEMA = StructType([
@@ -484,6 +494,190 @@ def multimodal_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     return mixed.mapInPandas(decode, _DISPATCH_SCHEMA)
+
+
+# --- perceptual-hash near-duplicate detection -------------------------------
+#
+# The r8 verdict's one genuine capability gap: binary payloads had no
+# dedup story (text has 8 operators, embeddings 5). This closes it with
+# a dHash-style perceptual hash computed over the REAL BMP decode path:
+# render → parse container (header, bottom-up rows, padding) → intensity
+# grid → fixed-size nearest-neighbor downsample (the stride kernel, 2-D)
+# → 60-bit horizontal-gradient hash → the shared banded hamming join
+# (operators.dedup.banded_hamming_pairs) → exact hamming verify. Every
+# step is integer-deterministic, so the whole pipeline — container
+# decode included — is hash-exact against a DuckDB oracle that recomputes
+# the hash straight from the source bytes and brute-forces all pairs.
+
+PHASH_ROWS = 6          # sample-grid rows
+PHASH_COLS = 10         # horizontal gradient comparisons per row
+PHASH_BITS = PHASH_ROWS * PHASH_COLS   # 60-bit signature
+PHASH_HAMMING_MAX = 4   # near-dup ball radius (matches the text SimHash)
+PHASH_BAND_BITS = 6     # FIXTURE point: 10 bands × 64 buckets/band
+PHASH_BAND_BITS_SCALED = 12   # deployment: pigeonhole-min 5 bands × 4096
+
+
+def phash_bmp(buf: bytes) -> int:
+    """60-bit dHash of a decoded BMP: parse the container
+    (:func:`_bmp_pixel_array`), take integer intensity B + 2G + 3R,
+    nearest-neighbor-sample a ``PHASH_ROWS`` × ``PHASH_COLS + 1`` grid
+    (row rr → source row rr·h//R, col cc → source col cc·w//(C+1) — the
+    2-D form of the ``multimodal_resize`` stride kernel), and set bit
+    k = rr·C + cc iff intensity increases left→right between adjacent
+    sampled columns. Gradient comparisons make the hash invariant to
+    global brightness shifts — the standard dHash property — and
+    integer-only, so DuckDB replays it bit-for-bit."""
+    import numpy as np
+
+    w, h, px = _bmp_pixel_array(buf)
+    intensity = px.astype(np.int64) @ np.array([1, 2, 3], dtype=np.int64)
+    rows = [(rr * h) // PHASH_ROWS for rr in range(PHASH_ROWS)]
+    cols = [(cc * w) // (PHASH_COLS + 1) for cc in range(PHASH_COLS + 1)]
+    sample = intensity[np.ix_(rows, cols)]
+    bits = (sample[:, :-1] < sample[:, 1:]).astype(np.int64)
+    k = np.arange(PHASH_BITS, dtype=np.int64).reshape(PHASH_ROWS, PHASH_COLS)
+    return int((bits << k).sum())
+
+
+def _phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, phash) over every non-empty document, through the REAL
+    container path: stage 1 renders each payload to a genuine BMP
+    (``encode_bmp``), stage 2 — which sees ONLY the container bytes —
+    parses it back and hashes the pixels. Both stages are Arrow-batched
+    map-only passes; the signature is 8 bytes/doc, so everything
+    downstream is corpus-size-free of the payload bytes."""
+    docs = Catalog(spark, sf_dir).documents.where(F.length("text") >= 1)
+    src = with_payload(docs)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": pdf["payload"].map(lambda b: encode_bmp(bytes(b))),
+            })
+
+    bmp = src.mapInPandas(encode, StructType([
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+    ]))
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "phash": pd.array(pdf["payload"].map(
+                    lambda b: phash_bmp(bytes(b))), dtype="Int64"),
+            })
+
+    # Persisted: the banded self-join reads the signature table twice,
+    # and unlike the codegen SimHash signature this one costs two
+    # Python/Arrow passes per doc — 8 bytes/doc cached vs re-rendering
+    # every BMP on the build side. Freed at the query boundary
+    # (engine.session.release_scoped_cache).
+    return bmp.mapInPandas(hash_batch, StructType([
+        StructField("doc_id", LongType()),
+        StructField("phash", LongType()),
+    ])).persist()
+
+
+def _phash_oracle() -> str:
+    """Brute-force all-pairs oracle recomputing the 60-bit dHash from
+    the source text bytes: the BMP pixel at (r, c) is a pure function
+    of byte b = text[(r·w + c) mod n] — channels (b, 2b%256, 7b%256),
+    intensity b + 2(2b%256) + 3(7b%256) — so the sampled intensity grid
+    (and the hash) is SQL-expressible. A hash match therefore proves
+    the Spark side's container decode AND sampling AND banding, since
+    the banded plan must reproduce the brute-force pair set exactly."""
+    r, c1 = PHASH_ROWS, PHASH_COLS + 1
+    # j-th grid sample (j = rr*(C+1) + cc): source byte index
+    idx = f"(((j // {c1}) * h // {r}) * w + ((j % {c1}) * w) // {c1}) % n"
+    byte = f"ord(substring(text, CAST({idx} AS BIGINT) + 1, 1))"
+    intensity = (f"({byte} + 2 * (({byte} * 2) % 256)"
+                 f" + 3 * (({byte} * 7) % 256))")
+    left = f"il[CAST((k // {PHASH_COLS}) * {c1} + (k % {PHASH_COLS}) AS BIGINT) + 1]"
+    right = f"il[CAST((k // {PHASH_COLS}) * {c1} + (k % {PHASH_COLS}) AS BIGINT) + 2]"
+    return f"""
+WITH b AS (
+  SELECT doc_id, text, length(text) AS n,
+         length(text) % 13 + 4 AS w, length(text) % 7 + 3 AS h
+  FROM documents WHERE length(text) >= 1
+), samp AS (
+  SELECT doc_id,
+         list_transform(range(0, {r * c1}), j -> {intensity}) AS il
+  FROM b
+), ph AS (
+  SELECT doc_id,
+         CAST(list_aggregate(list_transform(range(0, {PHASH_BITS}), k ->
+              CASE WHEN {left} < {right}
+                   THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER))
+                   ELSE 0 END), 'sum') AS BIGINT) AS phash
+  FROM samp
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.phash, b.phash)) AS hamming
+FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_MAX}
+"""
+
+
+@register(
+    "multimodal_phash_neardup",
+    oracle=_phash_oracle(),
+    description=f"perceptual-hash near-dup over the real BMP decode path: "
+                f"{PHASH_BITS}-bit intensity-gradient dHash, "
+                f"{PHASH_BITS // PHASH_BAND_BITS} bands × {PHASH_BAND_BITS} "
+                f"bits, hamming≤{PHASH_HAMMING_MAX} (fixture banding point)",
+    tags=("multimodal", "dedup", "phash"),
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE pairs — the binary-payload member of the
+    dedup family (text: ``dedup_simhash``; embeddings:
+    ``embedding_neardup_banded``). Pipeline: real BMP render → real
+    container decode → 60-bit dHash → banded hamming join → exact
+    verify; lossless for hamming ≤ bands-1 = 9, well above the ≤ 4
+    ball. The oracle brute-forces all pairs from the source bytes, so
+    a green hash proves decode + sampling + banding end to end.
+
+    This is the FIXTURE banding point (6-bit bands → fixed 64 buckets
+    per band, occupancy N/64 — quadratic in N by construction, the
+    documented hazard class); ``multimodal_phash_neardup_scaled`` is
+    the deployment geometry. Kept because 10 bands exercise the
+    pigeonhole slack and give the candidate sensor its contrast."""
+    from .dedup import banded_hamming_pairs
+
+    return banded_hamming_pairs(
+        _phash_signatures(spark, sf_dir), bits=PHASH_BITS,
+        band_bits=PHASH_BAND_BITS, sig_col="phash",
+        sensor=f"phash_bits{PHASH_BITS}_band{PHASH_BAND_BITS}",
+        hamming_max=PHASH_HAMMING_MAX)
+
+
+@register(
+    "multimodal_phash_neardup_scaled",
+    oracle=_phash_oracle(),
+    description=f"perceptual-hash near-dup at the corpus-scaled banding "
+                f"point: {PHASH_BITS}-bit dHash, pigeonhole-minimum "
+                f"{PHASH_BITS // PHASH_BAND_BITS_SCALED} bands × "
+                f"{PHASH_BAND_BITS_SCALED} bits (4096 buckets/band), "
+                f"hamming≤{PHASH_HAMMING_MAX}",
+    tags=("multimodal", "dedup", "phash"),
+)
+def multimodal_phash_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``multimodal_phash_neardup`` at the deployment banding geometry —
+    the same graduation every banded family got (SRP r6, IVF r7,
+    SimHash r7): band WIDTH grows with log₂(N) (12 bits → 4096 buckets,
+    occupancy N/4096) and band COUNT drops to the pigeonhole minimum
+    hamming_max + 1 = 5, cutting the explode fan-out 2× and keeping the
+    bucket self-join linear in true near-pairs. Same 60-bit signature,
+    same brute-force oracle — the driver hash proves the coarser band
+    layout loses no pair."""
+    from .dedup import banded_hamming_pairs
+
+    return banded_hamming_pairs(
+        _phash_signatures(spark, sf_dir), bits=PHASH_BITS,
+        band_bits=PHASH_BAND_BITS_SCALED, sig_col="phash",
+        sensor=f"phash_bits{PHASH_BITS}_band{PHASH_BAND_BITS_SCALED}",
+        hamming_max=PHASH_HAMMING_MAX)
 
 
 THUMB_BYTES = 64  # target "thumbnail" size for the stub resize

@@ -33,7 +33,7 @@ SF1_N = 20_000
 
 # Bucket-geometry tag set: any registry entry carrying one of these is
 # in the hazard class and must appear in exactly one bucket below.
-GEOMETRY_TAGS = {"lsh", "ivf", "simhash"}
+GEOMETRY_TAGS = {"lsh", "ivf", "simhash", "phash"}
 
 # Fixture operating point → its corpus-scaled, oracle-gated sibling.
 FIXTURE_TO_SCALED = {
@@ -41,6 +41,7 @@ FIXTURE_TO_SCALED = {
     "ann_ivf": "ann_ivf_scaled",
     "embedding_neardup_banded": "embedding_neardup_banded_scaled",
     "emb_knn_graph": "emb_knn_graph_scaled",
+    "multimodal_phash_neardup": "multimodal_phash_neardup_scaled",
 }
 
 # Scaled operating points (including storage/serving variants that run
@@ -49,8 +50,10 @@ SCALED = {
     "dedup_simhash_scaled",
     "ann_ivf_scaled",
     "ann_ivf_index_persist",        # persists/serves the scaled IVF index
+    "ann_ivf_index_append",         # appends/compacts at the same geometry
     "embedding_neardup_banded_scaled",
     "emb_knn_graph_scaled",
+    "multimodal_phash_neardup_scaled",
 }
 
 # Entries that reuse a knob whose graduation is already pinned by a
@@ -137,6 +140,22 @@ def test_simhash_scaled_geometry_derives_from_the_rules():
     # not silently fixed (its _scaled sibling is the deployment point):
     # 4-bit nibble bands give 16 buckets/band, occupancy N/16.
     assert SF1_N / 16 > 128, "fixture no longer a hazard — update guard"
+
+
+def test_phash_scaled_geometry_derives_from_the_rules():
+    from full_stack_big_data_spark.operators import multimodal as mm
+
+    # Band COUNT at the scaled point: pigeonhole minimum for the ball.
+    assert (mm.PHASH_BITS // mm.PHASH_BAND_BITS_SCALED
+            == mm.PHASH_HAMMING_MAX + 1)
+    assert mm.PHASH_BITS % mm.PHASH_BAND_BITS_SCALED == 0
+    # Band WIDTH: bucket space per band sized to the corpus.
+    occ = SF1_N / (2 ** mm.PHASH_BAND_BITS_SCALED)
+    assert occ <= 64, occ
+    # The fixture point stays a documented hazard (6-bit bands → 64
+    # buckets/band, occupancy N/64):
+    assert SF1_N / (2 ** mm.PHASH_BAND_BITS) > 128, (
+        "fixture no longer a hazard — update guard")
 
 
 def test_minhash_bucket_space_is_genuinely_unbounded():

@@ -87,3 +87,76 @@ def test_decode_payload_sniffs_bmp_magic():
     assert decode_payload(spoofed) == _decode_payload_fake(spoofed)
     truncated = b"BM\x01\x02"
     assert decode_payload(truncated) == _decode_payload_fake(truncated)
+
+
+def _phash_expected(text: bytes) -> int:
+    """Independent pure-Python dHash recompute straight from the SOURCE
+    bytes — never touches the BMP container, so agreement with
+    phash_bmp(encode_bmp(text)) proves the numpy path truly inverted
+    the container (header, bottom-up rows, padding) before hashing."""
+    n = len(text)
+    w, h = n % 13 + 4, n % 7 + 3
+
+    def intensity(r: int, c: int) -> int:
+        b = text[(r * w + c) % n]
+        return b + 2 * ((b * 2) % 256) + 3 * ((b * 7) % 256)
+
+    out = 0
+    cols = [(cc * w) // 11 for cc in range(11)]
+    for rr in range(6):
+        r = (rr * h) // 6
+        for cc in range(10):
+            if intensity(r, cols[cc]) < intensity(r, cols[cc + 1]):
+                out |= 1 << (rr * 10 + cc)
+    return out
+
+
+def test_phash_bmp_matches_independent_recompute():
+    from full_stack_big_data_spark.operators.multimodal import (
+        encode_bmp, phash_bmp)
+
+    for text in (b"a", b"hello world", b"the quick brown fox jumps",
+                 bytes(range(256)) * 2, b"x" * 97):
+        assert phash_bmp(encode_bmp(text)) == _phash_expected(text), text
+    # near-identical payloads of equal length: tiny hamming (dHash's
+    # point); here a 1-byte edit leaves the sampled gradient grid intact
+    a = phash_bmp(encode_bmp(b"hello world this is a test"))
+    b = phash_bmp(encode_bmp(b"hello world this is a tesu"))
+    assert bin(a ^ b).count("1") <= 4
+
+
+def test_phash_band_geometries_agree(spark):
+    """Fixture (10 bands x 6 bits) and scaled (5 bands x 12 bits) layouts
+    must return the identical pair set — both are pigeonhole-lossless
+    for hamming <= 4, so any divergence is a banding bug."""
+    from full_stack_big_data_spark.operators.registry import load_all
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, reg["multimodal_phash_neardup"]
+                   .builder(spark, sf).collect()))
+    b = sorted(map(tuple, reg["multimodal_phash_neardup_scaled"]
+                   .builder(spark, sf).collect()))
+    assert a == b
+    assert len(a) > 0
+
+
+def test_phash_candidate_sensor_contrast(spark):
+    """The geometry story in one number, phash edition: at the same
+    corpus the scaled layout (4096 buckets/band, 5 bands) must produce
+    far fewer raw bucket collisions than the fixture (64 buckets/band,
+    10 bands)."""
+    from full_stack_big_data_spark.functions import observability as obs
+    from full_stack_big_data_spark.operators.registry import load_all
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    obs.enable()
+    try:
+        for name in ("multimodal_phash_neardup", "multimodal_phash_neardup_scaled"):
+            reg[name].builder(spark, sf).write.format("noop") \
+                .mode("overwrite").save()
+        counts = obs.candidate_counts()
+    finally:
+        obs.disable()
+    assert counts["phash_bits60_band12"] < counts["phash_bits60_band6"], counts
