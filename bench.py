@@ -60,7 +60,34 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_simhash_scaled",
     "ann_ivf_index_persist",
+    # r9: the multimodal perceptual-hash near-dup pair (fixture +
+    # deployment banding points, mirroring the simhash pair above).
+    "multimodal_phash_neardup",
+    "multimodal_phash_neardup_scaled",
 ]
+
+
+def _prev_round_queries() -> list[str]:
+    """Query keys of the newest committed BENCH_r{N}.json — the
+    previous round's headline set. Summing THIS run's times over that
+    set gives a like-for-like round-over-round subtotal in the artifact
+    itself (r8 verdict item 3), so a grown headline list no longer
+    makes totals incomparable."""
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for fname in os.listdir(here):
+        m = _re.match(r"BENCH_r(\d+)\.json$", fname)
+        if m:
+            rounds.append((int(m.group(1)), fname))
+    if not rounds:
+        return []
+    try:
+        with open(os.path.join(here, max(rounds)[1])) as f:
+            return list(json.load(f).get("queries", {}))
+    except (OSError, ValueError):
+        return []
 
 
 def main() -> None:
@@ -86,20 +113,46 @@ def main() -> None:
     # cost of ~30 s wall (r5 paired-idle evidence in BENCHNOTES.md).
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     times: dict[str, float] = {}
+    components: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         best = float("inf")
+        comp_best: dict[str, float] = {}
         for _ in range(reps):
             # Each rep re-persists any operator-level caches; release
             # between reps so rep N's timing is the cold plan cost, not
             # a read of rep N-1's cache, and the sweep doesn't accumulate.
             release_scoped_cache(spark)
+            if name == "ann_ivf_index_persist":
+                # Timed in its two lifecycle halves (r8 verdict item 3):
+                # the write-dominated index build would otherwise mask a
+                # serve-path regression inside one number. The sum is
+                # still recorded under the query name, so round-over-
+                # round totals stay comparable.
+                from full_stack_big_data_spark.operators.similarity import (
+                    ivf_index_build, ivf_index_serve)
+
+                t0 = time.perf_counter()
+                path = ivf_index_build(spark, SF_DIR)
+                build_s = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                ivf_index_serve(spark, SF_DIR, path) \
+                    .write.format("noop").mode("overwrite").save()
+                serve_s = time.perf_counter() - t0
+                if build_s + serve_s < best:
+                    best = build_s + serve_s
+                    comp_best = {"build_s": round(build_s, 3),
+                                 "serve_s": round(serve_s, 3)}
+                continue
             t0 = time.perf_counter()
             df = reg[name].builder(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
+        if comp_best:
+            components[name] = comp_best
 
     total = round(sum(times.values()), 3)
+    prev_set = [n for n in _prev_round_queries() if n in times]
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
     print(json.dumps({
@@ -107,6 +160,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "components": components,
+        "subtotal_prev_round": round(sum(times[n] for n in prev_set), 3)
+        if prev_set else None,
         "sf": sf,
     }))
     spark.stop()

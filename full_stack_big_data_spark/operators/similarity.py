@@ -631,15 +631,36 @@ def ann_ivf_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-query variant scans from memory (plan pinned in
     tests/test_plans.py).
     """
+    return ivf_index_serve(spark, sf_dir, ivf_index_build(spark, sf_dir))
+
+
+def _ivf_assigned(e: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cell) — the r=1 scaled-codebook assignment,
+    the row layout the persisted index stores (map-side, no shuffle)."""
+    return (ivf_cells_scaled(e, probes=1)
+            .select("vec_id", "embedding", F.col("cells")[0].alias("cell")))
+
+
+def ivf_index_build(spark: SparkSession, sf_dir: str) -> str:
+    """BUILD side of the persisted IVF lifecycle: assign the corpus to
+    cells with the corpus-scaled sign codebook and write it
+    cell-partitioned to parquet. Returns the index path. Split from the
+    serve side (r8 verdict item 3) so the bench can time each — a serve
+    regression must not hide under 5+ s of write."""
     from ..engine.scratch import scratch_dir
 
     e = Catalog(spark, sf_dir).embeddings
-    corpus = (ivf_cells_scaled(e, probes=1)
-              .select("vec_id", "embedding", F.col("cells")[0].alias("cell")))
     path = scratch_dir("fsbd_ivf_index_")
-    corpus.write.mode("overwrite").partitionBy("cell").parquet(path)
-    index = spark.read.parquet(path)
+    _ivf_assigned(e).write.mode("overwrite").partitionBy("cell").parquet(path)
+    return path
 
+
+def ivf_index_serve(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
+    """SERVE side: answer the query batch FROM the on-disk index —
+    broadcast probe set joined on the partition column, so dynamic
+    partition pruning limits the scan to probed cells."""
+    index = spark.read.parquet(path)
+    e = Catalog(spark, sf_dir).embeddings
     q = (ivf_cells_scaled(e.where(F.col("vec_id") < N_QUERIES),
                           probes=IVF_PROBES_WIDE)
          .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
@@ -665,6 +686,68 @@ def ann_ivf_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # — far below the ~10 M hard ceiling, so the switch happens long before
 # the broadcast path degrades. Past it, the same exact kernel runs as a
 # block-pair join with no driver materialization at all.
+IVF_APPEND_MOD = 10   # vec_id % 10 == 0 plays "today's dump" in the append
+
+
+def ivf_index_compact(spark: SparkSession, path: str, out_path: str) -> None:
+    """Per-cell small-file compaction for the partitioned IVF index —
+    the ``sources/sinks.py::compact`` pattern applied to the index
+    layout: every append drops one file per touched cell per dump, and
+    a year of daily dumps is 365 files/cell (one task + one open each
+    at serve time). The rewrite repartitions BY the partition column so
+    each cell's rows land in exactly one task → ONE file per cell in
+    the new generation dir, partition layout (and so dynamic partition
+    pruning at serve) preserved."""
+    idx = spark.read.parquet(path)
+    (idx.repartition("cell")
+     .write.mode("overwrite").partitionBy("cell").parquet(out_path))
+
+
+@register(
+    "ann_ivf_index_append",
+    oracle=_ivf_scaled_oracle(),
+    description="incremental IVF index maintenance: new dump's vectors "
+                "assigned with the stored codebook and APPENDED to the "
+                "cell-partitioned index (no rebuild), then per-cell "
+                "small-file compaction; serve from the appended index — "
+                "same oracle as the from-scratch build, so the hash "
+                "proves append+compact == rebuild",
+    tags=("similarity", "ann", "ivf", "storage"),
+)
+def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE side of index reuse (``ann_incremental`` proved the
+    query side): a 100 TB embedding store re-indexes nothing — each
+    day's dump is assigned with the SAME stored codebook (the sign
+    centroids are a constant of the index, not of the corpus, so old
+    assignments stay valid) and appended into the existing cell
+    directories; periodic compaction folds the accumulated per-dump
+    micro-files back to one file per cell. This entry runs that
+    lifecycle: base index from vec_id % 10 != 0 ("yesterday"), append
+    the % 10 == 0 dump, compact, serve the query batch from the result.
+
+    Reusing ``ann_ivf_scaled``'s full-corpus oracle makes the driver
+    hash the equivalence proof: the appended-then-compacted index must
+    answer EXACTLY like a from-scratch rebuild over the union.
+
+    Scale: both writes are map-side (assignment is the Arrow UDF, the
+    partitioned write shuffles nothing); the append touches only the
+    delta's cells; compaction is one cell-keyed exchange of the index —
+    a maintenance job sized by the index, not the corpus history — and
+    serve keeps the DPP-pruned probes/C scan. File counts pinned in
+    tests/test_similarity.py."""
+    from ..engine.scratch import scratch_dir
+
+    e = Catalog(spark, sf_dir).embeddings
+    path = scratch_dir("fsbd_ivf_append_")
+    _ivf_assigned(e.where(F.col("vec_id") % IVF_APPEND_MOD != 0)) \
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+    _ivf_assigned(e.where(F.col("vec_id") % IVF_APPEND_MOD == 0)) \
+        .write.mode("append").partitionBy("cell").parquet(path)
+    gen2 = scratch_dir("fsbd_ivf_append_gen2_")
+    ivf_index_compact(spark, path, gen2)
+    return ivf_index_serve(spark, sf_dir, gen2)
+
+
 NEARDUP_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
 NEARDUP_BLOCK_ROWS = 65536          # ~32 MiB float64 per block side at dim 64
 _NEARDUP_SCHEMA = "vec_a bigint, vec_b bigint, cosine double"

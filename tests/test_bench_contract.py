@@ -37,3 +37,14 @@ def test_bench_emits_one_json_line():
     assert rec["unit"] == "sec" and rec["value"] > 0
     assert set(rec["queries"]) == set(__import__("bench").HEADLINE)
     assert all(v >= 0 for v in rec["queries"].values())
+    # Self-comparability fields (r8 verdict item 3): the like-for-like
+    # subtotal over the previous round's headline set, and the
+    # build/serve split of the write-dominated index-persist entry.
+    prev = __import__("bench")._prev_round_queries()
+    if prev:
+        assert rec["subtotal_prev_round"] > 0
+        assert rec["subtotal_prev_round"] <= rec["value"] + 1e-6
+    comp = rec["components"]["ann_ivf_index_persist"]
+    assert comp["build_s"] > 0 and comp["serve_s"] > 0
+    assert (abs(comp["build_s"] + comp["serve_s"]
+                - rec["queries"]["ann_ivf_index_persist"]) < 0.02)
