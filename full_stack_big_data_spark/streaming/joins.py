@@ -143,6 +143,141 @@ def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(deduped, output_mode="append")
 
 
+# ---------------------------------------------------------------------------
+# Streaming decontamination against a PERSISTED reference set (r8 verdict
+# item 5): the production ingest shape "drop incoming docs that hit the
+# eval set" — the batch family (operators/decontam.py) flags a static
+# corpus; a pipeline ingesting continuously must make the same decision
+# per micro-batch against the stored gram index.
+# ---------------------------------------------------------------------------
+
+_EVAL_INDEX_DIRS: dict[str, str] = {}
+_DECONTAM_DIRS: dict[str, tuple[str, str]] = {}
+
+
+def _eval_gram_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the eval set's distinct n-grams as parquet ONCE per
+    (process, corpus) — the persisted reference set a long-running
+    ingest checks every batch against (benchmarks change rarely; the
+    stream runs forever). Same memoized-artifact economics as the BPE
+    merge table and the PQ codebooks."""
+    path = _EVAL_INDEX_DIRS.get(sf_dir)
+    if path is not None:
+        return path
+    from ..engine.catalog import Catalog
+    from ..engine.scratch import scratch_dir
+    from ..functions.text import token_ngrams, tokens
+    from ..operators.decontam import DECONTAM_N, EVAL_MOD
+
+    path = scratch_dir("fsbd_eval_gram_index_")
+    d = Catalog(spark, sf_dir).documents.where(F.col("doc_id") % EVAL_MOD == 0)
+    toks = d.select(tokens("text").alias("toks"))
+    (toks.select(F.explode(F.array_distinct(
+        token_ngrams(F.col("toks"), DECONTAM_N))).alias("g"))
+     .distinct()
+     .write.mode("overwrite").parquet(path))
+    _EVAL_INDEX_DIRS[sf_dir] = path
+    return path
+
+
+def _decontam_admit(index_path: str, out_dir: str):
+    """foreachBatch body: within each micro-batch (a plain batch
+    DataFrame, so the full join surface applies) broadcast the stored
+    gram index, left-semi it against the batch's exploded grams to find
+    contaminated doc_ids, anti-join them away, append survivors to the
+    output parquet. The index is read through the BATCH's session —
+    foreachBatch hands a micro-batch clone, and mixing DataFrames
+    across sessions is an error."""
+    def admit(batch: DataFrame, _batch_id: int) -> None:
+        idx = batch.sparkSession.read.parquet(index_path)
+        g = batch.select("doc_id", F.explode("gs").alias("g"))
+        hits = (g.join(F.broadcast(idx), "g", "left_semi")
+                .select("doc_id").distinct())
+        (batch.join(hits, "doc_id", "left_anti")
+         .select("doc_id", F.size("gs").cast("int").alias("n_grams"))
+         .write.mode("append").parquet(out_dir))
+    return admit
+
+
+def _stream_decontam_oracle() -> str:
+    from ..operators.decontam import _NG_SQL, EVAL_MOD
+    return f"""
+WITH g AS (
+  SELECT doc_id, unnest({_NG_SQL}) AS g FROM documents
+), ev AS (
+  SELECT DISTINCT g FROM g WHERE doc_id % {EVAL_MOD} = 0
+), hits AS (
+  SELECT DISTINCT doc_id FROM g JOIN ev USING (g) WHERE doc_id % {EVAL_MOD} <> 0
+)
+SELECT doc_id, CAST(len({_NG_SQL}) AS INTEGER) AS n_grams
+FROM documents
+WHERE doc_id % {EVAL_MOD} <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM hits)
+"""
+
+
+@register(
+    "stream_decontam",
+    oracle=_stream_decontam_oracle(),
+    description="streaming decontamination: per-micro-batch broadcast "
+                "membership check against the persisted eval-gram index; "
+                "admitted docs appended exactly-once (checkpointed "
+                "foreachBatch)",
+    tags=("streaming", "decontam", "broadcast"),
+)
+def stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time decontamination — the streaming member of the
+    decontam family (``decontam_overlap`` is the static-corpus audit):
+    incoming documents are admitted only if NONE of their word n-grams
+    appear in the persisted eval-set gram index; contaminated docs are
+    dropped at the door, before they ever land in the training store.
+
+    Shape: readStream over the document feed → map-side gram arrays →
+    checkpointed ``foreachBatch`` where each micro-batch broadcast-joins
+    the stored index (benchmark-sized — KBs against a TB/day feed) and
+    appends survivors to the output table. Replay is idempotent: the
+    checkpoint records consumed source files, so a restart (or a second
+    drain over an unchanged feed) adds zero batches and zero rows
+    (pinned in tests/test_streaming.py).
+
+    Scale: per-batch cost is one broadcast membership join + a
+    batch-local doc_id dedup — no streaming state store at all (the
+    decision needs nothing remembered across batches), so state is ZERO
+    regardless of stream length; the index refreshes by rewriting the
+    parquet it reads. Oracle replays the same admit rule over the whole
+    corpus in one batch, which equals the union of per-batch decisions
+    exactly because admission is per-doc."""
+    from ..functions.text import token_ngrams, tokens
+    from ..operators.decontam import DECONTAM_N, EVAL_MOD
+
+    tune_session(spark)
+    index_path = _eval_gram_index_dir(spark, sf_dir)
+    dirs = _DECONTAM_DIRS.get(sf_dir)
+    if dirs is None:
+        from ..engine.scratch import scratch_dir
+        dirs = (scratch_dir("fsbd_stream_decontam_out_"),
+                scratch_dir("fsbd_stream_decontam_ckpt_"))
+        _DECONTAM_DIRS[sf_dir] = dirs
+    out_dir, ckpt = dirs
+
+    path = f"{sf_dir}/documents.parquet"
+    template = spark.read.parquet(path)
+    docs = stream_table(spark, path, template)
+    # Project tokens to an attribute before n-gramming (CollapseProject
+    # discipline — a lambda body re-evaluates non-attribute inputs per
+    # element; same shape as operators/decontam.py).
+    gs = (docs.where(F.col("doc_id") % EVAL_MOD != 0)
+          .select("doc_id", tokens("text").alias("toks"))
+          .select("doc_id",
+                  F.array_distinct(
+                      token_ngrams(F.col("toks"), DECONTAM_N)).alias("gs")))
+    q = (gs.writeStream.foreachBatch(_decontam_admit(index_path, out_dir))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 APPROX_DISTINCT_RSD = 0.05
 
 

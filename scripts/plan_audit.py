@@ -153,6 +153,10 @@ STREAM_STATE_BOUNDS = {
                               "corpus-size-free",
     "stream_top_users": "keyed state ∝ distinct users (bounded leaderboard "
                         "per key)",
+    "stream_decontam": "zero store state: per-batch broadcast membership "
+                       "check against the persisted eval-gram index + "
+                       "batch-local doc dedup; nothing remembered across "
+                       "batches (admission is per-doc)",
 }
 
 

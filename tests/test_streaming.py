@@ -408,3 +408,31 @@ def test_rollup_compaction_preserves_serving_and_bounds_files(spark, tmp_path):
     batch_dirs = len(glob.glob(f"{store}/batch_id=*"))
     assert batch_dirs >= 1 and n_gen <= n_store
     assert len(glob.glob(f"{gen1}/batch_id=*")) == 0
+
+
+def test_stream_decontam_replay_is_idempotent(spark):
+    """A second availableNow drain over the unchanged feed must add
+    ZERO rows (the checkpoint records consumed files), and the admitted
+    set must exclude exactly the docs whose grams hit the persisted
+    eval index (r8 verdict item 5)."""
+    from full_stack_big_data_spark.operators.registry import load_all
+
+    reg = load_all()
+    first = sorted(map(tuple,
+                       reg["stream_decontam"].builder(spark, SF_SMOKE).collect()))
+    again = sorted(map(tuple,
+                       reg["stream_decontam"].builder(spark, SF_SMOKE).collect()))
+    assert first == again
+    assert len(first) > 0
+    # Cross-check vs the batch family: admitted ∩ contaminated = ∅ and
+    # admitted ∪ contaminated = all train docs.
+    admitted = {r[0] for r in first}
+    flagged = {r.doc_id for r in
+               reg["decontam_overlap"].builder(spark, SF_SMOKE).collect()}
+    assert not admitted & flagged
+    from full_stack_big_data_spark.engine.catalog import Catalog
+    from full_stack_big_data_spark.operators.decontam import EVAL_MOD
+    train = {r.doc_id for r in Catalog(spark, SF_SMOKE).documents
+             .where(F.col("doc_id") % EVAL_MOD != 0)
+             .select("doc_id").collect()}
+    assert admitted | flagged == train
