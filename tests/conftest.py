@@ -9,6 +9,13 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_T2 = "/root/testdata/sf0.01"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "chaos: sampled oracle parity under shuffle.partitions=3 "
+        "(select with -m chaos; also part of the default suite)")
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(app_name="fsbd-tests", cpus=8, shuffle_partitions=8)
