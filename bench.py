@@ -85,8 +85,11 @@ def _prev_round_queries() -> list[str]:
         return []
     try:
         with open(os.path.join(here, max(rounds)[1])) as f:
-            return list(json.load(f).get("queries", {}))
-    except (OSError, ValueError):
+            rec = json.load(f)
+        # The driver wraps bench's JSON line under "parsed"; accept the
+        # raw line too so a hand-saved artifact works.
+        return list(rec.get("parsed", rec).get("queries", {}))
+    except (OSError, ValueError, AttributeError):
         return []
 
 

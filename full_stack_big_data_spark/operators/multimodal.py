@@ -520,19 +520,33 @@ PHASH_BAND_BITS_SCALED = 12   # deployment: pigeonhole-min 5 bands × 4096
 def phash_bmp(buf: bytes) -> int:
     """60-bit dHash of a decoded BMP: parse the container
     (:func:`_bmp_pixel_array`), take integer intensity B + 2G + 3R,
-    nearest-neighbor-sample a ``PHASH_ROWS`` × ``PHASH_COLS + 1`` grid
-    (row rr → source row rr·h//R, col cc → source col cc·w//(C+1) — the
-    2-D form of the ``multimodal_resize`` stride kernel), and set bit
+    sample a ``PHASH_ROWS`` × ``PHASH_COLS + 1`` grid, and set bit
     k = rr·C + cc iff intensity increases left→right between adjacent
     sampled columns. Gradient comparisons make the hash invariant to
     global brightness shifts — the standard dHash property — and
-    integer-only, so DuckDB replays it bit-for-bit."""
+    integer-only, so DuckDB replays it bit-for-bit.
+
+    Sampling is ADJACENT-DISTINCT: row rr → (rr·h//R + rr) mod h, col
+    cc → (cc·w//(C+1) + cc) mod w — the nearest-neighbor downsample
+    grid plus an index offset. On images at least grid-sized this is
+    the plain spanning grid (the offset skews sample points by < one
+    stride); on images NARROWER than the grid the offset+wrap keeps
+    every adjacent pair of sampled columns a DISTINCT source column,
+    where pure nearest-neighbor would compare a pixel against itself
+    and zero the bit. That degeneracy is not hypothetical: on this
+    corpus's 4-16 × 3-9 px fixtures it collapsed the hash to ~18
+    effective bits (6.7 k distinct values over 50 k docs at the sf1.0
+    probe) and flooded the banded join with content-unrelated
+    collisions. With distinct samples every comparison is an
+    independent pseudo-random bit and the 60-bit space is fully used
+    at any image size."""
     import numpy as np
 
     w, h, px = _bmp_pixel_array(buf)
     intensity = px.astype(np.int64) @ np.array([1, 2, 3], dtype=np.int64)
-    rows = [(rr * h) // PHASH_ROWS for rr in range(PHASH_ROWS)]
-    cols = [(cc * w) // (PHASH_COLS + 1) for cc in range(PHASH_COLS + 1)]
+    rows = [((rr * h) // PHASH_ROWS + rr) % h for rr in range(PHASH_ROWS)]
+    cols = [((cc * w) // (PHASH_COLS + 1) + cc) % w
+            for cc in range(PHASH_COLS + 1)]
     sample = intensity[np.ix_(rows, cols)]
     bits = (sample[:, :-1] < sample[:, 1:]).astype(np.int64)
     k = np.arange(PHASH_BITS, dtype=np.int64).reshape(PHASH_ROWS, PHASH_COLS)
@@ -589,8 +603,11 @@ def _phash_oracle() -> str:
     the Spark side's container decode AND sampling AND banding, since
     the banded plan must reproduce the brute-force pair set exactly."""
     r, c1 = PHASH_ROWS, PHASH_COLS + 1
-    # j-th grid sample (j = rr*(C+1) + cc): source byte index
-    idx = f"(((j // {c1}) * h // {r}) * w + ((j % {c1}) * w) // {c1}) % n"
+    # j-th grid sample (j = rr*(C+1) + cc): adjacent-distinct sampling —
+    # row ((rr*h)//R + rr) % h, col ((cc*w)//(C+1) + cc) % w (see
+    # phash_bmp) — then source byte index (row*w + col) % n.
+    idx = (f"((((j // {c1}) * h // {r} + j // {c1}) % h) * w"
+           f" + ((j % {c1}) * w // {c1} + j % {c1}) % w) % n")
     byte = f"ord(substring(text, CAST({idx} AS BIGINT) + 1, 1))"
     intensity = (f"({byte} + 2 * (({byte} * 2) % 256)"
                  f" + 3 * (({byte} * 7) % 256))")

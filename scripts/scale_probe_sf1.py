@@ -112,10 +112,21 @@ CAND_CEIL = {
     "dedup_simhash_scaled": ("documents", 64.0, False),
     "dedup_minhash_lsh": ("documents", 64.0, False),
     "embedding_dedup_clusters": ("embeddings", 1024.0, False),
-    # phash scaled point: 5 bands x occupancy (20k/4096 ~ 5)/2 ~ 12,
-    # plus the all-band collisions of true duplicate images — 64 is the
-    # same family ceiling the text simhash carries.
-    "multimodal_phash_neardup_scaled": ("documents", 64.0, False),
+    # phash scaled point: output-aware ceiling, the embeddings
+    # precedent (embedding_dedup_clusters, 1024). The sf1.0 corpus is
+    # 10 suffix-digit copies of every document — near-IDENTICAL as
+    # IMAGES (the digit swap barely moves sampled intensities), so
+    # 199,649 of the 256,151 verified pairs are same-base copy pairs,
+    # REAL near-dups of this corpus. Measured decomposition of the
+    # 218.6 cand/N (contiguous bands): ~30 uniform-occupancy floor
+    # (5 bands x 12.2/2; median band-bucket occupancy == uniform),
+    # ~20 true-pair band hits, remainder content-pattern hot values
+    # (token-repetitive text -> monotone/alternating gradient rows;
+    # interleaved banding measured 2x WORSE, see
+    # dedup.banded_hamming_pairs). 512 leaves headroom over the
+    # content term while sitting 7x under the fixture geometry's
+    # occupancy-only floor (10 bands x (50k/64)/2 ~ 3,900).
+    "multimodal_phash_neardup_scaled": ("documents", 512.0, False),
 }
 
 
@@ -215,7 +226,10 @@ def main() -> int:
     print(f"|---|---|---|---|---|---|---|---|---|")
     for name in names:
         model = meta.get(name, ("linear", ""))[0]
-        b = BUILDER_OVERRIDES.get(name, reg[name].builder)
+        # Override names need not exist in the registry (bpe_tokenize_serve
+        # is probe-only) — dict.get's default arg evaluates eagerly.
+        b = (BUILDER_OVERRIDES[name] if name in BUILDER_OVERRIDES
+             else reg[name].builder)
         t1, r1 = _timed(spark, b, SF01, reps)
         t10, r10 = _timed(spark, b, SF10, reps)
         cart1, sp1 = _plan_flags(spark, b, SF01)

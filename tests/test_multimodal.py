@@ -102,9 +102,9 @@ def _phash_expected(text: bytes) -> int:
         return b + 2 * ((b * 2) % 256) + 3 * ((b * 7) % 256)
 
     out = 0
-    cols = [(cc * w) // 11 for cc in range(11)]
+    cols = [((cc * w) // 11 + cc) % w for cc in range(11)]
     for rr in range(6):
-        r = (rr * h) // 6
+        r = ((rr * h) // 6 + rr) % h
         for cc in range(10):
             if intensity(r, cols[cc]) < intensity(r, cols[cc + 1]):
                 out |= 1 << (rr * 10 + cc)
