@@ -697,6 +697,82 @@ def multimodal_phash_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFra
         hamming_max=PHASH_HAMMING_MAX)
 
 
+def _phash_clusters_oracle() -> str:
+    from .dedup import components_oracle
+    return components_oracle(
+        f"SELECT doc_a, doc_b FROM ({_phash_oracle()}) ph")
+
+
+@register(
+    "multimodal_phash_clusters",
+    oracle=_phash_clusters_oracle(),
+    description="image near-dup clusters: min-label connected components "
+                "over the perceptual-hash pairs (scaled banding), "
+                "canonical keeper per cluster",
+    tags=("multimodal", "dedup", "phash", "iterative"),
+)
+def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image twin of ``dedup_clusters`` / ``embedding_dedup_clusters``
+    — transitive near-dup images (a≈b, b≈c) collapse into one cluster
+    with one canonical survivor via the shared min-label propagation
+    loop; the recursive-CTE oracle checks the CLOSURE, not just pairs.
+    Runs at the scaled banding point (the deployment geometry)."""
+    from .dedup import min_label_components
+
+    pairs = (multimodal_phash_neardup_scaled(spark, sf_dir)
+             .select("doc_a", "doc_b"))
+    return min_label_components(pairs)
+
+
+@register(
+    "multimodal_phash_apply",
+    oracle="""
+WITH cl AS ({clusters}),
+drops AS (
+  SELECT doc_id FROM cl WHERE is_canonical = 0
+), surv AS (
+  SELECT d.doc_id, length(d.text) AS n_bytes FROM documents d
+  WHERE length(d.text) >= 1
+    AND d.doc_id NOT IN (SELECT doc_id FROM drops)
+)
+SELECT CAST((SELECT COUNT(*) FROM documents WHERE length(text) >= 1) AS BIGINT)
+         AS n_input,
+       CAST(COUNT(*) AS BIGINT) AS n_survivors,
+       CAST((SELECT COUNT(*) FROM documents WHERE length(text) >= 1) - COUNT(*)
+            AS BIGINT) AS n_dropped,
+       CAST(SUM(doc_id % 1000003) AS BIGINT) AS survivor_id_sum,
+       CAST(SUM(n_bytes) AS BIGINT) AS survivor_bytes
+FROM surv
+""".format(clusters=_phash_clusters_oracle()),
+    description="apply image dedup: drop non-canonical cluster members, "
+                "emit surviving-corpus stats (counts + order-independent "
+                "checksums)",
+    tags=("multimodal", "dedup", "phash"),
+)
+def multimodal_phash_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deletion decision for the image corpus — ``dedup_apply``'s
+    shape on phash clusters: anti-join the payload corpus against
+    non-canonical members, summarize survivors in one oracle-hashed
+    row. The drop list is pairs-derived and tiny → broadcast anti-join,
+    corpus scanned once, never shuffled."""
+    docs = Catalog(spark, sf_dir).documents.where(F.length("text") >= 1)
+    drops = (multimodal_phash_clusters(spark, sf_dir)
+             .where(F.col("is_canonical") == 0).select("doc_id"))
+    surv = docs.join(F.broadcast(drops), "doc_id", "left_anti")
+    stats = surv.agg(
+        F.count("*").alias("n_survivors"),
+        F.sum(F.col("doc_id") % 1000003).alias("survivor_id_sum"),
+        F.sum(F.length("text")).alias("survivor_bytes"),
+    )
+    n_input = docs.agg(F.count("*").alias("n_input"))
+    return (
+        stats.crossJoin(F.broadcast(n_input))
+        .select("n_input", "n_survivors",
+                (F.col("n_input") - F.col("n_survivors")).alias("n_dropped"),
+                "survivor_id_sum", "survivor_bytes")
+    )
+
+
 THUMB_BYTES = 64  # target "thumbnail" size for the stub resize
 
 

@@ -54,6 +54,8 @@ SCALED = {
     "embedding_neardup_banded_scaled",
     "emb_knn_graph_scaled",
     "multimodal_phash_neardup_scaled",
+    "multimodal_phash_clusters",     # components over the scaled pairs
+    "multimodal_phash_apply",        # anti-join application of the same
 }
 
 # Entries that reuse a knob whose graduation is already pinned by a
