@@ -371,3 +371,46 @@ def test_ivf_persisted_index_serve_uses_dynamic_partition_pruning(spark):
     assert idx_scans, "index scan not found in plan"
     assert any("dynamicpruning" in l and "PartitionFilters" in l
                for l in idx_scans), idx_scans[0][:500]
+
+
+def test_phash_signature_stage_is_map_only(spark):
+    """The perceptual-hash signature pipeline (render -> container
+    decode -> 60-bit dHash) must be two chained Arrow passes with ZERO
+    exchanges — the banded self-join downstream is the only shuffle the
+    operator owns, so signature cost stays one corpus scan at any
+    size."""
+    from full_stack_big_data_spark.operators.multimodal import (
+        _phash_signatures)
+
+    plan = plan_string(_phash_signatures(spark, SF), mode="simple")
+    assert "Exchange" not in plan, plan[:1500]
+    assert plan.count("MapInPandas") == 2, plan[:1500]
+
+
+def test_ivf_appended_index_serve_uses_dynamic_partition_pruning(spark):
+    """The appended-and-compacted index generation must serve exactly
+    like the from-scratch one: broadcast probe set joined on the
+    partition column with a dynamicpruning PartitionFilter, so a serve
+    reads only the probed cells' files no matter how many dumps were
+    appended."""
+    from pyspark.sql import functions as F
+    from full_stack_big_data_spark.engine.catalog import Catalog
+    from full_stack_big_data_spark.engine.scratch import scratch_dir
+    from full_stack_big_data_spark.operators.similarity import (
+        IVF_APPEND_MOD, _ivf_assigned, ivf_index_compact, ivf_index_serve)
+
+    e = Catalog(spark, SF).embeddings
+    path = scratch_dir("fsbd_ivf_append_plan_")
+    _ivf_assigned(e.where(F.col("vec_id") % IVF_APPEND_MOD != 0)) \
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+    _ivf_assigned(e.where(F.col("vec_id") % IVF_APPEND_MOD == 0)) \
+        .write.mode("append").partitionBy("cell").parquet(path)
+    gen2 = scratch_dir("fsbd_ivf_append_plan_gen2_")
+    ivf_index_compact(spark, path, gen2)
+    plan = (ivf_index_serve(spark, SF, gen2)
+            ._jdf.queryExecution().executedPlan().toString())
+    idx_scans = [l for l in plan.splitlines()
+                 if "gen2" in l and "FileScan" in l]
+    assert idx_scans, "appended index scan not found in plan"
+    assert any("dynamicpruning" in l and "PartitionFilters" in l
+               for l in idx_scans), idx_scans[0][:500]
