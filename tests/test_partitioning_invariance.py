@@ -56,6 +56,10 @@ QUERIES = [
     "ann_pq_adc_trained",      # trained-artifact fetch + LUT partial sums
     "q_delete_propagation",    # cascading anti-joins + modular checksum
     "q_ewma_daily",            # dyadic-integer banded self-join sums
+    # round 9
+    "multimodal_phash_neardup_scaled",  # Arrow-pass signature + banded hamming join
+    "multimodal_phash_apply",  # component loop + broadcast anti-join checksums
+    "ann_ivf_index_append",    # append + compaction + DPP serve, any layout
 ]
 
 
