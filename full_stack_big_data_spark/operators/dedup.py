@@ -120,7 +120,16 @@ for _ in range(N_HASHES):
 
 def _minhash_oracle(cand_pred: str = "a.doc_id < b.doc_id",
                     head_cols: str = "doc_a, doc_b",
-                    threshold: float = JACCARD_THRESHOLD) -> str:
+                    threshold: float = JACCARD_THRESHOLD,
+                    s_sql: str = _SHINGLES_SQL,
+                    src_filter: str | None = None) -> str:
+    """DuckDB twin of the full MinHash-LSH pipeline. ``s_sql``/
+    ``src_filter`` parameterize the per-doc SET definition so other set
+    families (the multimodal frame-hash sets) replay the same
+    signatures, banding, candidate join, and exact verify over their
+    own elements."""
+    if src_filter is None:
+        src_filter = f"len({tokens_sql('text')}) >= {SHINGLE_N}"
     mh_cols = ",\n         ".join(
         f"min(({_MH_A[i]} * h + {_MH_B[i]}) % {MH_P}) AS mh{i}"
         for i in range(N_HASHES)
@@ -131,8 +140,8 @@ def _minhash_oracle(cand_pred: str = "a.doc_id < b.doc_id",
     )
     return f"""
 WITH sh AS (
-  SELECT doc_id, {_SHINGLES_SQL} AS s FROM documents
-  WHERE len({tokens_sql('text')}) >= {SHINGLE_N}
+  SELECT doc_id, {s_sql} AS s FROM documents
+  WHERE {src_filter}
 ), ex AS (
   SELECT doc_id, unnest(s) AS g FROM sh
 ), mh AS (
@@ -212,8 +221,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The per-doc shingle-set table feeds three consumers (signatures,
     # candidate verify ×2); persisting it runs tokenize+n-gram once. At
     # cluster scale this is the "shingle table" you'd checkpoint anyway.
-    sh = _shingle_sets(spark, sf_dir).persist()
+    return minhash_lsh_pairs(_shingle_sets(spark, sf_dir).persist(),
+                             sensor="minhash_lsh")
 
+
+def minhash_lsh_pairs(sh: DataFrame, sensor: str,
+                      threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """MinHash-LSH near-dup core over ANY (doc_id, s: array<string>)
+    set table — shared by the token-shingle path
+    (:func:`dedup_minhash_lsh`) and the multimodal frame-hash path
+    (``operators.multimodal.multimodal_frame_neardup``): map-side
+    16-hash signatures + banded buckets (:func:`_band_rows`), bucket
+    equi-join candidates, exact jaccard verify on the compact arrays.
+    Callers persist ``sh`` (it feeds signatures + verify ×2)."""
     # Signatures/bands map-side (see _band_rows): zero shuffle — the old
     # explode → groupBy(doc_id) formulation shuffled the entire exploded
     # shingle table (the engine's largest exchange) just to bring each
@@ -228,7 +248,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
     # Candidate-volume sensor (identity unless a probe enabled it).
-    cand = observability.observe_candidates(cand, "minhash_lsh").distinct()
+    cand = observability.observe_candidates(cand, sensor).distinct()
 
     # Verify: join each candidate pair to the compact per-doc arrays and
     # intersect map-side — no shuffle of the exploded shingle table, and
@@ -241,7 +261,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(sa, "doc_a").join(sb, "doc_b")
         .select("doc_a", "doc_b", i.alias("i"),
                 F.size("sa").alias("na"), F.size("sb").alias("nb"))
-        .where(jac >= JACCARD_THRESHOLD)
+        .where(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 

@@ -697,6 +697,69 @@ def multimodal_phash_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFra
         hamming_max=PHASH_HAMMING_MAX)
 
 
+FRAME_JACCARD_THRESHOLD = 0.8
+
+_FRAME_SET_SQL = (
+    f"list_distinct(list_transform("
+    f"range(1, CAST(ceil(length(text) / {FRAME_BYTES}.0) AS BIGINT) + 1), "
+    f"i -> md5(substring(text, CAST((i - 1) * {FRAME_BYTES} AS BIGINT) + 1, "
+    f"{FRAME_BYTES}))))"
+)
+
+
+def _frame_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s) — the distinct set of {FRAME}-byte frame hashes per
+    payload, the video/audio analog of the text shingle table: frame
+    sampling (``frame_rows``) collapsed to a per-doc set, map-side."""
+    d = Catalog(spark, sf_dir).documents.where(F.length("text") >= 1)
+    n_frames = F.ceil(F.length("text") / F.lit(float(FRAME_BYTES))).cast("bigint")
+    frames = F.transform(
+        F.sequence(F.lit(1), n_frames),
+        lambda i: F.md5(F.col("text").substr((i - 1) * FRAME_BYTES + 1,
+                                             F.lit(FRAME_BYTES))))
+    return d.select("doc_id", F.array_distinct(frames).alias("s"))
+
+
+def _frame_neardup_oracle() -> str:
+    from .dedup import _minhash_oracle
+    return _minhash_oracle(threshold=FRAME_JACCARD_THRESHOLD,
+                           s_sql=_FRAME_SET_SQL,
+                           src_filter="length(text) >= 1")
+
+
+@register(
+    "multimodal_frame_neardup",
+    oracle=_frame_neardup_oracle(),
+    description=f"video/audio near-dup by frame-sample set similarity: "
+                f"{FRAME_BYTES}-byte frame hash sets → MinHash LSH → "
+                f"jaccard≥{FRAME_JACCARD_THRESHOLD} verified",
+    tags=("multimodal", "dedup", "lsh"),
+)
+def multimodal_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate MEDIA STREAMS by sampled-frame set similarity —
+    the standard video/audio dedup shape (sample frames, fingerprint
+    each, compare fingerprint SETS so re-encodes, trims, and reorders
+    still match) re-expressed over the engine's frame-sampling kernel:
+    per-payload frame-hash sets (``_frame_sets``, the media analog of
+    the text shingle table) flow through the SAME MinHash-LSH core as
+    text dedup (``dedup.minhash_lsh_pairs``), so candidates cost
+    ∝ true near-pairs, never all-pairs. Complements
+    ``multimodal_phash_neardup``: phash matches WHOLE-image appearance,
+    frame-set jaccard matches stream CONTENT overlap.
+
+    Scale: signature build is map-side over the per-doc set (one md5
+    per frame + the affine minhash family); the bucket join and verify
+    inherit the text path's posture (verify cost bounded by payload
+    length). Oracle replays the identical pipeline in SQL — signatures,
+    banding, candidate join, exact verify — via the parameterized
+    ``_minhash_oracle``."""
+    from .dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_frame_sets(spark, sf_dir).persist(),
+                             sensor="frame_minhash_lsh",
+                             threshold=FRAME_JACCARD_THRESHOLD)
+
+
 def _phash_clusters_oracle() -> str:
     from .dedup import components_oracle
     return components_oracle(

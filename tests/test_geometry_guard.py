@@ -75,6 +75,9 @@ UNBOUNDED_BUCKET_SPACE = {
     "dedup_minhash_lsh",
     "dedup_incremental",
     "decontam_fuzzy",   # bipartite join over the same _band_rows md5 buckets
+    "multimodal_frame_neardup",  # frame-hash sets through the same
+                                 # _band_rows md5 buckets — occupancy
+                                 # tracks true duplicates, not N
 }
 
 
