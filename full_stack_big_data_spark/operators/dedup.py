@@ -474,18 +474,7 @@ def banded_hamming_pairs(sig: DataFrame, bits: int, band_bits: int,
     band is 2^band_bits, so band_bits must grow with log2(N) to hold
     per-bucket occupancy (and with it the quadratic-in-occupancy
     bucket self-join) constant; see tests/test_geometry_guard.py."""
-    assert bits % band_bits == 0, (bits, band_bits)
-    mask = (1 << band_bits) - 1
-    bands = sig.select(
-        "doc_id", sig_col,
-        F.explode(F.array(*[
-            F.struct(F.lit(bnd).alias("band"),
-                     F.shiftright(sig_col, band_bits * bnd)
-                     .bitwiseAND(mask).alias("nib"))
-            for bnd in range(bits // band_bits)
-        ])).alias("bb"),
-    ).select("doc_id", sig_col, "bb.band", "bb.nib")
-
+    bands = _hamming_band_rows(sig, sig_col, bits, band_bits)
     a, b = bands.alias("a"), bands.alias("b")
     hamming = F.bit_count(F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}")))
     collisions = (
@@ -505,6 +494,48 @@ def banded_hamming_pairs(sig: DataFrame, bits: int, band_bits: int,
         .where(F.col("hamming") <= hamming_max)
         .distinct()
     )
+
+
+def _hamming_band_rows(sig: DataFrame, sig_col: str, bits: int,
+                       band_bits: int) -> DataFrame:
+    """(doc_id, <sig_col>, band, nib) — the signature split into
+    disjoint contiguous bands, one row per band, map-side."""
+    assert bits % band_bits == 0, (bits, band_bits)
+    mask = (1 << band_bits) - 1
+    return sig.select(
+        "doc_id", sig_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(bnd).alias("band"),
+                     F.shiftright(sig_col, band_bits * bnd)
+                     .bitwiseAND(mask).alias("nib"))
+            for bnd in range(bits // band_bits)
+        ])).alias("bb"),
+    ).select("doc_id", sig_col, "bb.band", "bb.nib")
+
+
+def banded_hamming_join(sig_old: DataFrame, sig_new: DataFrame, bits: int,
+                        band_bits: int, sig_col: str, sensor: str,
+                        hamming_max: int = HAMMING_MAX) -> DataFrame:
+    """Bipartite variant of :func:`banded_hamming_pairs` — the
+    incremental-dedup shape: band rows of the NEW batch join against
+    band rows of the EXISTING corpus, so candidate cost is ∝ batch
+    size × bucket occupancy, never corpus² (``dedup_incremental``'s
+    posture for hamming signatures). Returns distinct
+    (old_doc, new_doc, hamming)."""
+    a = _hamming_band_rows(sig_old, sig_col, bits, band_bits).alias("a")
+    b = _hamming_band_rows(sig_new, sig_col, bits, band_bits).alias("b")
+    hamming = F.bit_count(F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}")))
+    collisions = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.nib") == F.col("b.nib")))
+        .select(F.col("a.doc_id").alias("old_doc"),
+                F.col("b.doc_id").alias("new_doc"),
+                hamming.alias("hamming"))
+    )
+    collisions = observability.observe_candidates(collisions, sensor)
+    return (collisions
+            .where(F.col("hamming") <= hamming_max)
+            .distinct())
 
 
 # ---------------------------------------------------------------------------

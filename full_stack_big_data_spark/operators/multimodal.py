@@ -594,7 +594,8 @@ def _phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])).persist()
 
 
-def _phash_oracle() -> str:
+def _phash_oracle(cand_pred: str = "a.doc_id < b.doc_id",
+                  head_cols: str = "a.doc_id AS doc_a, b.doc_id AS doc_b") -> str:
     """Brute-force all-pairs oracle recomputing the 60-bit dHash from
     the source text bytes: the BMP pixel at (r, c) is a pure function
     of byte b = text[(r·w + c) mod n] — channels (b, 2b%256, 7b%256),
@@ -630,9 +631,9 @@ WITH b AS (
                    ELSE 0 END), 'sum') AS BIGINT) AS phash
   FROM samp
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+SELECT {head_cols},
        bit_count(xor(a.phash, b.phash)) AS hamming
-FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+FROM ph a JOIN ph b ON {cand_pred}
 WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_MAX}
 """
 
@@ -758,6 +759,39 @@ def multimodal_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_frame_sets(spark, sf_dir).persist(),
                              sensor="frame_minhash_lsh",
                              threshold=FRAME_JACCARD_THRESHOLD)
+
+
+PHASH_INCR_MOD, PHASH_INCR_REM = 2, 1  # doc_id % 2 == 1 = the new dump
+
+
+@register(
+    "multimodal_phash_incremental",
+    oracle=_phash_oracle(
+        cand_pred=(f"a.doc_id % {PHASH_INCR_MOD} <> {PHASH_INCR_REM} "
+                   f"AND b.doc_id % {PHASH_INCR_MOD} = {PHASH_INCR_REM}"),
+        head_cols="a.doc_id AS old_doc, b.doc_id AS new_doc"),
+    description="incremental image dedup: new dump's perceptual hashes "
+                "banded-joined against the existing corpus's (scaled "
+                "banding) — candidate cost ∝ batch, not corpus²",
+    tags=("multimodal", "dedup", "phash"),
+)
+def multimodal_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest shape of image dedup — ``dedup_incremental``'s
+    posture for hamming signatures: only the NEW dump's band rows join
+    against the existing corpus's, so per-dump cost is batch × bucket
+    occupancy; the corpus side's signatures are the 8-byte/doc table a
+    deployment persists alongside the payload store (the IVF-index
+    economics). Same 60-bit dHash and 5×12 scaled banding; the oracle
+    replays the bipartite predicate over the brute-force pair space."""
+    from .dedup import banded_hamming_join
+
+    sig = _phash_signatures(spark, sf_dir)
+    is_new = F.col("doc_id") % PHASH_INCR_MOD == PHASH_INCR_REM
+    return banded_hamming_join(
+        sig.where(~is_new), sig.where(is_new), bits=PHASH_BITS,
+        band_bits=PHASH_BAND_BITS_SCALED, sig_col="phash",
+        sensor=f"phash_incr_band{PHASH_BAND_BITS_SCALED}",
+        hamming_max=PHASH_HAMMING_MAX)
 
 
 def _phash_clusters_oracle() -> str:

@@ -98,6 +98,11 @@ PROBES = [
      "candidates ∝ near-pairs; hashing is two map-only Arrow passes"),
     ("bpe_tokenize_serve", "linear",
      "stored merge table broadcast + one fold pass over the corpus"),
+    ("multimodal_frame_neardup", "output",
+     "frame-hash sets through the md5-bucket LSH: candidates grow with "
+     "true frame-set near-dups"),
+    ("multimodal_phash_incremental", "output",
+     "bipartite banded join: new-dump band rows vs corpus band rows"),
 ]
 
 # Candidate-volume ceilings for the banded families (r7 verdict item 4):
@@ -127,6 +132,12 @@ CAND_CEIL = {
     # content term while sitting 7x under the fixture geometry's
     # occupancy-only floor (10 bands x (50k/64)/2 ~ 3,900).
     "multimodal_phash_neardup_scaled": ("documents", 512.0, False),
+    # frame-set minhash: unbounded md5 bucket space (the text
+    # minhash adjudication) — occupancy tracks true duplicates.
+    "multimodal_frame_neardup": ("documents", 64.0, False),
+    # bipartite phash: same content-dense corpus as the scaled
+    # self-join, roughly half the band rows on the probe side.
+    "multimodal_phash_incremental": ("documents", 512.0, False),
 }
 
 

@@ -56,6 +56,7 @@ SCALED = {
     "multimodal_phash_neardup_scaled",
     "multimodal_phash_clusters",     # components over the scaled pairs
     "multimodal_phash_apply",        # anti-join application of the same
+    "multimodal_phash_incremental",  # bipartite join at the scaled banding
 }
 
 # Entries that reuse a knob whose graduation is already pinned by a
