@@ -794,6 +794,64 @@ def multimodal_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         hamming_max=PHASH_HAMMING_MAX)
 
 
+_PHASH_INDEX_DIRS: dict[str, str] = {}
+
+
+def _phash_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the EXISTING corpus's (doc_id, phash) table as
+    parquet ONCE per (process, corpus) — 8 bytes/doc, the artifact a
+    deployment keeps beside the payload store so re-hashing (the
+    expensive BMP render+decode pass) happens once per dump, not once
+    per dedup run. Same memoized economics as the SRP/PQ/BPE
+    artifacts."""
+    path = _PHASH_INDEX_DIRS.get(sf_dir)
+    if path is not None:
+        return path
+    from ..engine.scratch import scratch_dir
+
+    path = scratch_dir("fsbd_phash_index_")
+    sig = _phash_signatures(spark, sf_dir)
+    (sig.where(F.col("doc_id") % PHASH_INCR_MOD != PHASH_INCR_REM)
+     .write.mode("overwrite").parquet(path))
+    _PHASH_INDEX_DIRS[sf_dir] = path
+    return path
+
+
+@register(
+    "multimodal_phash_index_persist",
+    oracle=_phash_oracle(
+        cand_pred=(f"a.doc_id % {PHASH_INCR_MOD} <> {PHASH_INCR_REM} "
+                   f"AND b.doc_id % {PHASH_INCR_MOD} = {PHASH_INCR_REM}"),
+        head_cols="a.doc_id AS old_doc, b.doc_id AS new_doc"),
+    description="persisted perceptual-hash index: corpus signatures "
+                "stored as parquet, incremental dedup served FROM disk — "
+                "same oracle as the inline variant, so the hash proves "
+                "persisted == recomputed",
+    tags=("multimodal", "dedup", "phash", "storage"),
+)
+def multimodal_phash_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``multimodal_phash_incremental`` served from the STORED
+    signature table (the ``ann_index_persist`` pattern): the existing
+    corpus's hashes are read off disk — no re-render, no re-decode —
+    and only the new dump pays the two Arrow passes. Reusing the
+    inline variant's oracle makes the driver hash a round-trip proof
+    that the persisted artifact serves bit-identical decisions.
+
+    Scale: the index is 8 bytes/doc (a 100 TB payload store carries a
+    ~GB signature table); serve cost is the new dump's hashing plus
+    the banded join — corpus payloads are never touched again."""
+    from .dedup import banded_hamming_join
+
+    index = spark.read.parquet(_phash_index_dir(spark, sf_dir))
+    new = _phash_signatures(spark, sf_dir).where(
+        F.col("doc_id") % PHASH_INCR_MOD == PHASH_INCR_REM)
+    return banded_hamming_join(
+        index, new, bits=PHASH_BITS, band_bits=PHASH_BAND_BITS_SCALED,
+        sig_col="phash",
+        sensor=f"phash_persist_band{PHASH_BAND_BITS_SCALED}",
+        hamming_max=PHASH_HAMMING_MAX)
+
+
 def _phash_clusters_oracle() -> str:
     from .dedup import components_oracle
     return components_oracle(

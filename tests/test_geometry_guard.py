@@ -57,6 +57,7 @@ SCALED = {
     "multimodal_phash_clusters",     # components over the scaled pairs
     "multimodal_phash_apply",        # anti-join application of the same
     "multimodal_phash_incremental",  # bipartite join at the scaled banding
+    "multimodal_phash_index_persist",  # same join served from the stored index
 }
 
 # Entries that reuse a knob whose graduation is already pinned by a
