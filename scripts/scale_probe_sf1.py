@@ -103,6 +103,12 @@ PROBES = [
      "true frame-set near-dups"),
     ("multimodal_phash_incremental", "output",
      "bipartite banded join: new-dump band rows vs corpus band rows"),
+    # the phash FIXTURE banding point, probed (like dedup_simhash) to
+    # make its documented geometry failure VISIBLE in the candidates
+    # column: 6-bit bands = 64 buckets/band, occupancy-only floor at
+    # 50k docs ~ 10 x (50k/64)/2 ~ 3,900 cand/N >> the 512 ceiling.
+    ("multimodal_phash_neardup", "fixture",
+     "6-bit bands: occupancy N/64 — Θ(N²/64) by construction"),
 ]
 
 # Candidate-volume ceilings for the banded families (r7 verdict item 4):
@@ -138,6 +144,9 @@ CAND_CEIL = {
     # bipartite phash: same content-dense corpus as the scaled
     # self-join, roughly half the band rows on the probe side.
     "multimodal_phash_incremental": ("documents", 512.0, False),
+    # the fixture banding point is EXPECTED to blow through the
+    # family ceiling — the sensor catching the hazard class.
+    "multimodal_phash_neardup": ("documents", 512.0, True),
 }
 
 
