@@ -436,3 +436,37 @@ def test_stream_decontam_replay_is_idempotent(spark):
              .where(F.col("doc_id") % EVAL_MOD != 0)
              .select("doc_id").collect()}
     assert admitted | flagged == train
+
+
+def test_stream_decontam_index_refresh_changes_decisions(spark, tmp_path):
+    """The persisted eval-gram index is the REFRESHABLE reference set:
+    rewriting it must change the next batch's admissions (the docstring
+    claim "the index refreshes by rewriting the parquet it reads",
+    tested against the foreachBatch body directly)."""
+    from full_stack_big_data_spark.operators.decontam import DECONTAM_N
+    from full_stack_big_data_spark.functions.text import token_ngrams, tokens
+    from full_stack_big_data_spark.streaming.joins import _decontam_admit
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "one two three four five six"),
+         (3, "unrelated words entirely here now")],
+        "doc_id long, text string")
+    batch = (docs.select("doc_id", tokens("text").alias("toks"))
+             .select("doc_id", F.array_distinct(
+                 token_ngrams(F.col("toks"), DECONTAM_N)).alias("gs")))
+
+    def admitted_with(index_rows, out_name):
+        idx_dir = str(tmp_path / f"idx_{out_name}")
+        out_dir = str(tmp_path / f"out_{out_name}")
+        spark.createDataFrame(index_rows, "g string").write.parquet(idx_dir)
+        _decontam_admit(idx_dir, out_dir)(batch, 0)
+        return {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+
+    # index v1 contains one of doc 1's grams -> doc 1 dropped
+    v1 = admitted_with([("alpha beta gamma delta",)], "v1")
+    assert v1 == {2, 3}
+    # refreshed index adds a gram of doc 2 -> doc 2 now dropped too
+    v2 = admitted_with([("alpha beta gamma delta",),
+                        ("one two three four",)], "v2")
+    assert v2 == {3}
