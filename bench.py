@@ -68,11 +68,20 @@ HEADLINE = [
 
 
 def _prev_round_queries() -> list[str]:
-    """Query keys of the newest committed BENCH_r{N}.json — the
-    previous round's headline set. Summing THIS run's times over that
-    set gives a like-for-like round-over-round subtotal in the artifact
-    itself (r8 verdict item 3), so a grown headline list no longer
-    makes totals incomparable."""
+    """Query keys of the newest committed BENCH_r{N}.json whose set
+    DIFFERS from this run's HEADLINE — the previous round's headline
+    set. Summing THIS run's times over that set gives a like-for-like
+    round-over-round subtotal in the artifact itself (r8 verdict
+    item 3), so a grown headline list no longer makes totals
+    incomparable.
+
+    Artifacts whose query set equals the current HEADLINE are skipped
+    (r9 ADVICE): once the current round's artifact lands on disk, a
+    re-run within the round would otherwise compare against its OWN
+    set (subtotal == total, vacuously); falling back to the
+    next-newest DIFFERING set keeps the comparison meaningful, and
+    when sets genuinely didn't change between rounds the subtotal over
+    the older set equals the total anyway — nothing is lost."""
     import re as _re
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -81,16 +90,18 @@ def _prev_round_queries() -> list[str]:
         m = _re.match(r"BENCH_r(\d+)\.json$", fname)
         if m:
             rounds.append((int(m.group(1)), fname))
-    if not rounds:
-        return []
-    try:
-        with open(os.path.join(here, max(rounds)[1])) as f:
-            rec = json.load(f)
-        # The driver wraps bench's JSON line under "parsed"; accept the
-        # raw line too so a hand-saved artifact works.
-        return list(rec.get("parsed", rec).get("queries", {}))
-    except (OSError, ValueError, AttributeError):
-        return []
+    for _rnd, fname in sorted(rounds, reverse=True):
+        try:
+            with open(os.path.join(here, fname)) as f:
+                rec = json.load(f)
+            # The driver wraps bench's JSON line under "parsed"; accept
+            # the raw line too so a hand-saved artifact works.
+            prev = list(rec.get("parsed", rec).get("queries", {}))
+        except (OSError, ValueError, AttributeError):
+            continue
+        if prev and set(prev) != set(HEADLINE):
+            return prev
+    return []
 
 
 def main() -> None:
@@ -155,7 +166,13 @@ def main() -> None:
             components[name] = comp_best
 
     total = round(sum(times.values()), 3)
-    prev_set = [n for n in _prev_round_queries() if n in times]
+    prev_all = _prev_round_queries()
+    prev_set = [n for n in prev_all if n in times]
+    # Queries the previous round benched but this run didn't are
+    # RECORDED, not silently dropped (r9 ADVICE): a query leaving
+    # HEADLINE shrinks the like-for-like set, and the artifact should
+    # say so instead of letting the subtotal quietly cover less.
+    prev_missing = [n for n in prev_all if n not in times]
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
     print(json.dumps({
@@ -166,6 +183,11 @@ def main() -> None:
         "components": components,
         "subtotal_prev_round": round(sum(times[n] for n in prev_set), 3)
         if prev_set else None,
+        # Per-query table of the previous round's set under THIS run's
+        # timings (r9 verdict item 8) — per-query attribution without
+        # BENCHNOTES archaeology.
+        "queries_prev_round": {n: times[n] for n in prev_set} or None,
+        "prev_round_missing": prev_missing or None,
         "sf": sf,
     }))
     spark.stop()

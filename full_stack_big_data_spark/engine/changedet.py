@@ -137,6 +137,16 @@ class _Module:
                 for child in ast.iter_child_nodes(stmt):
                     if isinstance(child, ast.stmt):
                         visit(child)
+                # ast.ExceptHandler is NOT an ast.stmt, so the recursion
+                # above skips handler BODIES — yet a module-level
+                # `except ImportError: np = None` fallback executes at
+                # import time on the exception path, and editing it must
+                # invalidate fingerprints (r9 ADVICE; the r8 fix hashed
+                # only the handler TYPES).
+                if isinstance(stmt, ast.Try):
+                    for handler in stmt.handlers:
+                        for child in handler.body:
+                            visit(child)
             else:
                 self.loose.append(stmt)
 

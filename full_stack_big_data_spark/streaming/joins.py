@@ -184,18 +184,31 @@ def _decontam_admit(index_path: str, out_dir: str):
     """foreachBatch body: within each micro-batch (a plain batch
     DataFrame, so the full join surface applies) broadcast the stored
     gram index, left-semi it against the batch's exploded grams to find
-    contaminated doc_ids, anti-join them away, append survivors to the
+    contaminated doc_ids, anti-join them away, write survivors to the
     output parquet. The index is read through the BATCH's session —
     foreachBatch hands a micro-batch clone, and mixing DataFrames
-    across sessions is an error."""
-    def admit(batch: DataFrame, _batch_id: int) -> None:
+    across sessions is an error.
+
+    The write is IDEMPOTENT per epoch (r9 ADVICE): foreachBatch is
+    at-least-once — a crash after the sink write but before the
+    checkpoint commit replays the micro-batch — so survivors land in a
+    ``batch_id=<epoch>`` partition under DYNAMIC partition overwrite.
+    A replayed epoch rewrites ITS OWN partition in place instead of
+    appending a duplicate file set; epochs never overwrite each other.
+    This is the documented recipe for exactly-once semantics over an
+    at-least-once callback: deterministic batch content (a file feed
+    replays byte-identical) + an idempotent epoch-keyed write."""
+    def admit(batch: DataFrame, batch_id: int) -> None:
         idx = batch.sparkSession.read.parquet(index_path)
         g = batch.select("doc_id", F.explode("gs").alias("g"))
         hits = (g.join(F.broadcast(idx), "g", "left_semi")
                 .select("doc_id").distinct())
         (batch.join(hits, "doc_id", "left_anti")
-         .select("doc_id", F.size("gs").cast("int").alias("n_grams"))
-         .write.mode("append").parquet(out_dir))
+         .select("doc_id", F.size("gs").cast("int").alias("n_grams"),
+                 F.lit(batch_id).alias("batch_id"))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(out_dir))
     return admit
 
 
@@ -221,8 +234,9 @@ WHERE doc_id % {EVAL_MOD} <> 0
     oracle=_stream_decontam_oracle(),
     description="streaming decontamination: per-micro-batch broadcast "
                 "membership check against the persisted eval-gram index; "
-                "admitted docs appended exactly-once (checkpointed "
-                "foreachBatch)",
+                "admitted docs written exactly-once (checkpointed "
+                "foreachBatch + idempotent per-batch_id dynamic "
+                "partition overwrite)",
     tags=("streaming", "decontam", "broadcast"),
 )
 def stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -235,10 +249,13 @@ def stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: readStream over the document feed → map-side gram arrays →
     checkpointed ``foreachBatch`` where each micro-batch broadcast-joins
     the stored index (benchmark-sized — KBs against a TB/day feed) and
-    appends survivors to the output table. Replay is idempotent: the
-    checkpoint records consumed source files, so a restart (or a second
-    drain over an unchanged feed) adds zero batches and zero rows
-    (pinned in tests/test_streaming.py).
+    writes survivors to the output table. Replay is idempotent at BOTH
+    layers: the checkpoint records consumed source files, so a restart
+    (or a second drain over an unchanged feed) adds zero batches and
+    zero rows — and if a crash lands between the sink write and the
+    checkpoint commit, the replayed epoch's dynamic partition
+    overwrite rewrites its own ``batch_id`` partition instead of
+    appending duplicates (both pinned in tests/test_streaming.py).
 
     Scale: per-batch cost is one broadcast membership join + a
     batch-local doc_id dedup — no streaming state store at all (the
@@ -275,7 +292,9 @@ def stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    # batch_id is a sink-layout column (the idempotency key), not part
+    # of the query's result contract — project it away for the oracle.
+    return spark.read.parquet(out_dir).select("doc_id", "n_grams")
 
 
 APPROX_DISTINCT_RSD = 0.05

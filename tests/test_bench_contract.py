@@ -44,7 +44,34 @@ def test_bench_emits_one_json_line():
     if prev:
         assert rec["subtotal_prev_round"] > 0
         assert rec["subtotal_prev_round"] <= rec["value"] + 1e-6
+        # r9 verdict item 8: the per-query table over the previous
+        # round's set, plus explicit accounting of any prev-round query
+        # this run no longer benches (never silently dropped).
+        tbl = rec["queries_prev_round"]
+        assert tbl and all(n in rec["queries"] for n in tbl)
+        assert abs(sum(tbl.values()) - rec["subtotal_prev_round"]) < 1e-6
+        missing = rec["prev_round_missing"] or []
+        assert set(tbl) | set(missing) == set(prev)
     comp = rec["components"]["ann_ivf_index_persist"]
     assert comp["build_s"] > 0 and comp["serve_s"] > 0
     assert (abs(comp["build_s"] + comp["serve_s"]
                 - rec["queries"]["ann_ivf_index_persist"]) < 0.02)
+
+
+def test_prev_round_skips_own_artifact(tmp_path, monkeypatch):
+    """An artifact whose query set equals the current HEADLINE is the
+    round's OWN snapshot (or an unchanged set, where subtotal == total
+    regardless): _prev_round_queries must fall back to the next-newest
+    DIFFERING set instead of comparing a re-run against itself
+    (r9 ADVICE)."""
+    import importlib
+
+    bench = importlib.import_module("bench")
+    older = {"queries": {"q1_pricing_summary": 1.0, "dropped_query": 2.0}}
+    own = {"parsed": {"queries": {n: 0.5 for n in bench.HEADLINE}}}
+    (tmp_path / "BENCH_r08.json").write_text(json.dumps(older))
+    (tmp_path / "BENCH_r09.json").write_text(json.dumps(own))
+    monkeypatch.setattr(bench.os.path, "abspath",
+                        lambda _p: str(tmp_path / "bench.py"))
+    prev = bench._prev_round_queries()
+    assert prev == ["q1_pricing_summary", "dropped_query"]

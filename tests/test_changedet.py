@@ -144,6 +144,24 @@ def test_with_context_expr_marks_the_files_builders():
     assert w["q_beta"] == b["q_beta"]
 
 
+def test_try_handler_body_marks_the_files_builders():
+    # A module-level `except ImportError: np = None` fallback executes
+    # at import time on the exception path, but ast.ExceptHandler is
+    # not an ast.stmt — the child recursion skips it, so editing the
+    # handler BODY left fingerprints unchanged (r9 ADVICE; the r8 fix
+    # hashed only the handler TYPES).
+    base = _edit(BASE, "functions/skew.py", "LIMIT = 64",
+                 "LIMIT = 64\ntry:\n    import os as _os\n"
+                 "except ImportError:\n    LIMIT = 32")
+    work = _edit(BASE, "functions/skew.py", "LIMIT = 64",
+                 "LIMIT = 64\ntry:\n    import os as _os\n"
+                 "except ImportError:\n    LIMIT = 16")
+    b, w = builder_fingerprints(base, ROOTS), builder_fingerprints(work, ROOTS)
+    assert w["q_alpha"] != b["q_alpha"]
+    assert w["q_gamma"] != b["q_gamma"]
+    assert w["q_beta"] == b["q_beta"]
+
+
 def test_missing_builder_is_none():
     roots = dict(ROOTS, q_ghost=(f"{PKG}/operators/alpha.py", "q_ghost"))
     fps = builder_fingerprints(BASE, roots)

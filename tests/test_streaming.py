@@ -470,3 +470,42 @@ def test_stream_decontam_index_refresh_changes_decisions(spark, tmp_path):
     v2 = admitted_with([("alpha beta gamma delta",),
                         ("one two three four",)], "v2")
     assert v2 == {3}
+
+
+def test_stream_decontam_epoch_replay_writes_no_duplicates(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash AFTER the sink write but
+    BEFORE the checkpoint commit replays the epoch (r9 ADVICE — the
+    happy-path availableNow drain can't surface this). The sink must be
+    idempotent per epoch: re-invoking the batch body with the SAME
+    batch_id rewrites that epoch's partition in place (zero net rows);
+    a DIFFERENT batch_id lands beside it untouched."""
+    from full_stack_big_data_spark.operators.decontam import DECONTAM_N
+    from full_stack_big_data_spark.functions.text import token_ngrams, tokens
+    from full_stack_big_data_spark.streaming.joins import _decontam_admit
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "one two three four five six"),
+         (3, "unrelated words entirely here now")],
+        "doc_id long, text string")
+    batch = (docs.select("doc_id", tokens("text").alias("toks"))
+             .select("doc_id", F.array_distinct(
+                 token_ngrams(F.col("toks"), DECONTAM_N)).alias("gs")))
+    idx_dir, out_dir = str(tmp_path / "idx"), str(tmp_path / "out")
+    spark.createDataFrame([("alpha beta gamma delta",)], "g string") \
+        .write.parquet(idx_dir)
+
+    admit = _decontam_admit(idx_dir, out_dir)
+    admit(batch, 7)
+    once = sorted(map(tuple, spark.read.parquet(out_dir)
+                      .select("doc_id", "n_grams").collect()))
+    admit(batch, 7)          # the crash-replay of epoch 7
+    twice = sorted(map(tuple, spark.read.parquet(out_dir)
+                       .select("doc_id", "n_grams").collect()))
+    assert once == twice and len(once) == 2   # docs 2, 3 admitted once
+    # a genuinely new epoch appends its own partition, epoch 7 intact
+    admit(batch.where(F.col("doc_id") == 1), 8)
+    final = spark.read.parquet(out_dir)
+    assert final.where(F.col("batch_id") == 7).count() == 2
+    assert final.where(F.col("batch_id") == 8).count() == 0  # doc 1 contaminated
+    assert final.count() == 2
