@@ -1271,6 +1271,93 @@ def embedding_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup shape): near-dup detection WITHIN coarse
+# clusters — the complement of the SRP-banded candidate generator.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_COS = NEARDUP_COS   # same near-dup ball as the banded/exact paths
+
+
+def _semdedup_pairs_oracle() -> str:
+    """Within-cell near-dup pairs: the scaled sign-codebook assignment
+    (``corpus(vec_id, cell)``), a cell-predicate pair join, exact
+    cosine threshold."""
+    return _ivf_scaled_assign_prefix() + f""", cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM corpus a JOIN corpus b ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.vec_a
+JOIN embeddings eb ON eb.vec_id = c.vec_b
+WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+      >= {SEMDEDUP_COS}
+"""
+
+
+def _semdedup_clusters_oracle() -> str:
+    from .dedup import components_oracle
+    return components_oracle(
+        f"SELECT vec_a AS doc_a, vec_b AS doc_b "
+        f"FROM ({_semdedup_pairs_oracle()}) sd",
+        id_col="vec_id")
+
+
+@register(
+    "embedding_semdedup",
+    oracle=_semdedup_clusters_oracle(),
+    description=f"semantic dedup (SemDeDup shape): near-dup pairs found "
+                f"ONLY within {IVF_CELLS_WIDE}-cell IVF codebook clusters "
+                f"(cosine ≥ {SEMDEDUP_COS}), min-label components, "
+                f"canonical keeper per cluster",
+    tags=("similarity", "neardup", "dedup", "ivf", "iterative"),
+)
+def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication in the SemDeDup formulation (Abbas et al.
+    2023: cluster the embedding space coarsely, then search for
+    semantic duplicates ONLY within each cluster) — the one standard
+    LLM-pipeline dedup shape the engine lacked (r9 verdict item 5),
+    and the structural complement of ``embedding_neardup_banded``:
+    there candidates are SRP band collisions (global, geometry-bounded);
+    here they are cell cohabitants of the SAME stored IVF codebook the
+    ANN index uses (``ivf_cells_scaled``, 256 sign-codebook cells), so
+    one clustering artifact serves both retrieval and curation.
+
+    Shape: r=1 cell assignment (one Arrow matmul, map-only) → id-only
+    pair join ON the cell key (candidates bounded by cell occupancy —
+    the N/occupancy sizing rule caps them at ~occ/2 per row, never
+    corpus²) → exact cosine verify over pairs-joined vectors →
+    min-label components with a canonical keeper. Documented SemDeDup
+    trade: near-dups split across a cell boundary are missed — the
+    recall/cost knob the formulation itself chooses; the oracle replays
+    the identical cell predicate, so the driver hash proves the
+    within-cell decision set exactly (closure included, via the
+    recursive-CTE components twin).
+
+    Scale: assignment is the broadcast-codebook Arrow pass; the
+    candidate join shuffles id+cell rows once on cell; verify joins
+    fetch vectors for candidates only; the component loop shuffles the
+    bounded pair list. Candidate volume rides the sensor
+    (``semdedup_cells{C}``) with a ceiling in scale_probe_sf1.CAND_CEIL."""
+    from .dedup import min_label_components
+
+    e = Catalog(spark, sf_dir).embeddings
+    ids = _ivf_assigned(e).select("vec_id", "cell")
+    cand = (ids.select(F.col("vec_id").alias("vec_a"), "cell")
+            .join(ids, "cell")
+            .where(F.col("vec_a") < F.col("vec_id"))
+            .select("vec_a", F.col("vec_id").alias("vec_b")))
+    cand = observability.observe_candidates(
+        cand, f"semdedup_cells{IVF_CELLS_WIDE}")
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    pairs = (cand.join(ea, "vec_a").join(eb, "vec_b")
+             .where(cosine_sim(F.col("emb_a"), F.col("emb_b")) >= SEMDEDUP_COS)
+             .select("vec_a", "vec_b"))
+    return min_label_components(pairs, a="vec_a", b="vec_b", id_col="vec_id")
+
+
+# ---------------------------------------------------------------------------
 # K-means Lloyd update step (the training half of the IVF index).
 # ---------------------------------------------------------------------------
 

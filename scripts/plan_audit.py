@@ -157,6 +157,11 @@ STREAM_STATE_BOUNDS = {
                        "check against the persisted eval-gram index + "
                        "batch-local doc dedup; nothing remembered across "
                        "batches (admission is per-doc)",
+    "stream_phash_admit": "zero store state: per-batch render+hash and "
+                          "bipartite banded join against the persisted "
+                          "signature index; admission is per-doc, nothing "
+                          "remembered across batches (idempotent epoch-"
+                          "keyed sink)",
 }
 
 

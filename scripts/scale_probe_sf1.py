@@ -109,6 +109,30 @@ PROBES = [
     # 50k docs ~ 10 x (50k/64)/2 ~ 3,900 cand/N >> the 512 ceiling.
     ("multimodal_phash_neardup", "fixture",
      "6-bit bands: occupancy N/64 — Θ(N²/64) by construction"),
+    # batch 6 (round 10): the image family's cluster/apply path (r9
+    # verdict item 3 — 806× more pairs at sf1.0 than the bench gate, so
+    # the component loop and the drop-list anti-join need decade rows),
+    # the bipartite index-serve paths with explicit ceilings (item 7),
+    # and the two new r10 operators.
+    ("multimodal_phash_clusters", "output",
+     "min-label components over the scaled-banding pair list: rounds = "
+     "component diameter, each round shuffles edges, never the corpus"),
+    ("multimodal_phash_apply", "output",
+     "pairs-derived drop list broadcast anti-joined against one corpus scan"),
+    ("multimodal_phash_index_persist", "output",
+     "bipartite banded join: new-dump band rows vs the STORED corpus index"),
+    ("multimodal_phash_index_append", "output",
+     "append renders the dump only (scan-level pred); compaction is one "
+     "index-sized exchange; serve is the scaled-banding self-join"),
+    ("embedding_semdedup", "output",
+     "within-cell pair join: candidates bounded by IVF cell occupancy "
+     "(N/64 sizing rule), component loop ∝ true near-pairs"),
+    ("dedup_incremental", "output",
+     "bipartite minhash bucket join: new-batch band rows vs corpus band "
+     "rows in an unbounded md5 bucket space"),
+    ("pipeline_curate_images", "output",
+     "gate is two map-only Arrow passes; cluster stage shuffles band rows "
+     "+ bounded pairs; sample map-only; stats one small agg exchange"),
 ]
 
 # Candidate-volume ceilings for the banded families (r7 verdict item 4):
@@ -147,6 +171,27 @@ CAND_CEIL = {
     # the fixture banding point is EXPECTED to blow through the
     # family ceiling — the sensor catching the hazard class.
     "multimodal_phash_neardup": ("documents", 512.0, True),
+    # r10 (r9 verdict item 7): explicit ceilings for every bipartite /
+    # composed banded path, so a regression has a contract to violate.
+    # The cluster/apply/persist/append entries all run the scaled 5×12
+    # banding over the same content-dense corpus — same 512 output-
+    # aware ceiling as the scaled self-join (apply + clusters compose
+    # it; persist is bipartite ≈ half the band rows; append's self-join
+    # reads the identical signature set from disk).
+    "multimodal_phash_clusters": ("documents", 512.0, False),
+    "multimodal_phash_apply": ("documents", 512.0, False),
+    "multimodal_phash_index_persist": ("documents", 512.0, False),
+    "multimodal_phash_index_append": ("documents", 512.0, False),
+    # within-cell SemDeDup: uniform-occupancy floor is occ/2 ≈ 39 at
+    # N=20k over 256 cells; 256 leaves ~6× headroom for sign-codebook
+    # cell skew while sitting far under any quadratic regime (which
+    # would read ≥ N/2 = 10k).
+    "embedding_semdedup": ("embeddings", 256.0, False),
+    # bipartite text minhash: unbounded md5 bucket space, occupancy
+    # tracks true duplicates (the family's adjudication) — same 64
+    # ceiling as the self-join minhash.
+    "dedup_incremental": ("documents", 64.0, False),
+    "pipeline_curate_images": ("documents", 512.0, False),
 }
 
 

@@ -58,6 +58,14 @@ SCALED = {
     "multimodal_phash_apply",        # anti-join application of the same
     "multimodal_phash_incremental",  # bipartite join at the scaled banding
     "multimodal_phash_index_persist",  # same join served from the stored index
+    "multimodal_phash_index_append",   # append+compact, self-join at the
+                                       # scaled banding from the result
+    "stream_phash_admit",            # per-batch bipartite join at the
+                                     # scaled banding vs the stored index
+    "pipeline_curate_images",        # composes the scaled clusters stage
+    "embedding_semdedup",            # candidates bounded by IVF cell
+                                     # occupancy at the N/64-sized scaled
+                                     # codebook (IVF_CELLS_WIDE)
 }
 
 # Entries that reuse a knob whose graduation is already pinned by a

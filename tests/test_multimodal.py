@@ -125,6 +125,69 @@ def test_phash_bmp_matches_independent_recompute():
     assert bin(a ^ b).count("1") <= 4
 
 
+def test_phash_index_append_compaction_and_row_equivalence(spark):
+    """Signature-index maintenance (r9 verdict item 2): appending a
+    dump's 8-byte rows beside the base generation must leave more files
+    than the compaction target, compaction must fold the index to at
+    most PHASH_INDEX_COMPACT_FILES, and the appended-then-compacted
+    index must carry EXACTLY the full corpus's signature rows (so the
+    banded self-join served from it answers like a from-scratch
+    rebuild — the registered entry's oracle proves the serve side)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from full_stack_big_data_spark.engine.scratch import scratch_dir
+    from full_stack_big_data_spark.operators.multimodal import (
+        PHASH_INCR_MOD, PHASH_INCR_REM, PHASH_INDEX_COMPACT_FILES,
+        _phash_signatures, phash_index_compact)
+
+    sf = "/root/testdata/sf0.001"
+    is_new = F.col("doc_id") % PHASH_INCR_MOD == PHASH_INCR_REM
+    path = scratch_dir("fsbd_test_phash_append_")
+    _phash_signatures(spark, sf, pred=~is_new) \
+        .write.mode("overwrite").parquet(path)
+    # five mini-dumps appended over time — each drops its own file set,
+    # so the generation dir grows per dump (the accumulation compaction
+    # exists to undo)
+    n_dumps = 5
+    for k in range(n_dumps):
+        _phash_signatures(spark, sf,
+                          pred=is_new & (F.col("doc_id") % n_dumps == k)) \
+            .write.mode("append").parquet(path)
+    gen2 = scratch_dir("fsbd_test_phash_append_gen2_")
+    phash_index_compact(spark, path, gen2)
+
+    g1 = glob.glob(f"{path}/*.parquet")
+    g2 = glob.glob(f"{gen2}/*.parquet")
+    assert len(g1) >= n_dumps + 1, len(g1)   # at least one file per write
+    assert len(g2) <= PHASH_INDEX_COMPACT_FILES < len(g1), (len(g1), len(g2))
+
+    full = sorted(map(tuple, _phash_signatures(spark, sf).collect()))
+    assert sorted(map(tuple, spark.read.parquet(gen2).collect())) == full
+
+
+def test_phash_bmp_rejects_one_pixel_wide_images():
+    """A 1-px-wide BMP has no horizontal gradient — every comparison
+    would be a self-comparison and the hash degenerates to 0, silently
+    colliding ALL such images (r9 ADVICE). phash_bmp rejects w < 2 with
+    the decoder's strictness instead; engine geometry (w >= 4) never
+    constructs one, so this needs a hand-patched container."""
+    import struct
+
+    import pytest
+
+    from full_stack_big_data_spark.operators.multimodal import (
+        _bmp_pixel_array, encode_bmp, phash_bmp)
+
+    buf = bytearray(encode_bmp(b"hello world this is a test"))
+    struct.pack_into("<i", buf, 18, 1)  # patch header width to 1 px
+    w, _h, _px = _bmp_pixel_array(bytes(buf))
+    assert w == 1  # still a valid 24-bit BMP for the decoder
+    with pytest.raises(ValueError, match="width >= 2"):
+        phash_bmp(bytes(buf))
+
+
 def test_phash_band_geometries_agree(spark):
     """Fixture (10 bands x 6 bits) and scaled (5 bands x 12 bits) layouts
     must return the identical pair set — both are pigeonhole-lossless

@@ -387,6 +387,30 @@ def test_phash_signature_stage_is_map_only(spark):
     assert plan.count("MapInPandas") == 2, plan[:1500]
 
 
+def test_phash_signature_pred_filters_below_the_arrow_stages(spark):
+    """The incremental/persist serve paths carve their dump out with
+    _phash_signatures(pred=...): the doc_id predicate must sit BELOW
+    both mapInPandas stages (on the documents scan), not above them —
+    a post-UDF filter re-renders and re-hashes the ENTIRE corpus and
+    discards the unwanted half (r9 ADVICE). Catalyst cannot push it
+    down itself because doc_id is re-produced by the UDF."""
+    from pyspark.sql import functions as F
+    from full_stack_big_data_spark.operators.multimodal import (
+        PHASH_INCR_MOD, PHASH_INCR_REM, _phash_signatures)
+
+    df = _phash_signatures(
+        spark, SF, pred=F.col("doc_id") % PHASH_INCR_MOD == PHASH_INCR_REM)
+    plan = plan_string(df, mode="simple")
+    lines = plan.splitlines()
+    map_idx = [i for i, l in enumerate(lines) if "MapInPandas" in l]
+    filt_idx = [i for i, l in enumerate(lines)
+                if "Filter" in l and "doc_id" in l and f"% {PHASH_INCR_MOD}" in l]
+    assert len(map_idx) == 2 and filt_idx, plan[:1500]
+    # executedPlan prints top-down: a LATER line is DEEPER in the tree,
+    # so the carve-out filter must print after both Arrow stages.
+    assert min(filt_idx) > max(map_idx), plan[:1500]
+
+
 def test_ivf_appended_index_serve_uses_dynamic_partition_pruning(spark):
     """The appended-and-compacted index generation must serve exactly
     like the from-scratch one: broadcast probe set joined on the

@@ -321,3 +321,33 @@ def test_ivf_append_compaction_file_counts_and_equivalence(spark):
     assert canon(ivf_index_serve(spark, sf, gen2)) == canon(rebuilt)
     # pre-compaction serve agrees too (compaction is layout-only)
     assert canon(ivf_index_serve(spark, sf, path)) == canon(rebuilt)
+
+
+def test_semdedup_clusters_stay_within_cells_and_subset_exact(spark):
+    """SemDeDup's defining property: candidates exist ONLY within an
+    IVF cell, so every cluster lives in exactly one cell — and each
+    non-canonical member genuinely has a within-cell near-dup partner
+    (its pairs are a subset of the exact all-pairs set)."""
+    from pyspark.sql import functions as F
+
+    from full_stack_big_data_spark.engine.catalog import Catalog
+    from full_stack_big_data_spark.operators.similarity import (
+        SEMDEDUP_COS, _ivf_assigned, embedding_neardup, embedding_semdedup)
+
+    out = embedding_semdedup(spark, SF_SMOKE)
+    rows = out.collect()
+    assert rows, "semdedup empty at sf0.001 — vacuous"
+    cells = _ivf_assigned(Catalog(spark, SF_SMOKE).embeddings) \
+        .select("vec_id", "cell")
+    mixed = (out.join(cells, "vec_id")
+             .groupBy("cluster_id")
+             .agg(F.countDistinct("cell").alias("nc"))
+             .where(F.col("nc") > 1).count())
+    assert mixed == 0, "a semdedup cluster crossed a cell boundary"
+    # within-cell pairs are a SUBSET of the exact near-dup pair set:
+    # every clustered (non-singleton) member appears in some exact pair
+    exact = embedding_neardup(spark, SF_SMOKE).collect()
+    exact_ids = ({r.vec_a for r in exact if r.cosine >= SEMDEDUP_COS}
+                 | {r.vec_b for r in exact if r.cosine >= SEMDEDUP_COS})
+    member_ids = {r.vec_id for r in rows}
+    assert member_ids <= exact_ids

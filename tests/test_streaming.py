@@ -472,6 +472,63 @@ def test_stream_decontam_index_refresh_changes_decisions(spark, tmp_path):
     assert v2 == {3}
 
 
+def test_stream_phash_admit_replay_and_batch_equivalence(spark):
+    """The streaming image-admit gate (r9 verdict item 1): a second
+    availableNow drain over the unchanged feed adds ZERO rows, and the
+    admitted set equals the batch admit rule — new-dump docs minus
+    those with a banded hit against the persisted signature index
+    (multimodal_phash_index_persist's pair set)."""
+    from full_stack_big_data_spark.engine.catalog import Catalog
+    from full_stack_big_data_spark.operators.multimodal import (
+        PHASH_INCR_MOD, PHASH_INCR_REM)
+    from full_stack_big_data_spark.operators.registry import load_all
+
+    reg = load_all()
+    first = sorted(map(tuple,
+                       reg["stream_phash_admit"].builder(spark, SF_SMOKE).collect()))
+    again = sorted(map(tuple,
+                       reg["stream_phash_admit"].builder(spark, SF_SMOKE).collect()))
+    assert first == again
+    assert len(first) > 0
+    hits = {r.new_doc for r in
+            reg["multimodal_phash_index_persist"].builder(spark, SF_SMOKE).collect()}
+    new_docs = {r.doc_id for r in Catalog(spark, SF_SMOKE).documents
+                .where((F.col("doc_id") % PHASH_INCR_MOD == PHASH_INCR_REM)
+                       & (F.length("text") >= 1))
+                .select("doc_id").collect()}
+    admitted = {r[0] for r in first}
+    assert admitted == new_docs - hits
+    assert hits  # the gate actually dropped something
+
+
+def test_stream_phash_admit_epoch_replay_writes_no_duplicates(spark, tmp_path):
+    """Crash-replay idempotency for the image admit sink (the decontam
+    discipline): re-invoking the foreachBatch body with the SAME
+    batch_id rewrites that epoch's partition in place — zero net rows —
+    and near-dup drops are decided against the supplied index."""
+    from full_stack_big_data_spark.operators.multimodal import (
+        phash_signature_frame)
+    from full_stack_big_data_spark.streaming.joins import _phash_admit
+
+    corpus = spark.createDataFrame(
+        [(10, "hello world this is a test")], "doc_id long, text string")
+    idx_dir, out_dir = str(tmp_path / "idx"), str(tmp_path / "out")
+    phash_signature_frame(corpus).write.parquet(idx_dir)
+    batch = spark.createDataFrame(
+        [(21, "hello world this is a tesu"),        # hamming ≤ 4 of doc 10
+         (22, "completely different content xyz")],  # unrelated geometry
+        "doc_id long, text string")
+    admit = _phash_admit(idx_dir, out_dir)
+    admit(batch, 3)
+    once = sorted(map(tuple, spark.read.parquet(out_dir)
+                      .select("doc_id", "phash").collect()))
+    admit(batch, 3)          # the crash-replay of epoch 3
+    twice = sorted(map(tuple, spark.read.parquet(out_dir)
+                       .select("doc_id", "phash").collect()))
+    assert once == twice
+    assert [r[0] for r in once] == [22]  # 21 near-dups the corpus → dropped
+
+
 def test_stream_decontam_epoch_replay_writes_no_duplicates(spark, tmp_path):
     """foreachBatch is at-least-once: a crash AFTER the sink write but
     BEFORE the checkpoint commit replays the epoch (r9 ADVICE — the
