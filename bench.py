@@ -64,6 +64,11 @@ HEADLINE = [
     # deployment banding points, mirroring the simhash pair above).
     "multimodal_phash_neardup",
     "multimodal_phash_neardup_scaled",
+    # r10 (r9 verdict item 3): the image family's cluster path — the
+    # heavier of clusters/apply at sf0.1 (2.63 s vs 2.21 s, probe
+    # batch 6) — so the component-loop + banded-join composition is
+    # driver-benched round-over-round, not just builder-probed.
+    "multimodal_phash_clusters",
 ]
 
 
