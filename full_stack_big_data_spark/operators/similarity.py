@@ -1357,6 +1357,54 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return min_label_components(pairs, a="vec_a", b="vec_b", id_col="vec_id")
 
 
+@register(
+    "embedding_semdedup_apply",
+    oracle=f"""
+WITH cl AS ({_semdedup_clusters_oracle()}),
+drops AS (
+  SELECT vec_id FROM cl WHERE is_canonical = 0
+), surv AS (
+  SELECT e.vec_id FROM embeddings e
+  WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)
+)
+SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_input,
+       CAST(COUNT(*) AS BIGINT) AS n_survivors,
+       CAST((SELECT COUNT(*) FROM embeddings) - COUNT(*) AS BIGINT) AS n_dropped,
+       CAST(SUM(vec_id % 1000003) AS BIGINT) AS survivor_id_sum
+FROM surv
+""",
+    description="apply semantic dedup: drop non-canonical within-cell "
+                "cluster members, emit surviving-corpus stats (counts + "
+                "order-independent id checksum)",
+    tags=("similarity", "neardup", "dedup", "ivf"),
+)
+def embedding_semdedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup deletion decision applied — ``embedding_dedup_apply``'s
+    closer on the within-cell clusters, completing the pairs → clusters
+    → apply triple for the semantic-dedup path (every other dedup
+    family has all three): anti-join the vector corpus against
+    non-canonical members, summarize survivors in one oracle-hashed
+    row. The drop list is pairs-derived and tiny → broadcast anti-join;
+    the embedding table is scanned once, never shuffled."""
+    e = Catalog(spark, sf_dir).embeddings
+    drops = (embedding_semdedup(spark, sf_dir)
+             .where(F.col("is_canonical") == 0).select("vec_id"))
+    surv = e.join(F.broadcast(drops), "vec_id", "left_anti")
+    stats = surv.agg(
+        F.count("*").cast("bigint").alias("n_survivors"),
+        F.sum(F.col("vec_id") % 1000003).cast("bigint")
+         .alias("survivor_id_sum"),
+    )
+    n_input = e.agg(F.count("*").cast("bigint").alias("n_input"))
+    return (
+        stats.crossJoin(F.broadcast(n_input))
+        .select("n_input", "n_survivors",
+                (F.col("n_input") - F.col("n_survivors")).cast("bigint")
+                .alias("n_dropped"),
+                "survivor_id_sum")
+    )
+
+
 # ---------------------------------------------------------------------------
 # K-means Lloyd update step (the training half of the IVF index).
 # ---------------------------------------------------------------------------

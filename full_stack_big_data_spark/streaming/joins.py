@@ -394,7 +394,16 @@ def stream_phash_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the parquet it reads, exactly like the decontam gram index. The
     oracle replays the admit rule over the whole dump in one batch,
     which equals the union of per-batch decisions because admission is
-    per-doc."""
+    per-doc.
+
+    Division of labor (deliberate, the lambda split): near-dup pairs
+    WITHIN the incoming stream (new×new) are NOT decided here — a
+    per-batch decision about them would depend on how the feed chops
+    into micro-batches, which is exactly the nondeterminism a
+    replayable gate must not have. The batch path owns them:
+    ``multimodal_phash_clusters`` / ``_apply`` periodically compact the
+    accumulated store, the same way every ingest-gate + batch-dedup
+    deployment splits the work."""
     from ..operators.multimodal import (PHASH_INCR_MOD, PHASH_INCR_REM,
                                         _phash_index_dir)
 
@@ -419,6 +428,126 @@ def stream_phash_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.read.parquet(out_dir).select("doc_id", "phash")
+
+
+_PHASH_INGEST_DIRS: dict[str, tuple[str, str]] = {}
+
+
+def _phash_ingest(base_index_path: str, epochs_dir: str):
+    """foreachBatch body for the SELF-GROWING index: the admit decision
+    of ``_phash_admit`` (per-doc, against the BASE generation only —
+    batch-chop-invariant), but survivors' signatures are appended to
+    the index's EPOCH generation dir as a ``batch_id=<epoch>``
+    partition under dynamic partition overwrite. Exactly-once index
+    growth over an at-least-once callback: a replayed epoch rewrites
+    its own partition; the base generation lives in its own dir and is
+    never touched (also why the epoch dir is separate — Spark rightly
+    refuses to overwrite a path the same plan reads from)."""
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        from ..operators.dedup import banded_hamming_join
+        from ..operators.multimodal import (PHASH_BAND_BITS_SCALED,
+                                            PHASH_BITS, PHASH_HAMMING_MAX,
+                                            phash_signature_frame)
+
+        base = batch.sparkSession.read.parquet(base_index_path)
+        sig = phash_signature_frame(batch).persist()
+        try:
+            hits = (banded_hamming_join(
+                        base, sig, bits=PHASH_BITS,
+                        band_bits=PHASH_BAND_BITS_SCALED, sig_col="phash",
+                        sensor=f"phash_ingest_band{PHASH_BAND_BITS_SCALED}",
+                        hamming_max=PHASH_HAMMING_MAX)
+                    .select(F.col("new_doc").alias("doc_id")).distinct())
+            (sig.join(hits, "doc_id", "left_anti")
+             .withColumn("batch_id", F.lit(batch_id))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id").parquet(epochs_dir))
+        finally:
+            sig.unpersist()
+    return ingest
+
+
+def _stream_phash_ingest_oracle() -> str:
+    from ..operators.multimodal import (PHASH_HAMMING_MAX, PHASH_INCR_MOD,
+                                        PHASH_INCR_REM, _phash_sig_cte)
+    return _phash_sig_cte() + f""", hits AS (
+  SELECT DISTINCT b.doc_id
+  FROM ph a JOIN ph b
+    ON a.doc_id % {PHASH_INCR_MOD} <> {PHASH_INCR_REM}
+   AND b.doc_id % {PHASH_INCR_MOD} = {PHASH_INCR_REM}
+  WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_MAX}
+)
+SELECT doc_id, phash FROM ph
+WHERE doc_id % {PHASH_INCR_MOD} <> {PHASH_INCR_REM}
+   OR doc_id NOT IN (SELECT doc_id FROM hits)
+"""
+
+
+@register(
+    "stream_phash_ingest",
+    oracle=_stream_phash_ingest_oracle(),
+    description="self-growing image index: the streaming admit gate "
+                "whose survivors' signatures are appended INTO the "
+                "signature index as epoch-keyed partitions (exactly-once "
+                "growth: base generation immutable, replayed epochs "
+                "rewrite their own partition); returns the grown index",
+    tags=("streaming", "multimodal", "dedup", "phash", "storage"),
+)
+def stream_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLOSED ingest loop — what ``stream_phash_admit`` (gate) and
+    ``multimodal_phash_index_append`` (write side) compose into in
+    production: every admitted image's 8-byte signature row lands in
+    the index the NEXT dump will be checked against, with no separate
+    maintenance job. The index is two generations on disk: the
+    immutable corpus generation (the memoized ``_phash_index_dir``
+    artifact — shared with the admit/persist entries, never written
+    here) plus a batch_id-partitioned EPOCH dir where each
+    micro-batch's survivors land under dynamic partition overwrite —
+    so BOTH layers of replay are idempotent (checkpointed file feed +
+    epoch-keyed rewrite) and a crash between sink write and checkpoint
+    commit cannot duplicate index rows. The generation split is also a
+    correctness requirement: Spark (rightly) refuses to overwrite a
+    path the same plan reads from. Folding accumulated epochs back
+    into one generation is ``phash_index_compact`` — the maintenance
+    the append entry pins.
+
+    Admission stays per-doc against the BASE generation (the
+    ``stream_phash_admit`` rule, same division-of-labor note) — that is
+    what makes the grown index's content independent of how the feed
+    chops into micro-batches, and hence SQL-expressible: the oracle is
+    simply corpus signatures ∪ admitted-dump signatures, recomputed
+    from source bytes.
+
+    Scale: per-batch cost identical to the admit gate plus one
+    batch-sized partition write; the index grows 8 bytes per admitted
+    image; zero streaming state."""
+    from ..operators.multimodal import (PHASH_INCR_MOD, PHASH_INCR_REM,
+                                        _phash_index_dir)
+
+    tune_session(spark)
+    base_dir = _phash_index_dir(spark, sf_dir)   # the corpus generation
+    dirs = _PHASH_INGEST_DIRS.get(sf_dir)
+    if dirs is None:
+        from ..engine.scratch import scratch_dir
+        dirs = (scratch_dir("fsbd_phash_ingest_epochs_"),
+                scratch_dir("fsbd_phash_ingest_ckpt_"))
+        _PHASH_INGEST_DIRS[sf_dir] = dirs
+    epochs_dir, ckpt = dirs
+
+    path = f"{sf_dir}/documents.parquet"
+    template = spark.read.parquet(path)
+    docs = stream_table(spark, path, template)
+    feed = (docs.where((F.col("doc_id") % PHASH_INCR_MOD == PHASH_INCR_REM)
+                       & (F.length("text") >= 1))
+            .select("doc_id", "text"))
+    q = (feed.writeStream.foreachBatch(_phash_ingest(base_dir, epochs_dir))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    base = spark.read.parquet(base_dir).select("doc_id", "phash")
+    grown = spark.read.parquet(epochs_dir).select("doc_id", "phash")
+    return base.unionByName(grown)
 
 
 APPROX_DISTINCT_RSD = 0.05

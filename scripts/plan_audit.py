@@ -162,6 +162,11 @@ STREAM_STATE_BOUNDS = {
                           "signature index; admission is per-doc, nothing "
                           "remembered across batches (idempotent epoch-"
                           "keyed sink)",
+    "stream_phash_ingest": "zero store state: the admit gate's per-batch "
+                           "join vs the immutable base generation; "
+                           "survivors grow the index via epoch-keyed "
+                           "partitions (idempotent dynamic overwrite) — "
+                           "growth lives on disk, not in the state store",
 }
 
 

@@ -133,6 +133,9 @@ PROBES = [
     ("pipeline_curate_images", "output",
      "gate is two map-only Arrow passes; cluster stage shuffles band rows "
      "+ bounded pairs; sample map-only; stats one small agg exchange"),
+    ("embedding_semdedup_apply", "output",
+     "broadcast anti-join of the within-cell drop list over one corpus "
+     "scan (composes embedding_semdedup)"),
 ]
 
 # Candidate-volume ceilings for the banded families (r7 verdict item 4):
@@ -192,6 +195,7 @@ CAND_CEIL = {
     # ceiling as the self-join minhash.
     "dedup_incremental": ("documents", 64.0, False),
     "pipeline_curate_images": ("documents", 512.0, False),
+    "embedding_semdedup_apply": ("embeddings", 256.0, False),
 }
 
 

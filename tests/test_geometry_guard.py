@@ -62,10 +62,13 @@ SCALED = {
                                        # scaled banding from the result
     "stream_phash_admit",            # per-batch bipartite join at the
                                      # scaled banding vs the stored index
+    "stream_phash_ingest",           # same per-batch join; survivors grow
+                                     # the index via epoch partitions
     "pipeline_curate_images",        # composes the scaled clusters stage
     "embedding_semdedup",            # candidates bounded by IVF cell
                                      # occupancy at the N/64-sized scaled
                                      # codebook (IVF_CELLS_WIDE)
+    "embedding_semdedup_apply",      # anti-join application of the same
 }
 
 # Entries that reuse a knob whose graduation is already pinned by a

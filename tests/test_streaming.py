@@ -529,6 +529,56 @@ def test_stream_phash_admit_epoch_replay_writes_no_duplicates(spark, tmp_path):
     assert [r[0] for r in once] == [22]  # 21 near-dups the corpus → dropped
 
 
+def test_stream_phash_ingest_grows_index_by_admitted_exactly(spark):
+    """The closed ingest loop: the grown index must be EXACTLY the base
+    generation plus the admit gate's survivors — and a second drain
+    over the unchanged feed must grow nothing (checkpoint layer)."""
+    from full_stack_big_data_spark.operators.multimodal import (
+        _phash_index_dir)
+    from full_stack_big_data_spark.operators.registry import load_all
+
+    reg = load_all()
+    grown = sorted(map(tuple,
+                       reg["stream_phash_ingest"].builder(spark, SF_SMOKE).collect()))
+    again = sorted(map(tuple,
+                       reg["stream_phash_ingest"].builder(spark, SF_SMOKE).collect()))
+    assert grown == again
+    base = sorted(map(tuple, spark.read
+                      .parquet(_phash_index_dir(spark, SF_SMOKE))
+                      .select("doc_id", "phash").collect()))
+    admitted = sorted(map(tuple,
+                          reg["stream_phash_admit"].builder(spark, SF_SMOKE).collect()))
+    assert grown == sorted(base + admitted)
+    assert len(grown) > len(base)   # the index actually grew
+
+
+def test_stream_phash_ingest_epoch_replay_writes_no_duplicates(spark, tmp_path):
+    """Crash-replay idempotency for the index-growth sink: re-invoking
+    the foreachBatch body with the SAME batch_id rewrites that epoch's
+    partition — the index cannot accumulate duplicate signature rows."""
+    from full_stack_big_data_spark.operators.multimodal import (
+        phash_signature_frame)
+    from full_stack_big_data_spark.streaming.joins import _phash_ingest
+
+    corpus = spark.createDataFrame(
+        [(10, "hello world this is a test")], "doc_id long, text string")
+    base_dir, epochs_dir = str(tmp_path / "base"), str(tmp_path / "epochs")
+    phash_signature_frame(corpus).write.parquet(base_dir)
+    batch = spark.createDataFrame(
+        [(21, "hello world this is a tesu"),        # near-dups the corpus
+         (22, "completely different content xyz")],
+        "doc_id long, text string")
+    ingest = _phash_ingest(base_dir, epochs_dir)
+    ingest(batch, 5)
+    once = sorted(map(tuple, spark.read.parquet(epochs_dir)
+                      .select("doc_id", "phash").collect()))
+    ingest(batch, 5)          # the crash-replay of epoch 5
+    twice = sorted(map(tuple, spark.read.parquet(epochs_dir)
+                       .select("doc_id", "phash").collect()))
+    assert once == twice
+    assert [r[0] for r in once] == [22]
+
+
 def test_stream_decontam_epoch_replay_writes_no_duplicates(spark, tmp_path):
     """foreachBatch is at-least-once: a crash AFTER the sink write but
     BEFORE the checkpoint commit replays the epoch (r9 ADVICE — the
