@@ -1270,6 +1270,31 @@ def embedding_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SRP_INDEX_DIRS: dict[str, str] = {}
+
+
+def srp_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the EXISTING corpus's (vec_id, table_id, bucket) SRP
+    rows as table_id-partitioned parquet ONCE per (process, corpus) —
+    the stored-index artifact ``ann_index_persist`` builds in-query,
+    memoized so the STREAMING admit gate (``stream_embedding_admit``)
+    can check every micro-batch against it without re-bucketing the
+    corpus. Same economics as the phash/eval-gram/BPE artifacts."""
+    path = _SRP_INDEX_DIRS.get(sf_dir)
+    if path is not None:
+        return path
+    from ..engine.scratch import scratch_dir
+
+    e = srp_buckets(Catalog(spark, sf_dir).embeddings
+                    .where(F.col("vec_id") % ANN_INCR_MOD != ANN_INCR_REM))
+    tbl = e.select("vec_id",
+                   F.posexplode("buckets").alias("table_id", "bucket"))
+    path = scratch_dir("fsbd_srp_admit_index_")
+    tbl.write.mode("overwrite").partitionBy("table_id").parquet(path)
+    _SRP_INDEX_DIRS[sf_dir] = path
+    return path
+
+
 # ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup shape): near-dup detection WITHIN coarse
 # clusters — the complement of the SRP-banded candidate generator.

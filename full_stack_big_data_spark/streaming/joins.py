@@ -550,6 +550,145 @@ def stream_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(grown)
 
 
+# ---------------------------------------------------------------------------
+# Streaming embedding admission — the vector member of the ingest-gate
+# family (text: stream_decontam; images: stream_phash_admit): drop an
+# incoming embedding if it near-dups the corpus, per micro-batch
+# against the persisted SRP bucket index.
+# ---------------------------------------------------------------------------
+
+_EMB_ADMIT_DIRS: dict[str, tuple[str, str]] = {}
+
+
+def _embedding_admit(index_path: str, emb_path: str, out_dir: str):
+    """foreachBatch body: bucket the micro-batch's vectors (the SRP
+    Arrow pass — a micro-batch is a plain batch DataFrame), equi-join
+    the batch's (table_id, bucket) rows against the stored corpus
+    index, verify candidates with the exact cosine kernel, drop every
+    new vector with a verified hit, write survivors to a
+    ``batch_id=<epoch>`` partition under dynamic partition overwrite
+    (the family's idempotent-replay recipe). Candidates carry IDS ONLY
+    through the bucket join (the band-row discipline); corpus vectors
+    join back for the verified pairs alone."""
+    def admit(batch: DataFrame, batch_id: int) -> None:
+        from ..functions import observability
+        from ..functions.vectors import cosine_sim
+        from ..operators.similarity import NEARDUP_COS, srp_buckets
+
+        idx = (batch.sparkSession.read.parquet(index_path)
+               .withColumnRenamed("vec_id", "old_id"))
+        corpus = (batch.sparkSession.read.parquet(emb_path)
+                  .select(F.col("vec_id").alias("old_id"),
+                          F.col("embedding").alias("old_emb")))
+        nb = (srp_buckets(batch)
+              .select("vec_id", F.posexplode("buckets")
+                      .alias("table_id", "bucket")))
+        cand = (nb.join(idx, ["table_id", "bucket"])
+                .select("vec_id", "old_id"))
+        cand = observability.observe_candidates(cand, "srp_admit").distinct()
+        q = batch.select("vec_id", F.col("embedding").alias("qv"))
+        hits = (cand.join(corpus, "old_id").join(q, "vec_id")
+                .where(cosine_sim(F.col("old_emb"), F.col("qv"))
+                       >= NEARDUP_COS)
+                .select("vec_id").distinct())
+        (batch.select("vec_id")
+         .join(hits, "vec_id", "left_anti")
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(out_dir))
+    return admit
+
+
+def _stream_embedding_admit_oracle() -> str:
+    from ..operators.similarity import (ANN_INCR_MOD, ANN_INCR_REM,
+                                        NEARDUP_COS, _srp_bucket_prefix)
+    return _srp_bucket_prefix() + f""", newb AS (
+  SELECT vec_id, table_id, bucket FROM b
+  WHERE vec_id % {ANN_INCR_MOD} = {ANN_INCR_REM}
+), oldb AS (
+  SELECT vec_id, table_id, bucket FROM b
+  WHERE vec_id % {ANN_INCR_MOD} <> {ANN_INCR_REM}
+), cand AS (
+  SELECT DISTINCT n.vec_id, o.vec_id AS old_id
+  FROM newb n JOIN oldb o USING (table_id, bucket)
+), hits AS (
+  SELECT DISTINCT c.vec_id
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.old_id
+  JOIN embeddings q ON q.vec_id = c.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], q.embedding::DOUBLE[])
+        >= {NEARDUP_COS}
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id % {ANN_INCR_MOD} = {ANN_INCR_REM}
+  AND vec_id NOT IN (SELECT vec_id FROM hits)
+"""
+
+
+@register(
+    "stream_embedding_admit",
+    oracle=_stream_embedding_admit_oracle(),
+    description="streaming embedding admission: per-micro-batch SRP "
+                "bucketing + bipartite bucket join against the persisted "
+                "SRP index, exact-cosine verify; admitted vectors written "
+                "exactly-once (checkpointed foreachBatch + idempotent "
+                "per-batch_id dynamic partition overwrite), zero "
+                "streaming state",
+    tags=("streaming", "similarity", "neardup", "lsh"),
+)
+def stream_embedding_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time EMBEDDING dedup — the vector member of the
+    ingest-gate family, completing it across all three column families
+    (text n-grams: ``stream_decontam``; image payloads:
+    ``stream_phash_admit``; embeddings: this). An incoming vector is
+    admitted only if NO corpus vector verifies at cosine ≥ the near-dup
+    threshold among its SRP bucket collisions — the stored index's own
+    candidate generation, so the gate's recall equals the banded batch
+    path's (``embedding_neardup_banded``), and the decision is
+    bit-deterministic (integer SRP buckets + the exact cosine kernel),
+    which is what makes the oracle replay it exactly.
+
+    Shape: readStream over the embedding feed → checkpointed
+    ``foreachBatch`` where each micro-batch is SRP-bucketed (one Arrow
+    matmul), its band rows equi-join the table_id-partitioned stored
+    index, verified hits anti-join the batch, survivors land in an
+    epoch-keyed partition (idempotent under both replay layers, the
+    family recipe). Per-doc admission against the immutable index →
+    batch-chop-invariant; intra-stream near-dups belong to the batch
+    cluster/apply path (the division-of-labor note on
+    ``stream_phash_admit``).
+
+    Scale: ZERO streaming state; per-batch cost is one Arrow pass over
+    the batch plus a candidate join ∝ batch size × bucket occupancy
+    (the ``srp_admit`` sensor rides it); corpus vectors are fetched
+    only for candidate pairs."""
+    from ..operators.similarity import (ANN_INCR_MOD, ANN_INCR_REM,
+                                        srp_index_dir)
+
+    tune_session(spark)
+    index_path = srp_index_dir(spark, sf_dir)
+    dirs = _EMB_ADMIT_DIRS.get(sf_dir)
+    if dirs is None:
+        from ..engine.scratch import scratch_dir
+        dirs = (scratch_dir("fsbd_emb_admit_out_"),
+                scratch_dir("fsbd_emb_admit_ckpt_"))
+        _EMB_ADMIT_DIRS[sf_dir] = dirs
+    out_dir, ckpt = dirs
+
+    path = f"{sf_dir}/embeddings.parquet"
+    template = spark.read.parquet(path)
+    vecs = stream_table(spark, path, template)
+    feed = (vecs.where(F.col("vec_id") % ANN_INCR_MOD == ANN_INCR_REM)
+            .select("vec_id", "embedding"))
+    q = (feed.writeStream
+         .foreachBatch(_embedding_admit(index_path, path, out_dir))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select("vec_id")
+
+
 APPROX_DISTINCT_RSD = 0.05
 
 

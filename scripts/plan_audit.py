@@ -167,6 +167,10 @@ STREAM_STATE_BOUNDS = {
                            "survivors grow the index via epoch-keyed "
                            "partitions (idempotent dynamic overwrite) — "
                            "growth lives on disk, not in the state store",
+    "stream_embedding_admit": "zero store state: per-batch SRP bucketing "
+                              "+ bipartite bucket join vs the persisted "
+                              "SRP index, exact-cosine verify; per-doc "
+                              "admission, idempotent epoch-keyed sink",
 }
 
 

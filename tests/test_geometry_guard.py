@@ -78,6 +78,9 @@ SAME_KNOB = {
     "ann_srp_lsh": "embedding_neardup_banded_scaled",       # SRP_BITS knob
     "ann_incremental": "embedding_neardup_banded_scaled",   # SRP_BITS knob
     "ann_index_persist": "embedding_neardup_banded_scaled", # SRP_BITS knob
+    "stream_embedding_admit": "embedding_neardup_banded_scaled",  # same
+                                     # stored-index SRP_BITS knob as
+                                     # ann_index_persist, checked per batch
 }
 
 # Banding into an UNBOUNDED bucket space: MinHash band signatures are

@@ -579,6 +579,45 @@ def test_stream_phash_ingest_epoch_replay_writes_no_duplicates(spark, tmp_path):
     assert [r[0] for r in once] == [22]
 
 
+def test_stream_embedding_admit_replay_and_gate_decisions(spark):
+    """The vector ingest gate: a second availableNow drain adds ZERO
+    rows; the admitted set is a strict subset of the incoming batch
+    (the gate dropped real near-dups); and every dropped vector
+    genuinely verifies at cosine ≥ the threshold against some corpus
+    vector (no false drops — the exact-cosine verify is the last
+    word, not the bucket collision)."""
+    from full_stack_big_data_spark.engine.catalog import Catalog
+    from full_stack_big_data_spark.functions.vectors import cosine_sim
+    from full_stack_big_data_spark.operators.registry import load_all
+    from full_stack_big_data_spark.operators.similarity import (
+        ANN_INCR_MOD, ANN_INCR_REM, NEARDUP_COS)
+
+    reg = load_all()
+    first = sorted(r.vec_id for r in
+                   reg["stream_embedding_admit"].builder(spark, SF_SMOKE).collect())
+    again = sorted(r.vec_id for r in
+                   reg["stream_embedding_admit"].builder(spark, SF_SMOKE).collect())
+    assert first == again
+    e = Catalog(spark, SF_SMOKE).embeddings
+    new_ids = {r.vec_id for r in
+               e.where(F.col("vec_id") % ANN_INCR_MOD == ANN_INCR_REM)
+               .select("vec_id").collect()}
+    admitted = set(first)
+    dropped = new_ids - admitted
+    assert admitted < new_ids and dropped, (len(admitted), len(new_ids))
+    # every dropped vector has a REAL corpus near-dup (≥ threshold)
+    old = e.where(F.col("vec_id") % ANN_INCR_MOD != ANN_INCR_REM) \
+        .select(F.col("vec_id").alias("old_id"),
+                F.col("embedding").alias("old_emb"))
+    dropped_df = e.where(F.col("vec_id").isin([int(x) for x in dropped])) \
+        .select("vec_id", F.col("embedding").alias("qv"))
+    n_without_neighbor = (
+        dropped_df.crossJoin(old)
+        .where(cosine_sim(F.col("old_emb"), F.col("qv")) >= NEARDUP_COS)
+        .select("vec_id").distinct().count())
+    assert n_without_neighbor == len(dropped)
+
+
 def test_stream_decontam_epoch_replay_writes_no_duplicates(spark, tmp_path):
     """foreachBatch is at-least-once: a crash AFTER the sink write but
     BEFORE the checkpoint commit replays the epoch (r9 ADVICE — the
