@@ -322,6 +322,30 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MINHASH_INDEX_DIRS: dict[str, str] = {}
+
+
+def minhash_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the EXISTING corpus's (doc_id, band, bucket) MinHash
+    band rows as band-partitioned parquet ONCE per (process, corpus) —
+    the reusable index ``dedup_incremental``'s docstring describes,
+    made into a stored artifact so the STREAMING admit gate
+    (``stream_text_admit``) checks each micro-batch against disk
+    instead of re-bucketing the corpus. Same memoized economics as the
+    SRP/phash/eval-gram artifacts."""
+    path = _MINHASH_INDEX_DIRS.get(sf_dir)
+    if path is not None:
+        return path
+    from ..engine.scratch import scratch_dir
+
+    sh = _shingle_sets(spark, sf_dir).where(
+        F.col("doc_id") % INCR_MOD != INCR_REM)
+    path = scratch_dir("fsbd_minhash_index_")
+    _band_rows(sh).write.mode("overwrite").partitionBy("band").parquet(path)
+    _MINHASH_INDEX_DIRS[sf_dir] = path
+    return path
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup.
 # ---------------------------------------------------------------------------

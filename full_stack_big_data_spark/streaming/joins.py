@@ -689,6 +689,154 @@ def stream_embedding_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).select("vec_id")
 
 
+# ---------------------------------------------------------------------------
+# Streaming text near-dup admission — the fourth ingest gate: where
+# stream_decontam drops eval-set CONTAMINATION, this drops incoming
+# docs that NEAR-DUP the training corpus itself (jaccard ≥ threshold),
+# per micro-batch against the persisted MinHash band index.
+# ---------------------------------------------------------------------------
+
+_TEXT_ADMIT_DIRS: dict[str, tuple[str, str]] = {}
+
+
+def _text_admit(index_path: str, docs_path: str, out_dir: str):
+    """foreachBatch body: shingle + MinHash-band the micro-batch
+    (map-side, the shared ``_band_rows`` kernel), equi-join the batch's
+    band rows against the stored corpus index, then verify candidates
+    with EXACT jaccard — candidate old docs' shingle sets are computed
+    by joining the candidate id list into the document store scan
+    (shingles evaluated only for matched rows; at scale this is a
+    point-lookup join ∝ candidates, never a corpus pass). Survivors
+    land in a ``batch_id=<epoch>`` partition under dynamic partition
+    overwrite (the family's idempotent-replay recipe)."""
+    def admit(batch: DataFrame, batch_id: int) -> None:
+        from ..functions import observability
+        from ..functions.text import token_ngrams, tokens
+        from ..operators.dedup import (JACCARD_THRESHOLD, SHINGLE_N,
+                                       _band_rows)
+
+        ss = batch.sparkSession
+        idx = ss.read.parquet(index_path)           # (doc_id, band, bucket)
+        toks = (batch.select("doc_id", tokens("text").alias("toks"))
+                .where(F.size("toks") >= SHINGLE_N))
+        sh_new = toks.select(
+            "doc_id",
+            F.array_distinct(token_ngrams(F.col("toks"), SHINGLE_N))
+             .alias("s")).persist()
+        try:
+            bands_new = _band_rows(sh_new)
+            cand = (idx.alias("a").join(
+                        bands_new.alias("b"),
+                        (F.col("a.band") == F.col("b.band"))
+                        & (F.col("a.bucket") == F.col("b.bucket")))
+                    .select(F.col("a.doc_id").alias("old_doc"),
+                            F.col("b.doc_id").alias("doc_id")))
+            cand = observability.observe_candidates(
+                cand, "text_admit_minhash").distinct()
+            old_ids = cand.select(F.col("old_doc").alias("doc_id")).distinct()
+            old_docs = (ss.read.parquet(docs_path)
+                        .join(F.broadcast(old_ids), "doc_id")
+                        .select("doc_id", tokens("text").alias("toks")))
+            sh_old = old_docs.select(
+                F.col("doc_id").alias("old_doc"),
+                F.array_distinct(token_ngrams(F.col("toks"), SHINGLE_N))
+                 .alias("so"))
+            i = F.size(F.array_intersect("so", "s"))
+            jac = F.col("i") / (F.col("no") + F.col("nn") - F.col("i"))
+            hits = (cand.join(sh_old, "old_doc").join(sh_new, "doc_id")
+                    .select("doc_id", i.alias("i"),
+                            F.size("so").alias("no"), F.size("s").alias("nn"))
+                    .where(jac >= JACCARD_THRESHOLD)
+                    .select("doc_id").distinct())
+            (sh_new.select("doc_id",
+                           F.size("s").cast("int").alias("n_shingles"))
+             .join(hits, "doc_id", "left_anti")
+             .withColumn("batch_id", F.lit(batch_id))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id").parquet(out_dir))
+        finally:
+            sh_new.unpersist()
+    return admit
+
+
+def _stream_text_admit_oracle() -> str:
+    from ..functions.text import tokens_sql
+    from ..operators.dedup import (INCR_MOD, INCR_REM, SHINGLE_N,
+                                   _SHINGLES_SQL, _minhash_oracle)
+    inc = _minhash_oracle(
+        cand_pred=(f"a.doc_id % {INCR_MOD} <> {INCR_REM} "
+                   f"AND b.doc_id % {INCR_MOD} = {INCR_REM}"),
+        head_cols="doc_a AS old_doc, doc_b AS new_doc")
+    return f"""
+SELECT doc_id, CAST(len({_SHINGLES_SQL}) AS INTEGER) AS n_shingles
+FROM documents
+WHERE len({tokens_sql('text')}) >= {SHINGLE_N}
+  AND doc_id % {INCR_MOD} = {INCR_REM}
+  AND doc_id NOT IN (SELECT new_doc FROM ({inc}) inc)
+"""
+
+
+@register(
+    "stream_text_admit",
+    oracle=_stream_text_admit_oracle(),
+    description="streaming text near-dup admission: per-micro-batch "
+                "MinHash banding + bipartite bucket join against the "
+                "persisted band index, exact-jaccard verify against "
+                "point-fetched corpus docs; admitted docs written "
+                "exactly-once (idempotent per-batch_id dynamic partition "
+                "overwrite), zero streaming state",
+    tags=("streaming", "dedup", "lsh"),
+)
+def stream_text_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time TEXT near-dup admission — the fourth gate, closing
+    the 2×2 the family implies: decontamination (eval-set membership)
+    and near-dup dedup (corpus similarity) each in batch and streaming
+    form. ``stream_decontam`` drops docs that would CONTAMINATE eval
+    sets; THIS drops docs the corpus effectively already has
+    (jaccard ≥ the dedup family's threshold) — the decision
+    ``dedup_incremental`` makes per dump, moved to the ingest door
+    against the stored band index (``dedup.minhash_index_dir``).
+
+    Shape: readStream over the new dump's feed → checkpointed
+    ``foreachBatch`` where the batch is shingled + banded map-side, its
+    band rows equi-join the band-partitioned index, candidates verify
+    with EXACT jaccard (old docs point-fetched from the document store
+    by candidate id — cost ∝ candidates, never a corpus pass), and
+    survivors land in an epoch-keyed partition (idempotent under both
+    replay layers, the family recipe).
+
+    Scale: ZERO streaming state; per-batch cost is the batch's
+    signature work plus a candidate join whose occupancy tracks true
+    duplicates (unbounded md5 bucket space — the family adjudication);
+    the ``text_admit_minhash`` sensor rides it. Admission is per-doc
+    against the immutable index → batch-chop-invariant (intra-stream
+    near-dups belong to the batch cluster/apply path, the
+    division-of-labor note on ``stream_phash_admit``)."""
+    from ..operators.dedup import INCR_MOD, INCR_REM, minhash_index_dir
+
+    tune_session(spark)
+    path = f"{sf_dir}/documents.parquet"
+    index_path = minhash_index_dir(spark, sf_dir)
+    dirs = _TEXT_ADMIT_DIRS.get(sf_dir)
+    if dirs is None:
+        from ..engine.scratch import scratch_dir
+        dirs = (scratch_dir("fsbd_text_admit_out_"),
+                scratch_dir("fsbd_text_admit_ckpt_"))
+        _TEXT_ADMIT_DIRS[sf_dir] = dirs
+    out_dir, ckpt = dirs
+
+    template = spark.read.parquet(path)
+    docs = stream_table(spark, path, template)
+    feed = (docs.where(F.col("doc_id") % INCR_MOD == INCR_REM)
+            .select("doc_id", "text"))
+    q = (feed.writeStream.foreachBatch(_text_admit(index_path, path, out_dir))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select("doc_id", "n_shingles")
+
+
 APPROX_DISTINCT_RSD = 0.05
 
 

@@ -171,6 +171,11 @@ STREAM_STATE_BOUNDS = {
                               "+ bipartite bucket join vs the persisted "
                               "SRP index, exact-cosine verify; per-doc "
                               "admission, idempotent epoch-keyed sink",
+    "stream_text_admit": "zero store state: per-batch MinHash banding + "
+                         "bipartite bucket join vs the persisted band "
+                         "index, exact-jaccard verify on point-fetched "
+                         "candidate docs; per-doc admission, idempotent "
+                         "epoch-keyed sink",
 }
 
 

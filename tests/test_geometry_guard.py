@@ -94,6 +94,9 @@ UNBOUNDED_BUCKET_SPACE = {
     "multimodal_frame_neardup",  # frame-hash sets through the same
                                  # _band_rows md5 buckets — occupancy
                                  # tracks true duplicates, not N
+    "stream_text_admit",         # per-batch bipartite join over the same
+                                 # _band_rows md5 buckets (the persisted
+                                 # dedup_incremental index)
 }
 
 

@@ -618,6 +618,37 @@ def test_stream_embedding_admit_replay_and_gate_decisions(spark):
     assert n_without_neighbor == len(dropped)
 
 
+def test_stream_text_admit_replay_and_batch_equivalence(spark):
+    """The text near-dup gate: a second availableNow drain adds ZERO
+    rows, and the admitted set equals the batch rule — eligible new
+    docs minus dedup_incremental's verified new_doc hit set (the gate
+    IS that decision moved to the ingest door)."""
+    from full_stack_big_data_spark.engine.catalog import Catalog
+    from full_stack_big_data_spark.functions.text import tokens
+    from full_stack_big_data_spark.operators.dedup import (INCR_MOD,
+                                                           INCR_REM,
+                                                           SHINGLE_N)
+    from full_stack_big_data_spark.operators.registry import load_all
+
+    reg = load_all()
+    first = sorted(map(tuple,
+                       reg["stream_text_admit"].builder(spark, SF_SMOKE).collect()))
+    again = sorted(map(tuple,
+                       reg["stream_text_admit"].builder(spark, SF_SMOKE).collect()))
+    assert first == again
+    assert len(first) > 0
+    hits = {r.new_doc for r in
+            reg["dedup_incremental"].builder(spark, SF_SMOKE).collect()}
+    eligible = {r.doc_id for r in Catalog(spark, SF_SMOKE).documents
+                .where(F.col("doc_id") % INCR_MOD == INCR_REM)
+                .select("doc_id", tokens("text").alias("toks"))
+                .where(F.size("toks") >= SHINGLE_N)
+                .select("doc_id").collect()}
+    admitted = {r[0] for r in first}
+    assert admitted == eligible - hits
+    assert hits  # the gate actually dropped something
+
+
 def test_stream_decontam_epoch_replay_writes_no_duplicates(spark, tmp_path):
     """foreachBatch is at-least-once: a crash AFTER the sink write but
     BEFORE the checkpoint commit replays the epoch (r9 ADVICE — the
