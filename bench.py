@@ -72,21 +72,24 @@ HEADLINE = [
 ]
 
 
-def _prev_round_queries() -> list[str]:
-    """Query keys of the newest committed BENCH_r{N}.json whose set
-    DIFFERS from this run's HEADLINE — the previous round's headline
-    set. Summing THIS run's times over that set gives a like-for-like
-    round-over-round subtotal in the artifact itself (r8 verdict
-    item 3), so a grown headline list no longer makes totals
-    incomparable.
+def _prev_round_queries() -> tuple[list[str], int | None]:
+    """(query keys, round) of the newest committed BENCH_r{N}.json
+    whose set DIFFERS from this run's HEADLINE — the previous round's
+    headline set. Summing THIS run's times over that set gives a
+    like-for-like round-over-round subtotal in the artifact itself
+    (r8 verdict item 3), so a grown headline list no longer makes
+    totals incomparable.
 
     Artifacts whose query set equals the current HEADLINE are skipped
     (r9 ADVICE): once the current round's artifact lands on disk, a
     re-run within the round would otherwise compare against its OWN
-    set (subtotal == total, vacuously); falling back to the
-    next-newest DIFFERING set keeps the comparison meaningful, and
-    when sets genuinely didn't change between rounds the subtotal over
-    the older set equals the total anyway — nothing is lost."""
+    set (subtotal == total, vacuously). When NO artifact's set differs
+    (the headline genuinely didn't change between rounds), fall back
+    to the newest artifact's set instead of none — the subtotal then
+    equals the total, which IS the like-for-like number (r10 ADVICE).
+    The source round rides in the emitted JSON as
+    ``prev_round_source`` so a fallback several rounds deep is
+    labeled, not silently passed off as last round's."""
     import re as _re
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -95,7 +98,8 @@ def _prev_round_queries() -> list[str]:
         m = _re.match(r"BENCH_r(\d+)\.json$", fname)
         if m:
             rounds.append((int(m.group(1)), fname))
-    for _rnd, fname in sorted(rounds, reverse=True):
+    newest: tuple[list[str], int | None] = ([], None)
+    for rnd, fname in sorted(rounds, reverse=True):
         try:
             with open(os.path.join(here, fname)) as f:
                 rec = json.load(f)
@@ -104,9 +108,11 @@ def _prev_round_queries() -> list[str]:
             prev = list(rec.get("parsed", rec).get("queries", {}))
         except (OSError, ValueError, AttributeError):
             continue
+        if prev and newest[1] is None:
+            newest = (prev, rnd)
         if prev and set(prev) != set(HEADLINE):
-            return prev
-    return []
+            return prev, rnd
+    return newest
 
 
 def main() -> None:
@@ -171,7 +177,7 @@ def main() -> None:
             components[name] = comp_best
 
     total = round(sum(times.values()), 3)
-    prev_all = _prev_round_queries()
+    prev_all, prev_src = _prev_round_queries()
     prev_set = [n for n in prev_all if n in times]
     # Queries the previous round benched but this run didn't are
     # RECORDED, not silently dropped (r9 ADVICE): a query leaving
@@ -193,6 +199,9 @@ def main() -> None:
         # BENCHNOTES archaeology.
         "queries_prev_round": {n: times[n] for n in prev_set} or None,
         "prev_round_missing": prev_missing or None,
+        # Which BENCH_r{N}.json the comparison set came from (r10
+        # ADVICE) — null only when no artifact exists at all.
+        "prev_round_source": prev_src,
         "sf": sf,
     }))
     spark.stop()

@@ -1295,6 +1295,35 @@ def srp_index_dir(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+_SRP_PAYLOAD_DIRS: dict[str, str] = {}
+
+
+def srp_payload_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the corpus side's (vec_id, embedding) rows as a
+    point-lookup payload (engine.pointfetch layout) ONCE per
+    (process, corpus) — the verify half of the SRP index artifact. The
+    r10 ``stream_embedding_admit`` fetched candidate corpus vectors by
+    joining ids into an UNPRUNED embeddings.parquet scan (wide vector
+    column included) every micro-batch (r10 verdict's weak item); with
+    the payload stored beside the bucket index, the exact-cosine verify
+    reads only the pk directories the candidate ids touch. Storage is
+    one re-sorted copy of the corpus vectors — 1×, vs the 16× a
+    vector-in-every-band-row layout would cost."""
+    path = _SRP_PAYLOAD_DIRS.get(sf_dir)
+    if path is not None:
+        return path
+    from ..engine.pointfetch import write_payload
+    from ..engine.scratch import scratch_dir
+
+    e = (Catalog(spark, sf_dir).embeddings
+         .where(F.col("vec_id") % ANN_INCR_MOD != ANN_INCR_REM)
+         .select("vec_id", "embedding"))
+    path = scratch_dir("fsbd_srp_payload_")
+    write_payload(e, "vec_id", path)
+    _SRP_PAYLOAD_DIRS[sf_dir] = path
+    return path
+
+
 # ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup shape): near-dup detection WITHIN coarse
 # clusters — the complement of the SRP-banded candidate generator.

@@ -438,3 +438,74 @@ def test_ivf_appended_index_serve_uses_dynamic_partition_pruning(spark):
     assert idx_scans, "appended index scan not found in plan"
     assert any("dynamicpruning" in l and "PartitionFilters" in l
                for l in idx_scans), idx_scans[0][:500]
+
+
+def test_point_fetch_prunes_directories_and_pushes_key(spark):
+    """The gates' verify-payload fetch (engine.pointfetch): literal ids
+    must reach the payload scan as BOTH a pk PartitionFilter (whole
+    directories skipped) and a pushed key predicate (row-group
+    skipping inside touched directories), and the files actually read
+    must be only the touched pk directories — per-batch verify I/O ∝
+    candidates, never the payload size (r10 verdict item 1)."""
+    from pyspark.sql import functions as F
+    from full_stack_big_data_spark.engine.pointfetch import (
+        PF_PK_MOD, point_fetch, write_payload)
+    from full_stack_big_data_spark.engine.scratch import scratch_dir
+
+    path = scratch_dir("fsbd_pointfetch_plan_")
+    write_payload(spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 7).alias("v")),
+        "doc_id", path)
+    got = point_fetch(spark, path, "doc_id", [3, 35, 67])
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1][:300]
+    assert "pk" in pf, plan[:1500]
+    assert "PushedFilters" in plan and "doc_id" in plan.split(
+        "PushedFilters")[1][:300], plan[:1500]
+    # 3, 35, 67 share pk = 3 (mod 32): exactly ONE directory is read.
+    files = {r[0] for r in
+             got.select(F.input_file_name()).distinct().collect()}
+    assert len(files) == 1 and all("pk=3" in f for f in files), files
+    assert sorted(r.doc_id for r in got.collect()) == [3, 35, 67]
+    # the empty id list reads zero files (constant-false prune)
+    assert point_fetch(spark, path, "doc_id", []).count() == 0
+    assert PF_PK_MOD == 32  # pk arithmetic above assumes the modulus
+
+
+def test_gate_verify_fetches_never_scan_the_corpus(spark):
+    """The r10 weak items, pinned closed: the text and embedding
+    ingest gates' exact-verify subplans must read ONLY the payload
+    artifact (pk-pruned point fetch) — a scan of documents.parquet or
+    embeddings.parquet anywhere in the verify plan is the per-batch
+    corpus pass the r10 verdict flagged."""
+    from pyspark.sql import functions as F
+    from full_stack_big_data_spark.operators.dedup import \
+        minhash_payload_dir
+    from full_stack_big_data_spark.operators.similarity import \
+        srp_payload_dir
+    from full_stack_big_data_spark.streaming.joins import (
+        _cosine_verify_hits, _jaccard_verify_hits)
+
+    text_payload = minhash_payload_dir(spark, SF)
+    cand = spark.createDataFrame(
+        [(0, 999001), (4, 999002)], "old_doc long, doc_id long")
+    sh_new = spark.createDataFrame(
+        [(999001, ["a b c"]), (999002, ["d e f"])],
+        "doc_id long, s array<string>")
+    hits = _jaccard_verify_hits(spark, cand, sh_new, text_payload)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan, plan[:2000]
+    assert "PartitionFilters" in plan and "pk" in plan.split(
+        "PartitionFilters")[1][:300], plan[:2000]
+
+    emb_payload = srp_payload_dir(spark, SF)
+    ecand = spark.createDataFrame(
+        [(999001, 1), (999002, 2)], "vec_id long, old_id long")
+    batch = spark.createDataFrame(
+        [(999001, [0.1] * 64), (999002, [0.2] * 64)],
+        "vec_id long, embedding array<float>")
+    ehits = _cosine_verify_hits(spark, ecand, batch, emb_payload)
+    eplan = ehits._jdf.queryExecution().executedPlan().toString()
+    assert "embeddings.parquet" not in eplan, eplan[:2000]
+    assert "PartitionFilters" in eplan and "pk" in eplan.split(
+        "PartitionFilters")[1][:300], eplan[:2000]

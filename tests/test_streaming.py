@@ -611,11 +611,11 @@ def test_stream_embedding_admit_replay_and_gate_decisions(spark):
                 F.col("embedding").alias("old_emb"))
     dropped_df = e.where(F.col("vec_id").isin([int(x) for x in dropped])) \
         .select("vec_id", F.col("embedding").alias("qv"))
-    n_without_neighbor = (
+    n_with_neighbor = (
         dropped_df.crossJoin(old)
         .where(cosine_sim(F.col("old_emb"), F.col("qv")) >= NEARDUP_COS)
         .select("vec_id").distinct().count())
-    assert n_without_neighbor == len(dropped)
+    assert n_with_neighbor == len(dropped)
 
 
 def test_stream_text_admit_replay_and_batch_equivalence(spark):
