@@ -1459,6 +1459,103 @@ def embedding_semdedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_PROBES = 2   # multiprobe: each vector joins its 2 nearest cells
+
+
+def _semdedup_mp_pairs_oracle() -> str:
+    """Multiprobe within-cell pairs: both vectors' r ≤ SEMDEDUP_PROBES
+    cell sets must intersect; DISTINCT because a pair can cohabit both
+    of its probed cells."""
+    return _ivf_scaled_assign_prefix() + f""", m AS (
+  SELECT vec_id, cell FROM ranked_cells WHERE r <= {SEMDEDUP_PROBES}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.vec_a
+JOIN embeddings eb ON eb.vec_id = c.vec_b
+WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+      >= {SEMDEDUP_COS}
+"""
+
+
+def _semdedup_mp_clusters_oracle() -> str:
+    from .dedup import components_oracle
+    return components_oracle(
+        f"SELECT vec_a AS doc_a, vec_b AS doc_b "
+        f"FROM ({_semdedup_mp_pairs_oracle()}) sd",
+        id_col="vec_id")
+
+
+def semdedup_pairs_multiprobe(e: DataFrame,
+                              probes: int = SEMDEDUP_PROBES) -> DataFrame:
+    """Verified multiprobe within-cell near-dup pairs (vec_a < vec_b) —
+    shared by the registered entry and the recall measurement in
+    tests/test_similarity_extras.py."""
+    m = (ivf_cells_scaled(e, probes=probes)
+         .select("vec_id", F.explode("cells").alias("cell")))
+    cand = (m.select(F.col("vec_id").alias("vec_a"), "cell")
+            .join(m, "cell")
+            .where(F.col("vec_a") < F.col("vec_id"))
+            .select("vec_a", F.col("vec_id").alias("vec_b")))
+    cand = observability.observe_candidates(
+        cand, f"semdedup_mp{probes}_cells{IVF_CELLS_WIDE}").distinct()
+    ea = e.select(F.col("vec_id").alias("vec_a"),
+                  F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("vec_b"),
+                  F.col("embedding").alias("emb_b"))
+    return (cand.join(ea, "vec_a").join(eb, "vec_b")
+            .where(cosine_sim(F.col("emb_a"), F.col("emb_b"))
+                   >= SEMDEDUP_COS)
+            .select("vec_a", "vec_b"))
+
+
+@register(
+    "embedding_semdedup_multiprobe",
+    oracle=_semdedup_mp_clusters_oracle(),
+    description=f"multiprobe SemDeDup: near-dup pairs within the "
+                f"{SEMDEDUP_PROBES} nearest IVF cells per vector "
+                f"(cosine ≥ {SEMDEDUP_COS}) — recovers cross-cell "
+                f"near-dups the r=1 formulation misses; min-label "
+                f"components, canonical keeper",
+    tags=("similarity", "neardup", "dedup", "ivf", "iterative"),
+)
+def embedding_semdedup_multiprobe(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """``embedding_semdedup``'s documented trade — near-dups split
+    across a cell boundary are missed by formulation — bought back
+    with the standard IVF trick (r10 verdict item 4): assign every
+    vector to its ``SEMDEDUP_PROBES`` nearest codebook cells and admit
+    a pair when ANY probed cell is shared. Measured against the exact
+    all-pairs set (tests/test_similarity.py pins the containment chain
+    r=1 ⊂ r=2 ⊆ exact and the strict recovery): pair recall 0.049 →
+    0.138 at sf0.1 (45 → 127 of 920 exact pairs), 0.030 → 0.106 at
+    sf0.001 — multiprobe recovers ~3× the pairs at ≤ probes² the
+    candidates. Absolute recall is low BY THE FIXTURE'S BALL: at
+    cosine ≥ 0.40 "near-dups" span the sphere far wider than one
+    256-cell Voronoi cell; a production SemDeDup ball (≥ 0.9) puts a
+    pair's members nearly colinear, where a shared top-probe cell is
+    the norm — the within-cell formulation's documented trade either
+    way, now with its price measured and a knob that buys recall at
+    bounded cost.
+
+    Scale: candidates stay occupancy-bounded — each vector joins
+    ``probes`` cells, so raw collisions ≤ probes² × the r=1 volume in
+    the worst case (measured ~4× on the fixture; ceiling in
+    scale_probe_sf1.CAND_CEIL rides the ``semdedup_mp2_cells256``
+    sensor); assignment is the same single Arrow matmul (top-2 instead
+    of top-1 of an already-computed argsort), everything downstream is
+    the r=1 shape: one cell-keyed shuffle of id rows, vector fetch ∝
+    candidates, component loop ∝ true pairs."""
+    from .dedup import min_label_components
+
+    e = Catalog(spark, sf_dir).embeddings
+    pairs = semdedup_pairs_multiprobe(e)
+    return min_label_components(pairs, a="vec_a", b="vec_b", id_col="vec_id")
+
+
 # ---------------------------------------------------------------------------
 # K-means Lloyd update step (the training half of the IVF index).
 # ---------------------------------------------------------------------------

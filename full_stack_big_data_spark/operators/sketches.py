@@ -494,6 +494,13 @@ def q_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus: this is the sketch contract, same as CMS/KMV above.
     """
     cat = Catalog(spark, sf_dir)
+    # keys feeds the bit build AND the n_keys count, bits the probe
+    # broadcast AND the bits_set count — left UN-persisted on purpose:
+    # the repeated subtrees are byte-identical Exchanges, so Spark's
+    # ReuseExchange already computes each once within this single plan,
+    # and an explicit persist() measured SLOWER paired (1.59 vs 1.03 s
+    # idle min at sf0.1, BENCHNOTES r11) because it splits the plan
+    # into separate materialization jobs and defeats whole-plan reuse.
     keys = cat.orders.select(F.col("o_custkey").alias("k")).distinct()
 
     def positions(kcol):
@@ -509,8 +516,13 @@ def q_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .join(F.broadcast(bits), "b")
                 .groupBy("k").agg(F.count("*").alias("hits")))
 
-    maxk = cat.customer.agg(F.max("c_custkey").alias("mx"))
-    shifted = (cat.customer.crossJoin(F.broadcast(maxk))
+    # One customer aggregate carries BOTH the domain max (the shift)
+    # and the cohort size — n_shifted == COUNT(customer) by
+    # construction, so the separate cohort-count scan was pure waste.
+    cust = cat.customer.agg(
+        F.max("c_custkey").alias("mx"),
+        F.count("*").cast("bigint").alias("n_shifted"))
+    shifted = (cat.customer.crossJoin(F.broadcast(cust))
                .select((F.col("c_custkey") + F.col("mx"))
                        .cast("bigint").alias("k")))
 
@@ -520,7 +532,7 @@ def q_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp_sh = cnt(probe_hits(shifted).where(F.col("hits") == BLOOM_K), "fp_shifted")
     row = (cnt(keys, "n_keys")
            .crossJoin(F.broadcast(cnt(bits, "bits_set")))
-           .crossJoin(F.broadcast(cnt(shifted, "n_shifted")))
+           .crossJoin(F.broadcast(cust.select("n_shifted")))
            .crossJoin(F.broadcast(fp_sh)))
     return row.select(
         F.lit(BLOOM_M).cast("bigint").alias("m"),

@@ -155,6 +155,21 @@ _EVAL_INDEX_DIRS: dict[str, str] = {}
 _DECONTAM_DIRS: dict[str, tuple[str, str]] = {}
 
 
+def _read_gate_output(spark: SparkSession, out_dir: str,
+                      schema: str) -> DataFrame:
+    """Read an ingest gate's epoch-partitioned sink with an EXPLICIT
+    schema: a feed whose every batch is fully dropped writes no files,
+    and a schema-less parquet read of the empty directory raises
+    UNABLE_TO_INFER_SCHEMA — an all-dropped stream is an EMPTY result,
+    not an error (surfaced by the sf1.0 curate probe, where the decade
+    corpus's token suffixing zeroes English-stopword evidence
+    corpus-wide). The batch_id partition column is layout, not
+    contract: the explicit schema omits it, and the drop removes the
+    discovered partition column when files exist (a no-op on the
+    empty read, where nothing was discovered)."""
+    return spark.read.schema(schema).parquet(out_dir).drop("batch_id")
+
+
 def _eval_gram_index_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the eval set's distinct n-grams as parquet ONCE per
     (process, corpus) — the persisted reference set a long-running
@@ -294,7 +309,8 @@ def stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     # batch_id is a sink-layout column (the idempotency key), not part
     # of the query's result contract — project it away for the oracle.
-    return spark.read.parquet(out_dir).select("doc_id", "n_grams")
+    return _read_gate_output(spark, out_dir,
+                             "doc_id long, n_grams int")
 
 
 # ---------------------------------------------------------------------------
@@ -427,7 +443,7 @@ def stream_phash_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    return spark.read.parquet(out_dir).select("doc_id", "phash")
+    return _read_gate_output(spark, out_dir, "doc_id long, phash long")
 
 
 _PHASH_INGEST_DIRS: dict[str, tuple[str, str]] = {}
@@ -546,7 +562,8 @@ def stream_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
          .trigger(availableNow=True).start())
     q.awaitTermination()
     base = spark.read.parquet(base_dir).select("doc_id", "phash")
-    grown = spark.read.parquet(epochs_dir).select("doc_id", "phash")
+    grown = _read_gate_output(spark, epochs_dir,
+                              "doc_id long, phash long")
     return base.unionByName(grown)
 
 
@@ -716,7 +733,7 @@ def stream_embedding_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    return spark.read.parquet(out_dir).select("vec_id")
+    return _read_gate_output(spark, out_dir, "vec_id long")
 
 
 # ---------------------------------------------------------------------------
@@ -885,7 +902,208 @@ def stream_text_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    return spark.read.parquet(out_dir).select("doc_id", "n_shingles")
+    return _read_gate_output(spark, out_dir,
+                             "doc_id long, n_shingles int")
+
+
+# ---------------------------------------------------------------------------
+# Composed streaming curation (r10 verdict item 5): the singleton ingest
+# gates fused into ONE foreachBatch over one shared micro-batch scan —
+# quality gate → decontamination → corpus near-dup admission — the
+# streaming twin of pipeline_curate and the full lambda ingest story the
+# reference's README declares (/root/reference/README.md:49-55).
+# ---------------------------------------------------------------------------
+
+_CURATE_DIRS: dict[str, tuple[str, str]] = {}
+
+CURATE_MIN_TOKENS = 20   # pipeline_curate's quality floor, shared rule
+
+
+def _curate_admit(eval_index_path: str, band_index_path: str,
+                  payload_path: str, out_dir: str, min_en_hits: int = 1):
+    """foreachBatch body: the three gates' decisions over ONE persisted
+    projection of the micro-batch. Drops compose as a conjunction of
+    per-doc keep predicates, so stage ORDER cannot change the result
+    set (what makes the end-to-end oracle a plain intersection) — the
+    execution order is the cost order: the map-only quality gate first
+    shrinks the batch, the broadcast gram check runs on survivors, and
+    only they pay MinHash banding + the point-fetch verify. One
+    epoch-keyed idempotent write, the family recipe."""
+    def admit(batch: DataFrame, batch_id: int) -> None:
+        from ..functions import observability
+        from ..functions.text import token_ngrams, tokens
+        from ..operators.decontam import DECONTAM_N
+        from ..operators.dedup import SHINGLE_N, _band_rows
+        from ..operators.textanalysis import _stopword_hits_spark
+
+        ss = batch.sparkSession
+        scored = (batch.select(
+                      "doc_id", "lang", tokens("text").alias("toks"),
+                      _stopword_hits_spark("en").alias("en_hits"))
+                  .withColumn("n_tokens", F.size("toks")))
+        # Stage 1 — quality gate (map-only): pipeline_curate's rule.
+        # min_en_hits is the probe knob: the sf1.0 corpus suffixes every
+        # token (scripts/make_sf1.py), zeroing English-stopword evidence
+        # corpus-wide, so the decade probe sets 0 to keep the later
+        # stages loaded (scale_probe_sf1._curate_en_free).
+        quality = (scored.where((F.col("n_tokens") >= CURATE_MIN_TOKENS)
+                                & (F.col("en_hits") >= min_en_hits))
+                   .select("doc_id", "lang", "n_tokens", "toks")
+                   .persist())
+        try:
+            # Stage 2 — decontamination: broadcast membership against
+            # the persisted eval-gram index (stream_decontam's rule).
+            ev = ss.read.parquet(eval_index_path)
+            g = quality.select(
+                "doc_id",
+                F.explode(F.array_distinct(
+                    token_ngrams(F.col("toks"), DECONTAM_N))).alias("g"))
+            contaminated = (g.join(F.broadcast(ev), "g", "left_semi")
+                            .select("doc_id").distinct())
+            clean = (quality.join(contaminated, "doc_id", "left_anti")
+                     .select("doc_id", "lang", "n_tokens",
+                             F.array_distinct(
+                                 token_ngrams(F.col("toks"), SHINGLE_N))
+                             .alias("s"))
+                     .persist())
+            try:
+                # Stage 3 — near-dup admission: band join vs the stored
+                # MinHash index + exact-jaccard point-fetch verify
+                # (stream_text_admit's rule; quality's ≥ 20 tokens
+                # implies shingles exist, so no extra eligibility cut).
+                idx = ss.read.parquet(band_index_path)
+                cand = (idx.alias("a").join(
+                            _band_rows(clean).alias("b"),
+                            (F.col("a.band") == F.col("b.band"))
+                            & (F.col("a.bucket") == F.col("b.bucket")))
+                        .select(F.col("a.doc_id").alias("old_doc"),
+                                F.col("b.doc_id").alias("doc_id")))
+                cand = (observability.observe_candidates(
+                            cand, "curate_minhash")
+                        .distinct().persist())
+                try:
+                    hits = _jaccard_verify_hits(ss, cand, clean,
+                                                payload_path)
+                    (clean.select("doc_id", "lang",
+                                  F.col("n_tokens").cast("int")
+                                  .alias("n_tokens"))
+                     .join(hits, "doc_id", "left_anti")
+                     .withColumn("batch_id", F.lit(batch_id))
+                     .write.mode("overwrite")
+                     .option("partitionOverwriteMode", "dynamic")
+                     .partitionBy("batch_id").parquet(out_dir))
+                finally:
+                    cand.unpersist()
+            finally:
+                clean.unpersist()
+        finally:
+            quality.unpersist()
+    return admit
+
+
+def _stream_pipeline_curate_oracle() -> str:
+    from ..functions.text import tokens_sql
+    from ..operators.decontam import _NG_SQL, EVAL_MOD
+    from ..operators.dedup import INCR_MOD, INCR_REM, _minhash_oracle
+    from ..operators.textanalysis import _stopword_hits_sql
+
+    inc = _minhash_oracle(
+        cand_pred=(f"a.doc_id % {INCR_MOD} <> {INCR_REM} "
+                   f"AND b.doc_id % {INCR_MOD} = {INCR_REM}"),
+        head_cols="doc_a AS old_doc, doc_b AS new_doc")
+    return f"""
+WITH eligible AS (
+  SELECT doc_id, lang,
+         CAST(len({tokens_sql('text')}) AS INTEGER) AS n_tokens,
+         {_stopword_hits_sql('en')} AS en_hits
+  FROM documents
+  WHERE doc_id % {INCR_MOD} = {INCR_REM} AND doc_id % {EVAL_MOD} <> 0
+), quality AS (
+  SELECT doc_id, lang, n_tokens FROM eligible
+  WHERE n_tokens >= {CURATE_MIN_TOKENS} AND en_hits > 0
+), ev AS (
+  SELECT DISTINCT unnest({_NG_SQL}) AS g FROM documents
+  WHERE doc_id % {EVAL_MOD} = 0
+), gnew AS (
+  SELECT doc_id, unnest({_NG_SQL}) AS g FROM documents
+  WHERE doc_id % {INCR_MOD} = {INCR_REM}
+), contaminated AS (
+  SELECT DISTINCT doc_id FROM gnew JOIN ev USING (g)
+), neardup AS (
+  SELECT DISTINCT new_doc AS doc_id FROM ({inc}) inc
+)
+SELECT q.doc_id, q.lang, q.n_tokens
+FROM quality q
+WHERE q.doc_id NOT IN (SELECT doc_id FROM contaminated)
+  AND q.doc_id NOT IN (SELECT doc_id FROM neardup)
+"""
+
+
+@register(
+    "stream_pipeline_curate",
+    oracle=_stream_pipeline_curate_oracle(),
+    description="composed streaming ingest curation: quality gate → "
+                "eval-set decontamination → corpus near-dup admission, "
+                "fused in ONE foreachBatch over one shared micro-batch "
+                "scan against the persisted gram/band/payload artifacts; "
+                "exactly-once epoch-keyed sink, zero streaming state, "
+                "end-to-end oracle",
+    tags=("streaming", "pipeline", "decontam", "dedup", "lsh"),
+)
+def stream_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ingest door a training-data pipeline actually deploys —
+    the r10 singleton gates (``stream_decontam``, ``stream_text_admit``)
+    plus ``pipeline_curate``'s quality rule COMPOSED in one
+    checkpointed foreachBatch, so each micro-batch is scanned once,
+    tokenized once, and every stage's verdict lands in one epoch-keyed
+    write (one sink, one replay-idempotence domain — not three gates
+    triple-reading the feed). Inter-stage contracts are oracle-checked
+    END TO END: stage-level oracles can't catch a composition bug
+    (e.g. the near-dup stage reading pre-quality rows), the
+    intersection oracle does, column-exactly.
+
+    Per-doc admission against immutable persisted artifacts (eval-gram
+    index, MinHash band index + shingle payload) keeps the composed
+    decision batch-chop-invariant — which is precisely what makes the
+    one-shot SQL replay equal the union of per-batch decisions.
+
+    Scale: ZERO streaming state (nothing remembered across batches);
+    per-batch cost = one batch scan + map-only quality/tokenize work +
+    a broadcast gram semi-join (KB eval index vs TB/day feed) + MinHash
+    banding over quality survivors + a candidate join bounded by true
+    near-dup density (``curate_minhash`` sensor) + a point-fetch verify
+    whose I/O ∝ candidates (engine.pointfetch, the r11 gate
+    discipline). Stage order is pure cost optimization — drops are a
+    conjunction, so the result set is order-free by construction."""
+    from ..operators.dedup import (INCR_MOD, INCR_REM, minhash_index_dir,
+                                   minhash_payload_dir)
+    from ..operators.decontam import EVAL_MOD
+
+    tune_session(spark)
+    path = f"{sf_dir}/documents.parquet"
+    eval_index = _eval_gram_index_dir(spark, sf_dir)
+    band_index = minhash_index_dir(spark, sf_dir)
+    payload = minhash_payload_dir(spark, sf_dir)
+    dirs = _CURATE_DIRS.get(sf_dir)
+    if dirs is None:
+        from ..engine.scratch import scratch_dir
+        dirs = (scratch_dir("fsbd_stream_curate_out_"),
+                scratch_dir("fsbd_stream_curate_ckpt_"))
+        _CURATE_DIRS[sf_dir] = dirs
+    out_dir, ckpt = dirs
+
+    template = spark.read.parquet(path)
+    docs = stream_table(spark, path, template)
+    feed = (docs.where((F.col("doc_id") % INCR_MOD == INCR_REM)
+                       & (F.col("doc_id") % EVAL_MOD != 0))
+            .select("doc_id", "lang", "text"))
+    q = (feed.writeStream.foreachBatch(
+             _curate_admit(eval_index, band_index, payload, out_dir))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return _read_gate_output(spark, out_dir,
+                             "doc_id long, lang string, n_tokens int")
 
 
 def reset_gate_dirs() -> None:
@@ -899,7 +1117,7 @@ def reset_gate_dirs() -> None:
     they are the persisted corpus-side state a production gate reads
     every batch, paid once — the bpe_tokenize_serve probe precedent."""
     for d in (_DECONTAM_DIRS, _PHASH_ADMIT_DIRS, _PHASH_INGEST_DIRS,
-              _EMB_ADMIT_DIRS, _TEXT_ADMIT_DIRS):
+              _EMB_ADMIT_DIRS, _TEXT_ADMIT_DIRS, _CURATE_DIRS):
         d.clear()
 
 

@@ -171,6 +171,12 @@ STREAM_STATE_BOUNDS = {
                               "+ bipartite bucket join vs the persisted "
                               "SRP index, exact-cosine verify; per-doc "
                               "admission, idempotent epoch-keyed sink",
+    "stream_pipeline_curate": "zero store state: quality gate + broadcast "
+                              "gram check + banded near-dup admit all "
+                              "decided per-doc inside one foreachBatch "
+                              "against persisted artifacts; nothing "
+                              "remembered across batches (idempotent "
+                              "epoch-keyed sink)",
     "stream_text_admit": "zero store state: per-batch MinHash banding + "
                          "bipartite bucket join vs the persisted band "
                          "index, exact-jaccard verify on point-fetched "

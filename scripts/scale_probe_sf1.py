@@ -136,6 +136,27 @@ PROBES = [
     ("embedding_semdedup_apply", "output",
      "broadcast anti-join of the within-cell drop list over one corpus "
      "scan (composes embedding_semdedup)"),
+    # batch 7 (round 11): the ingest gates probed with FRESH output/
+    # checkpoint dirs (r10 verdict item 2 — the memoized availableNow
+    # shape re-drains zero batches on rep 2, hiding both wall time and
+    # the candidate sensors), plus the new multiprobe SemDeDup point.
+    ("embedding_semdedup_multiprobe", "output",
+     "r=2 probed cells: raw collisions ≤ probes² × the r=1 within-cell "
+     "volume; verify ∝ candidates, component loop ∝ true pairs"),
+    ("stream_text_admit", "output",
+     "fresh-dirs drain: bipartite minhash bucket join vs the stored "
+     "band index (unbounded md5 buckets), jaccard verify point-fetch "
+     "∝ candidates"),
+    ("stream_embedding_admit", "output",
+     "fresh-dirs drain at the N/64-sized SRP bits against a matching "
+     "index (deployment knob, the _clusters_scaled_bits precedent); "
+     "exact-cosine verify point-fetch ∝ candidates"),
+    ("stream_phash_admit", "output",
+     "fresh-dirs drain: per-batch BMP render+dHash (two Arrow passes) "
+     "+ bipartite banded-hamming join vs the stored signature index"),
+    ("stream_pipeline_curate", "output",
+     "fresh-dirs drain: quality gate (map-only) → broadcast gram check "
+     "→ banded near-dup admit over ONE shared batch scan"),
 ]
 
 # Candidate-volume ceilings for the banded families (r7 verdict item 4):
@@ -196,6 +217,21 @@ CAND_CEIL = {
     "dedup_incremental": ("documents", 64.0, False),
     "pipeline_curate_images": ("documents", 512.0, False),
     "embedding_semdedup_apply": ("embeddings", 256.0, False),
+    # r11 (r10 verdict items 2+4): the gate sensors get ceilings AND
+    # probe rows (a ceiling without a PROBES row never runs).
+    # Multiprobe: raw collisions ≤ probes² × the r=1 volume → 4 × 256.
+    "embedding_semdedup_multiprobe": ("embeddings", 1024.0, False),
+    # text gate + composed curation: the bipartite minhash adjudication
+    # (unbounded md5 buckets, occupancy tracks true duplicates) — the
+    # dedup_incremental ceiling.
+    "stream_text_admit": ("documents", 64.0, False),
+    "stream_pipeline_curate": ("documents", 64.0, False),
+    # embedding gate probed at the N/64 sizing rule (the registered
+    # fixture bits would be the documented occupancy pathology at 10×):
+    # the banded-embedding family ceiling.
+    "stream_embedding_admit": ("embeddings", 1024.0, False),
+    # phash gate runs the scaled 12-bit banding → the family's 512.
+    "stream_phash_admit": ("documents", 512.0, False),
 }
 
 
@@ -243,9 +279,122 @@ def _bpe_serve_only(spark, sf):
     return ta.bpe_merges_persist(spark, sf)
 
 
+def _fresh_gate(name):
+    """Ingest-gate probe wrapper (r10 verdict item 2): reset the
+    memoized output/checkpoint dirs before every invocation so each
+    rep re-drains the full feed — rep timing measures the gate, and
+    the candidate sensors (which only fire inside a running
+    micro-batch) actually observe. The index/payload artifacts stay
+    memoized: a production gate reads persisted corpus-side state
+    every batch and pays its build once."""
+    def run(spark, sf):
+        from full_stack_big_data_spark.operators.registry import \
+            load_all as _la
+        from full_stack_big_data_spark.streaming import joins as sj
+        sj.reset_gate_dirs()
+        return _la()[name].builder(spark, sf)
+    return run
+
+
+_EMB_GATE_ARTIFACTS: dict[tuple[str, int], tuple[str, str]] = {}
+
+
+def _embedding_admit_scaled_bits(spark, sf):
+    """stream_embedding_admit at the DEPLOYMENT SRP operating point
+    (the _clusters_scaled_bits precedent): the registered entry pins
+    the fixture's 4-bit buckets so its oracle stays hash-exact, which
+    at 10× vectors is the documented occupancy pathology (the gate is
+    adjudicated SAME_KNOB in the geometry guard). This builder runs
+    the IDENTICAL foreachBatch body against an index + payload built
+    at the N/64 sizing rule — the gate a deployment actually runs."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from full_stack_big_data_spark.engine.catalog import Catalog
+    from full_stack_big_data_spark.engine.pointfetch import write_payload
+    from full_stack_big_data_spark.engine.scratch import scratch_dir
+    from full_stack_big_data_spark.operators.similarity import (
+        ANN_INCR_MOD, ANN_INCR_REM, srp_buckets)
+    from full_stack_big_data_spark.streaming import joins as sj
+    from full_stack_big_data_spark.streaming.core import stream_table
+
+    emb = Catalog(spark, sf).embeddings
+    n = emb.count()
+    bits = max(4, math.ceil(math.log2(max(n, 128) / 64)))
+    key = (sf, bits)
+    if key not in _EMB_GATE_ARTIFACTS:
+        idx = scratch_dir("probe_srp_gate_idx_")
+        pay = scratch_dir("probe_srp_gate_pay_")
+        corpus = emb.where(F.col("vec_id") % ANN_INCR_MOD != ANN_INCR_REM)
+        (srp_buckets(corpus, bits=bits)
+         .select("vec_id",
+                 F.posexplode("buckets").alias("table_id", "bucket"))
+         .write.mode("overwrite").partitionBy("table_id").parquet(idx))
+        write_payload(corpus.select("vec_id", "embedding"), "vec_id", pay)
+        _EMB_GATE_ARTIFACTS[key] = (idx, pay)
+    idx, pay = _EMB_GATE_ARTIFACTS[key]
+    out = scratch_dir("probe_emb_admit_out_")
+    ckpt = scratch_dir("probe_emb_admit_ckpt_")
+    path = f"{sf}/embeddings.parquet"
+    template = spark.read.parquet(path)
+    feed = (stream_table(spark, path, template)
+            .where(F.col("vec_id") % ANN_INCR_MOD == ANN_INCR_REM)
+            .select("vec_id", "embedding"))
+    q = (feed.writeStream
+         .foreachBatch(sj._embedding_admit(idx, pay, out, bits=bits))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(out).select("vec_id")
+
+
+def _curate_en_free(spark, sf):
+    """stream_pipeline_curate with the English-evidence floor at 0 —
+    probe-only knob: the sf1.0 corpus suffixes EVERY token
+    (scripts/make_sf1.py, the shingle-disjointness trick), so stopword
+    evidence is zero corpus-wide and the registered rule would admit
+    nothing at the decade, unloading the decontam + near-dup stages
+    this probe exists to measure. min_en_hits=0 keeps the token-count
+    gate and both downstream stages fully loaded; the registered
+    entry's oracle already pins the en_hits rule at sf0.01."""
+    from pyspark.sql import functions as F
+
+    from full_stack_big_data_spark.engine.scratch import scratch_dir
+    from full_stack_big_data_spark.operators.decontam import EVAL_MOD
+    from full_stack_big_data_spark.operators.dedup import (
+        INCR_MOD, INCR_REM, minhash_index_dir, minhash_payload_dir)
+    from full_stack_big_data_spark.streaming import joins as sj
+    from full_stack_big_data_spark.streaming.core import stream_table
+
+    eval_index = sj._eval_gram_index_dir(spark, sf)
+    band_index = minhash_index_dir(spark, sf)
+    payload = minhash_payload_dir(spark, sf)
+    out = scratch_dir("probe_curate_out_")
+    ckpt = scratch_dir("probe_curate_ckpt_")
+    path = f"{sf}/documents.parquet"
+    template = spark.read.parquet(path)
+    feed = (stream_table(spark, path, template)
+            .where((F.col("doc_id") % INCR_MOD == INCR_REM)
+                   & (F.col("doc_id") % EVAL_MOD != 0))
+            .select("doc_id", "lang", "text"))
+    q = (feed.writeStream.foreachBatch(
+             sj._curate_admit(eval_index, band_index, payload, out,
+                              min_en_hits=0))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return sj._read_gate_output(spark, out,
+                                "doc_id long, lang string, n_tokens int")
+
+
 BUILDER_OVERRIDES = {
     "embedding_dedup_clusters": _clusters_scaled_bits,
     "bpe_tokenize_serve": _bpe_serve_only,
+    "stream_text_admit": _fresh_gate("stream_text_admit"),
+    "stream_phash_admit": _fresh_gate("stream_phash_admit"),
+    "stream_pipeline_curate": _curate_en_free,
+    "stream_embedding_admit": _embedding_admit_scaled_bits,
 }
 
 

@@ -40,7 +40,7 @@ def test_bench_emits_one_json_line():
     # Self-comparability fields (r8 verdict item 3): the like-for-like
     # subtotal over the previous round's headline set, and the
     # build/serve split of the write-dominated index-persist entry.
-    prev = __import__("bench")._prev_round_queries()
+    prev, prev_src = __import__("bench")._prev_round_queries()
     if prev:
         assert rec["subtotal_prev_round"] > 0
         assert rec["subtotal_prev_round"] <= rec["value"] + 1e-6
@@ -52,6 +52,9 @@ def test_bench_emits_one_json_line():
         assert abs(sum(tbl.values()) - rec["subtotal_prev_round"]) < 1e-6
         missing = rec["prev_round_missing"] or []
         assert set(tbl) | set(missing) == set(prev)
+        # r10 ADVICE: the comparison set's source round is recorded,
+        # so a several-rounds-deep fallback is labeled, not implied.
+        assert rec["prev_round_source"] == prev_src and prev_src >= 1
     comp = rec["components"]["ann_ivf_index_persist"]
     assert comp["build_s"] > 0 and comp["serve_s"] > 0
     assert (abs(comp["build_s"] + comp["serve_s"]
@@ -73,5 +76,24 @@ def test_prev_round_skips_own_artifact(tmp_path, monkeypatch):
     (tmp_path / "BENCH_r09.json").write_text(json.dumps(own))
     monkeypatch.setattr(bench.os.path, "abspath",
                         lambda _p: str(tmp_path / "bench.py"))
-    prev = bench._prev_round_queries()
-    assert prev == ["q1_pricing_summary", "dropped_query"]
+    prev, src = bench._prev_round_queries()
+    assert prev == ["q1_pricing_summary", "dropped_query"] and src == 8
+
+
+def test_prev_round_falls_back_to_newest_when_no_set_differs(
+        tmp_path, monkeypatch):
+    """When EVERY committed artifact's set equals the current HEADLINE
+    (the headline genuinely didn't change between rounds), the
+    comparison set must fall back to the newest artifact — subtotal ==
+    total IS the like-for-like number — instead of [] (r10 ADVICE),
+    and the source round labels how deep the comparison reaches."""
+    import importlib
+
+    bench = importlib.import_module("bench")
+    own = {"parsed": {"queries": {n: 0.5 for n in bench.HEADLINE}}}
+    (tmp_path / "BENCH_r08.json").write_text(json.dumps(own))
+    (tmp_path / "BENCH_r09.json").write_text(json.dumps(own))
+    monkeypatch.setattr(bench.os.path, "abspath",
+                        lambda _p: str(tmp_path / "bench.py"))
+    prev, src = bench._prev_round_queries()
+    assert set(prev) == set(bench.HEADLINE) and src == 9

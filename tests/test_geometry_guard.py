@@ -69,6 +69,10 @@ SCALED = {
                                      # occupancy at the N/64-sized scaled
                                      # codebook (IVF_CELLS_WIDE)
     "embedding_semdedup_apply",      # anti-join application of the same
+    "embedding_semdedup_multiprobe", # same N/64-sized codebook, r=2
+                                     # probes: candidates stay occupancy-
+                                     # bounded (≤ probes² × the r=1
+                                     # volume; sensor + CAND_CEIL row)
 }
 
 # Entries that reuse a knob whose graduation is already pinned by a
@@ -97,6 +101,10 @@ UNBOUNDED_BUCKET_SPACE = {
     "stream_text_admit",         # per-batch bipartite join over the same
                                  # _band_rows md5 buckets (the persisted
                                  # dedup_incremental index)
+    "stream_pipeline_curate",    # composes stream_text_admit's banding
+                                 # (same persisted index, same md5
+                                 # buckets) behind the quality/decontam
+                                 # stages — no new geometry
 }
 
 

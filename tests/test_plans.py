@@ -509,3 +509,29 @@ def test_gate_verify_fetches_never_scan_the_corpus(spark):
     assert "embeddings.parquet" not in eplan, eplan[:2000]
     assert "PartitionFilters" in eplan and "pk" in eplan.split(
         "PartitionFilters")[1][:300], eplan[:2000]
+
+
+def test_fetch_payload_falls_back_past_the_id_gate(spark):
+    """fetch_payload's two regimes return the same rows: the pushed-
+    literal point fetch under the driver gate, the broadcast join
+    against the payload past it (forced via a tiny max gate through
+    fetch_ids' contract)."""
+    from pyspark.sql import functions as F
+    from full_stack_big_data_spark.engine import pointfetch as pf
+    from full_stack_big_data_spark.engine.scratch import scratch_dir
+
+    path = scratch_dir("fsbd_pointfetch_fallback_")
+    pf.write_payload(spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")), "k", path)
+    ids_df = spark.range(0, 100).select((F.col("id") * 5).alias("k"))
+    # gate not exceeded → literal path
+    assert pf.fetch_ids(ids_df, "k", max_ids=200) == [
+        i * 5 for i in range(100)]
+    # gate exceeded → None → fetch_payload joins instead
+    assert pf.fetch_ids(ids_df, "k", max_ids=50) is None
+    via_join = (spark.read.parquet(path).drop("pk")
+                .join(F.broadcast(ids_df), "k"))
+    via_literal = pf.point_fetch(
+        spark, path, "k", [i * 5 for i in range(100)])
+    assert (sorted(map(tuple, via_join.collect()))
+            == sorted(map(tuple, via_literal.collect())))

@@ -351,3 +351,29 @@ def test_semdedup_clusters_stay_within_cells_and_subset_exact(spark):
                  | {r.vec_b for r in exact if r.cosine >= SEMDEDUP_COS})
     member_ids = {r.vec_id for r in rows}
     assert member_ids <= exact_ids
+
+
+def test_semdedup_multiprobe_strictly_recovers_boundary_pairs(spark):
+    """r10 verdict item 4 quantified: the multiprobe (r=2 cells)
+    candidate rule must be MONOTONE over the r=1 formulation (every
+    within-cell pair survives — more probed cells only add
+    candidates), stay a subset of the exact all-pairs near-dup set
+    (the verify is the last word), and strictly recover boundary
+    pairs the r=1 rule misses (measured 2→7 of 66 exact pairs at
+    sf0.001; 45→127 of 920 at sf0.1 — recall 0.049→0.138)."""
+    from full_stack_big_data_spark.engine.catalog import Catalog
+    from full_stack_big_data_spark.operators.similarity import (
+        SEMDEDUP_COS, embedding_neardup, semdedup_pairs_multiprobe)
+
+    e = Catalog(spark, SF_SMOKE).embeddings
+    r1 = {(r.vec_a, r.vec_b)
+          for r in semdedup_pairs_multiprobe(e, probes=1).collect()}
+    r2 = {(r.vec_a, r.vec_b)
+          for r in semdedup_pairs_multiprobe(e, probes=2).collect()}
+    exact = {(r.vec_a, r.vec_b)
+             for r in embedding_neardup(spark, SF_SMOKE).collect()
+             if r.cosine >= SEMDEDUP_COS}
+    assert r1, "r=1 pair set empty at sf0.001 — vacuous"
+    assert r1 <= r2, "multiprobe dropped a within-cell pair"
+    assert r2 <= exact, "a multiprobe pair failed the exact verify"
+    assert len(r2) > len(r1), "multiprobe recovered nothing — vacuous"

@@ -686,3 +686,79 @@ def test_stream_decontam_epoch_replay_writes_no_duplicates(spark, tmp_path):
     assert final.where(F.col("batch_id") == 7).count() == 2
     assert final.where(F.col("batch_id") == 8).count() == 0  # doc 1 contaminated
     assert final.count() == 2
+
+
+def test_stream_pipeline_curate_composes_all_three_gates(spark):
+    """The composed ingest door (r10 verdict item 5): a second
+    availableNow drain adds ZERO rows (checkpoint replay), and the
+    admitted set equals the intersection of the three gates' keep
+    predicates recomputed batch-side — with each stage NON-VACUOUS
+    (every stage drops at least one doc the earlier stages kept), so
+    the end-to-end contract can't pass on an idle stage."""
+    from full_stack_big_data_spark.engine.catalog import Catalog
+    from full_stack_big_data_spark.functions.text import token_ngrams, tokens
+    from full_stack_big_data_spark.operators.decontam import (DECONTAM_N,
+                                                              EVAL_MOD)
+    from full_stack_big_data_spark.operators.dedup import INCR_MOD, INCR_REM
+    from full_stack_big_data_spark.operators.registry import load_all
+    from full_stack_big_data_spark.operators.textanalysis import \
+        _stopword_hits_spark
+    from full_stack_big_data_spark.streaming.joins import CURATE_MIN_TOKENS
+
+    reg = load_all()
+    first = sorted(map(tuple,
+                       reg["stream_pipeline_curate"]
+                       .builder(spark, SF_SMOKE).collect()))
+    again = sorted(map(tuple,
+                       reg["stream_pipeline_curate"]
+                       .builder(spark, SF_SMOKE).collect()))
+    assert first == again and first
+    admitted = {r[0] for r in first}
+
+    d = Catalog(spark, SF_SMOKE).documents
+    scored = (d.where((F.col("doc_id") % INCR_MOD == INCR_REM)
+                      & (F.col("doc_id") % EVAL_MOD != 0))
+              .select("doc_id", tokens("text").alias("toks"),
+                      _stopword_hits_spark("en").alias("en_hits")))
+    eligible = {r.doc_id for r in scored.select("doc_id").collect()}
+    quality = {r.doc_id for r in
+               scored.where((F.size("toks") >= CURATE_MIN_TOKENS)
+                            & (F.col("en_hits") > 0))
+               .select("doc_id").collect()}
+    ev = (d.where(F.col("doc_id") % EVAL_MOD == 0)
+          .select(F.explode(F.array_distinct(token_ngrams(
+              tokens("text"), DECONTAM_N))).alias("g")).distinct())
+    gnew = (d.where(F.col("doc_id") % INCR_MOD == INCR_REM)
+            .select("doc_id", F.explode(F.array_distinct(token_ngrams(
+                tokens("text"), DECONTAM_N))).alias("g")))
+    contaminated = {r.doc_id for r in
+                    gnew.join(ev, "g", "left_semi")
+                    .select("doc_id").distinct().collect()}
+    neardup = {r.new_doc for r in
+               reg["dedup_incremental"].builder(spark, SF_SMOKE).collect()}
+    assert admitted == quality - contaminated - neardup
+    # every stage non-vacuous on what the previous stages kept
+    assert eligible - quality, "quality gate dropped nothing"
+    assert quality & contaminated, "decontam stage idle on this corpus"
+    assert (quality - contaminated) & neardup, "near-dup stage idle"
+
+
+def test_gate_output_read_is_empty_safe(spark, tmp_path):
+    """An all-dropped feed writes no files; the gate's final read must
+    return an EMPTY frame with the contract schema, not raise
+    UNABLE_TO_INFER_SCHEMA (surfaced by the sf1.0 curate probe). With
+    files present, the batch_id layout column stays projected away."""
+    from full_stack_big_data_spark.streaming.joins import _read_gate_output
+
+    empty = str(tmp_path / "empty_sink")
+    os.makedirs(empty)
+    got = _read_gate_output(spark, empty, "doc_id long, n_tokens int")
+    assert got.count() == 0 and got.columns == ["doc_id", "n_tokens"]
+
+    full = str(tmp_path / "full_sink")
+    (spark.createDataFrame([(1, 5, 0), (2, 7, 1)],
+                           "doc_id long, n_tokens int, batch_id long")
+     .write.partitionBy("batch_id").parquet(full))
+    got = _read_gate_output(spark, full, "doc_id long, n_tokens int")
+    assert got.columns == ["doc_id", "n_tokens"]
+    assert sorted(map(tuple, got.collect())) == [(1, 5), (2, 7)]
