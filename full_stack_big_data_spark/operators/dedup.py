@@ -118,16 +118,13 @@ for _ in range(N_HASHES):
     _MH_B.append(_seed_lcg)
 
 
-def _minhash_oracle(cand_pred: str = "a.doc_id < b.doc_id",
-                    head_cols: str = "doc_a, doc_b",
-                    threshold: float = JACCARD_THRESHOLD,
-                    s_sql: str = _SHINGLES_SQL,
-                    src_filter: str | None = None) -> str:
-    """DuckDB twin of the full MinHash-LSH pipeline. ``s_sql``/
-    ``src_filter`` parameterize the per-doc SET definition so other set
-    families (the multimodal frame-hash sets) replay the same
-    signatures, banding, candidate join, and exact verify over their
-    own elements."""
+def _minhash_bands_prefix(s_sql: str = _SHINGLES_SQL,
+                          src_filter: str | None = None) -> str:
+    """Shared oracle prefix: the shingle→minhash→band CTE chain ending
+    in ``bands(doc_id, band, bucket)`` — the exact content of the
+    persisted band index (:func:`minhash_index_dir` is its corpus-side
+    slice). Reused by :func:`_minhash_oracle` and the grown-index
+    oracle of ``streaming.joins.stream_text_ingest``."""
     if src_filter is None:
         src_filter = f"len({tokens_sql('text')}) >= {SHINGLE_N}"
     mh_cols = ",\n         ".join(
@@ -151,7 +148,20 @@ WITH sh AS (
   GROUP BY doc_id
 ), bands AS (
 {band_rows}
-), cand AS (
+)"""
+
+
+def _minhash_oracle(cand_pred: str = "a.doc_id < b.doc_id",
+                    head_cols: str = "doc_a, doc_b",
+                    threshold: float = JACCARD_THRESHOLD,
+                    s_sql: str = _SHINGLES_SQL,
+                    src_filter: str | None = None) -> str:
+    """DuckDB twin of the full MinHash-LSH pipeline. ``s_sql``/
+    ``src_filter`` parameterize the per-doc SET definition so other set
+    families (the multimodal frame-hash sets) replay the same
+    signatures, banding, candidate join, and exact verify over their
+    own elements."""
+    return _minhash_bands_prefix(s_sql, src_filter) + f""", cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bucket = b.bucket AND {cand_pred}

@@ -644,7 +644,11 @@ def _embedding_admit(index_path: str, payload_path: str, out_dir: str,
     return admit
 
 
-def _stream_embedding_admit_oracle() -> str:
+def _emb_admit_cte() -> str:
+    """Shared oracle chain for the embedding gate: SRP buckets over
+    ALL vectors (``b``), the bipartite new×corpus candidate join, and
+    the exact-cosine-verified ``hits`` — reused by the admit and
+    ingest oracles, which differ only in the final SELECT."""
     from ..operators.similarity import (ANN_INCR_MOD, ANN_INCR_REM,
                                         NEARDUP_COS, _srp_bucket_prefix)
     return _srp_bucket_prefix() + f""", newb AS (
@@ -663,7 +667,12 @@ def _stream_embedding_admit_oracle() -> str:
   JOIN embeddings q ON q.vec_id = c.vec_id
   WHERE list_cosine_similarity(a.embedding::DOUBLE[], q.embedding::DOUBLE[])
         >= {NEARDUP_COS}
-)
+)"""
+
+
+def _stream_embedding_admit_oracle() -> str:
+    from ..operators.similarity import ANN_INCR_MOD, ANN_INCR_REM
+    return _emb_admit_cte() + f"""
 SELECT vec_id FROM embeddings
 WHERE vec_id % {ANN_INCR_MOD} = {ANN_INCR_REM}
   AND vec_id NOT IN (SELECT vec_id FROM hits)
@@ -907,6 +916,260 @@ def stream_text_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Self-growing TEXT and EMBEDDING indexes — the family twins of
+# stream_phash_ingest: the admit gate whose survivors' band/SRP rows
+# are appended INTO the index as epoch-keyed partitions, closing the
+# ingest loop for all three column families.
+# ---------------------------------------------------------------------------
+
+_TEXT_INGEST_DIRS: dict[str, tuple[str, str]] = {}
+
+
+def _text_ingest(base_index_path: str, payload_path: str, epochs_dir: str):
+    """foreachBatch body for the self-growing MinHash band index: the
+    ``_text_admit`` decision (per-doc, vs the BASE generation only —
+    batch-chop-invariant), but survivors' BAND ROWS land in the index's
+    epoch generation as a ``batch_id=<epoch>`` partition under dynamic
+    partition overwrite — the ``_phash_ingest`` recipe on the text
+    family. The band-row frame feeds both the candidate probe and the
+    final anti-join, so it is batch-scoped persisted alongside the
+    shingle frame and the candidate subtree."""
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        from ..functions import observability
+        from ..functions.text import token_ngrams, tokens
+        from ..operators.dedup import SHINGLE_N, _band_rows
+
+        ss = batch.sparkSession
+        idx = ss.read.parquet(base_index_path)
+        toks = (batch.select("doc_id", tokens("text").alias("toks"))
+                .where(F.size("toks") >= SHINGLE_N))
+        sh_new = toks.select(
+            "doc_id",
+            F.array_distinct(token_ngrams(F.col("toks"), SHINGLE_N))
+             .alias("s")).persist()
+        try:
+            bands_new = _band_rows(sh_new).persist()
+            try:
+                cand = (idx.alias("a").join(
+                            bands_new.alias("b"),
+                            (F.col("a.band") == F.col("b.band"))
+                            & (F.col("a.bucket") == F.col("b.bucket")))
+                        .select(F.col("a.doc_id").alias("old_doc"),
+                                F.col("b.doc_id").alias("doc_id")))
+                cand = (observability.observe_candidates(
+                            cand, "text_ingest_minhash")
+                        .distinct().persist())
+                try:
+                    hits = _jaccard_verify_hits(ss, cand, sh_new,
+                                                payload_path)
+                    (bands_new.join(hits, "doc_id", "left_anti")
+                     .select("doc_id",
+                             F.col("band").cast("int").alias("band"),
+                             "bucket")
+                     .withColumn("batch_id", F.lit(batch_id))
+                     .write.mode("overwrite")
+                     .option("partitionOverwriteMode", "dynamic")
+                     .partitionBy("batch_id").parquet(epochs_dir))
+                finally:
+                    cand.unpersist()
+            finally:
+                bands_new.unpersist()
+        finally:
+            sh_new.unpersist()
+    return ingest
+
+
+def _stream_text_ingest_oracle() -> str:
+    from ..operators.dedup import (INCR_MOD, INCR_REM,
+                                   _minhash_bands_prefix, _minhash_oracle)
+    inc = _minhash_oracle(
+        cand_pred=(f"a.doc_id % {INCR_MOD} <> {INCR_REM} "
+                   f"AND b.doc_id % {INCR_MOD} = {INCR_REM}"),
+        head_cols="doc_a AS old_doc, doc_b AS new_doc")
+    return _minhash_bands_prefix() + f"""
+SELECT doc_id, CAST(band AS INTEGER) AS band, bucket FROM bands
+WHERE doc_id % {INCR_MOD} <> {INCR_REM}
+   OR doc_id NOT IN (SELECT new_doc FROM ({inc}) inc)
+"""
+
+
+@register(
+    "stream_text_ingest",
+    oracle=_stream_text_ingest_oracle(),
+    description="self-growing MinHash band index: the text admit gate "
+                "whose survivors' band rows are appended INTO the index "
+                "as epoch-keyed partitions (exactly-once growth: base "
+                "generation immutable, replayed epochs rewrite their own "
+                "partition); returns the grown index",
+    tags=("streaming", "dedup", "lsh", "storage"),
+)
+def stream_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLOSED text-ingest loop — what ``stream_text_admit`` (gate)
+    composes into in production, mirroring ``stream_phash_ingest``
+    exactly: every admitted document's band rows land in the index the
+    NEXT dump will be checked against, with no separate maintenance
+    job. Two generations on disk: the immutable corpus generation
+    (``dedup.minhash_index_dir``, shared with the admit entry, never
+    written here) plus a batch_id-partitioned epoch dir under dynamic
+    partition overwrite — both replay layers idempotent, and the
+    generation split keeps Spark from overwriting a path the same plan
+    reads. Admission stays per-doc vs the BASE generation (the family's
+    division-of-labor note), which is what makes the grown index's
+    content batch-chop-invariant and hence SQL-expressible: corpus band
+    rows ∪ admitted-dump band rows, recomputed from source bytes.
+
+    The VERIFY payload stays base-generation (this dump's docs are
+    admitted against the corpus, not each other); folding epochs back
+    into one generation — band rows AND payload — is the periodic
+    compaction job, the ``phash_index_compact`` pattern.
+
+    Scale: per-batch cost identical to the admit gate plus one
+    batch-sized partition write; the index grows ~8 band rows per
+    admitted doc; zero streaming state."""
+    from ..operators.dedup import (INCR_MOD, INCR_REM, minhash_index_dir,
+                                   minhash_payload_dir)
+
+    tune_session(spark)
+    path = f"{sf_dir}/documents.parquet"
+    base_dir = minhash_index_dir(spark, sf_dir)
+    payload_path = minhash_payload_dir(spark, sf_dir)
+    dirs = _TEXT_INGEST_DIRS.get(sf_dir)
+    if dirs is None:
+        from ..engine.scratch import scratch_dir
+        dirs = (scratch_dir("fsbd_text_ingest_epochs_"),
+                scratch_dir("fsbd_text_ingest_ckpt_"))
+        _TEXT_INGEST_DIRS[sf_dir] = dirs
+    epochs_dir, ckpt = dirs
+
+    template = spark.read.parquet(path)
+    docs = stream_table(spark, path, template)
+    feed = (docs.where(F.col("doc_id") % INCR_MOD == INCR_REM)
+            .select("doc_id", "text"))
+    q = (feed.writeStream.foreachBatch(
+             _text_ingest(base_dir, payload_path, epochs_dir))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    base = (spark.read.parquet(base_dir)
+            .select("doc_id", F.col("band").cast("int").alias("band"),
+                    "bucket"))
+    grown = _read_gate_output(spark, epochs_dir,
+                              "doc_id long, band int, bucket string")
+    return base.unionByName(grown)
+
+
+_EMB_INGEST_DIRS: dict[str, tuple[str, str]] = {}
+
+
+def _embedding_ingest(index_path: str, payload_path: str, epochs_dir: str):
+    """foreachBatch body for the self-growing SRP index: the
+    ``_embedding_admit`` decision (per-vector, vs the BASE generation
+    only), survivors' (vec_id, table_id, bucket) rows appended as an
+    epoch-keyed partition — the family recipe on the vector column."""
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        from ..functions import observability
+        from ..operators.similarity import srp_buckets
+
+        ss = batch.sparkSession
+        idx = (ss.read.parquet(index_path)
+               .withColumnRenamed("vec_id", "old_id"))
+        nb = (srp_buckets(batch)
+              .select("vec_id", F.posexplode("buckets")
+                      .alias("table_id", "bucket"))
+              .persist())
+        try:
+            cand = (nb.join(idx, ["table_id", "bucket"])
+                    .select("vec_id", "old_id"))
+            cand = (observability.observe_candidates(cand, "srp_ingest")
+                    .distinct().persist())
+            try:
+                hits = _cosine_verify_hits(ss, cand, batch, payload_path)
+                (nb.join(hits, "vec_id", "left_anti")
+                 .select("vec_id",
+                         F.col("table_id").cast("int").alias("table_id"),
+                         F.col("bucket").cast("int").alias("bucket"))
+                 .withColumn("batch_id", F.lit(batch_id))
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("batch_id").parquet(epochs_dir))
+            finally:
+                cand.unpersist()
+        finally:
+            nb.unpersist()
+    return ingest
+
+
+def _stream_embedding_ingest_oracle() -> str:
+    from ..operators.similarity import ANN_INCR_MOD, ANN_INCR_REM
+    return _emb_admit_cte() + f"""
+SELECT vec_id, CAST(table_id AS INTEGER) AS table_id,
+       CAST(bucket AS INTEGER) AS bucket
+FROM b
+WHERE vec_id % {ANN_INCR_MOD} <> {ANN_INCR_REM}
+   OR vec_id NOT IN (SELECT vec_id FROM hits)
+"""
+
+
+@register(
+    "stream_embedding_ingest",
+    oracle=_stream_embedding_ingest_oracle(),
+    description="self-growing SRP index: the embedding admit gate whose "
+                "survivors' (table_id, bucket) rows are appended INTO "
+                "the index as epoch-keyed partitions (exactly-once "
+                "growth, immutable base generation); returns the grown "
+                "index",
+    tags=("streaming", "similarity", "lsh", "storage"),
+)
+def stream_embedding_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLOSED embedding-ingest loop — ``stream_embedding_admit``'s
+    survivors' SRP rows land in the index the NEXT dump will be checked
+    against, completing the self-growing-index story across all three
+    column families (images: ``stream_phash_ingest``; text:
+    ``stream_text_ingest``; vectors: this). Same two-generation layout,
+    same idempotence at both replay layers, same per-doc-vs-base
+    admission that makes the grown content batch-chop-invariant and the
+    oracle a one-shot SQL replay (corpus SRP rows ∪ admitted-dump SRP
+    rows from source bytes). The verify payload stays base-generation;
+    folding epochs + payload into one generation is the periodic
+    compaction job.
+
+    Scale: per-batch cost identical to the admit gate plus one
+    batch-sized partition write; the index grows SRP_TABLES rows per
+    admitted vector; zero streaming state."""
+    from ..operators.similarity import (ANN_INCR_MOD, ANN_INCR_REM,
+                                        srp_index_dir, srp_payload_dir)
+
+    tune_session(spark)
+    path = f"{sf_dir}/embeddings.parquet"
+    base_dir = srp_index_dir(spark, sf_dir)
+    payload_path = srp_payload_dir(spark, sf_dir)
+    dirs = _EMB_INGEST_DIRS.get(sf_dir)
+    if dirs is None:
+        from ..engine.scratch import scratch_dir
+        dirs = (scratch_dir("fsbd_emb_ingest_epochs_"),
+                scratch_dir("fsbd_emb_ingest_ckpt_"))
+        _EMB_INGEST_DIRS[sf_dir] = dirs
+    epochs_dir, ckpt = dirs
+
+    template = spark.read.parquet(path)
+    vecs = stream_table(spark, path, template)
+    feed = (vecs.where(F.col("vec_id") % ANN_INCR_MOD == ANN_INCR_REM)
+            .select("vec_id", "embedding"))
+    q = (feed.writeStream.foreachBatch(
+             _embedding_ingest(base_dir, payload_path, epochs_dir))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    base = (spark.read.parquet(base_dir)
+            .select("vec_id",
+                    F.col("table_id").cast("int").alias("table_id"),
+                    F.col("bucket").cast("int").alias("bucket")))
+    grown = _read_gate_output(spark, epochs_dir,
+                              "vec_id long, table_id int, bucket int")
+    return base.unionByName(grown)
+
+
+# ---------------------------------------------------------------------------
 # Composed streaming curation (r10 verdict item 5): the singleton ingest
 # gates fused into ONE foreachBatch over one shared micro-batch scan —
 # quality gate → decontamination → corpus near-dup admission — the
@@ -1117,7 +1380,8 @@ def reset_gate_dirs() -> None:
     they are the persisted corpus-side state a production gate reads
     every batch, paid once — the bpe_tokenize_serve probe precedent."""
     for d in (_DECONTAM_DIRS, _PHASH_ADMIT_DIRS, _PHASH_INGEST_DIRS,
-              _EMB_ADMIT_DIRS, _TEXT_ADMIT_DIRS, _CURATE_DIRS):
+              _EMB_ADMIT_DIRS, _TEXT_ADMIT_DIRS, _CURATE_DIRS,
+              _TEXT_INGEST_DIRS, _EMB_INGEST_DIRS):
         d.clear()
 
 

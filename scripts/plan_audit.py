@@ -171,6 +171,15 @@ STREAM_STATE_BOUNDS = {
                               "+ bipartite bucket join vs the persisted "
                               "SRP index, exact-cosine verify; per-doc "
                               "admission, idempotent epoch-keyed sink",
+    "stream_text_ingest": "zero store state: the text admit gate's "
+                          "per-batch join vs the immutable base index; "
+                          "survivors' band rows grow the index via "
+                          "epoch-keyed partitions (idempotent dynamic "
+                          "overwrite) — growth on disk, not in the store",
+    "stream_embedding_ingest": "zero store state: the embedding admit "
+                               "gate's per-batch bucket join vs the "
+                               "immutable base index; survivors' SRP "
+                               "rows appended as epoch-keyed partitions",
     "stream_pipeline_curate": "zero store state: quality gate + broadcast "
                               "gram check + banded near-dup admit all "
                               "decided per-doc inside one foreachBatch "

@@ -157,6 +157,12 @@ PROBES = [
     ("stream_pipeline_curate", "output",
      "fresh-dirs drain: quality gate (map-only) → broadcast gram check "
      "→ banded near-dup admit over ONE shared batch scan"),
+    ("stream_text_ingest", "output",
+     "fresh-dirs drain: the text admit join + an epoch-keyed append of "
+     "survivors' band rows — same unbounded md5 buckets"),
+    ("stream_embedding_ingest", "output",
+     "fresh-dirs drain at the N/64-sized SRP bits against a matching "
+     "index; admit join + epoch-keyed append of survivors' SRP rows"),
 ]
 
 # Candidate-volume ceilings for the banded families (r7 verdict item 4):
@@ -232,6 +238,9 @@ CAND_CEIL = {
     "stream_embedding_admit": ("embeddings", 1024.0, False),
     # phash gate runs the scaled 12-bit banding → the family's 512.
     "stream_phash_admit": ("documents", 512.0, False),
+    # the ingest twins run their admit gate's join + an append.
+    "stream_text_ingest": ("documents", 64.0, False),
+    "stream_embedding_ingest": ("embeddings", 1024.0, False),
 }
 
 
@@ -388,6 +397,80 @@ def _curate_en_free(spark, sf):
                                 "doc_id long, lang string, n_tokens int")
 
 
+def _embedding_ingest_scaled_bits(spark, sf):
+    """stream_embedding_ingest at the deployment SRP operating point —
+    shares the admit-gate probe's scaled index/payload artifacts
+    (_EMB_GATE_ARTIFACTS) and appends survivors' SRP rows computed at
+    the SAME bits, so the grown generation is knob-consistent."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from full_stack_big_data_spark.engine.catalog import Catalog
+    from full_stack_big_data_spark.engine.pointfetch import write_payload
+    from full_stack_big_data_spark.engine.scratch import scratch_dir
+    from full_stack_big_data_spark.operators.similarity import (
+        ANN_INCR_MOD, ANN_INCR_REM, srp_buckets)
+    from full_stack_big_data_spark.streaming import joins as sj
+    from full_stack_big_data_spark.streaming.core import stream_table
+
+    emb = Catalog(spark, sf).embeddings
+    n = emb.count()
+    bits = max(4, math.ceil(math.log2(max(n, 128) / 64)))
+    key = (sf, bits)
+    if key not in _EMB_GATE_ARTIFACTS:
+        idx = scratch_dir("probe_srp_gate_idx_")
+        pay = scratch_dir("probe_srp_gate_pay_")
+        corpus = emb.where(F.col("vec_id") % ANN_INCR_MOD != ANN_INCR_REM)
+        (srp_buckets(corpus, bits=bits)
+         .select("vec_id",
+                 F.posexplode("buckets").alias("table_id", "bucket"))
+         .write.mode("overwrite").partitionBy("table_id").parquet(idx))
+        write_payload(corpus.select("vec_id", "embedding"), "vec_id", pay)
+        _EMB_GATE_ARTIFACTS[key] = (idx, pay)
+    idx, pay = _EMB_GATE_ARTIFACTS[key]
+    epochs = scratch_dir("probe_emb_ingest_epochs_")
+    ckpt = scratch_dir("probe_emb_ingest_ckpt_")
+
+    def ingest(batch, batch_id):
+        from full_stack_big_data_spark.functions import observability
+        ss = batch.sparkSession
+        bidx = ss.read.parquet(idx).withColumnRenamed("vec_id", "old_id")
+        nb = (srp_buckets(batch, bits=bits)
+              .select("vec_id", F.posexplode("buckets")
+                      .alias("table_id", "bucket")).persist())
+        try:
+            cand = (nb.join(bidx, ["table_id", "bucket"])
+                    .select("vec_id", "old_id"))
+            cand = (observability.observe_candidates(cand, "srp_ingest")
+                    .distinct().persist())
+            try:
+                hits = sj._cosine_verify_hits(ss, cand, batch, pay)
+                (nb.join(hits, "vec_id", "left_anti")
+                 .withColumn("batch_id", F.lit(batch_id))
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("batch_id").parquet(epochs))
+            finally:
+                cand.unpersist()
+        finally:
+            nb.unpersist()
+
+    path = f"{sf}/embeddings.parquet"
+    template = spark.read.parquet(path)
+    feed = (stream_table(spark, path, template)
+            .where(F.col("vec_id") % ANN_INCR_MOD == ANN_INCR_REM)
+            .select("vec_id", "embedding"))
+    q = (feed.writeStream.foreachBatch(ingest)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    base = spark.read.parquet(idx).select("vec_id", "table_id", "bucket")
+    grown = sj._read_gate_output(
+        spark, epochs, "vec_id long, table_id int, bucket int")
+    return base.unionByName(grown)
+
+
 BUILDER_OVERRIDES = {
     "embedding_dedup_clusters": _clusters_scaled_bits,
     "bpe_tokenize_serve": _bpe_serve_only,
@@ -395,6 +478,8 @@ BUILDER_OVERRIDES = {
     "stream_phash_admit": _fresh_gate("stream_phash_admit"),
     "stream_pipeline_curate": _curate_en_free,
     "stream_embedding_admit": _embedding_admit_scaled_bits,
+    "stream_text_ingest": _fresh_gate("stream_text_ingest"),
+    "stream_embedding_ingest": _embedding_ingest_scaled_bits,
 }
 
 

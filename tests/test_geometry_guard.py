@@ -85,6 +85,9 @@ SAME_KNOB = {
     "stream_embedding_admit": "embedding_neardup_banded_scaled",  # same
                                      # stored-index SRP_BITS knob as
                                      # ann_index_persist, checked per batch
+    "stream_embedding_ingest": "embedding_neardup_banded_scaled",  # the
+                                     # admit gate's join + an epoch append;
+                                     # same stored-index SRP_BITS knob
 }
 
 # Banding into an UNBOUNDED bucket space: MinHash band signatures are
@@ -101,6 +104,9 @@ UNBOUNDED_BUCKET_SPACE = {
     "stream_text_admit",         # per-batch bipartite join over the same
                                  # _band_rows md5 buckets (the persisted
                                  # dedup_incremental index)
+    "stream_text_ingest",        # the text admit gate's banding + an
+                                 # epoch append — same persisted index,
+                                 # same unbounded md5 buckets
     "stream_pipeline_curate",    # composes stream_text_admit's banding
                                  # (same persisted index, same md5
                                  # buckets) behind the quality/decontam

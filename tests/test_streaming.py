@@ -762,3 +762,82 @@ def test_gate_output_read_is_empty_safe(spark, tmp_path):
     got = _read_gate_output(spark, full, "doc_id long, n_tokens int")
     assert got.columns == ["doc_id", "n_tokens"]
     assert sorted(map(tuple, got.collect())) == [(1, 5), (2, 7)]
+
+
+def test_stream_text_ingest_epoch_replay_and_gate_equivalence(spark, tmp_path):
+    """The self-growing text index: (a) crash-replay of an epoch's
+    foreachBatch body rewrites its own partition in place (zero net
+    rows, the family recipe); (b) at registry level a second drain adds
+    zero rows and the grown index's NEW-side doc set equals the admit
+    gate's decision exactly (ingest == admit + append)."""
+    from full_stack_big_data_spark.engine.pointfetch import write_payload
+    from full_stack_big_data_spark.functions.text import token_ngrams, tokens
+    from full_stack_big_data_spark.operators.dedup import (INCR_MOD,
+                                                           INCR_REM,
+                                                           SHINGLE_N,
+                                                           _band_rows)
+    from full_stack_big_data_spark.operators.registry import load_all
+    from full_stack_big_data_spark.streaming.joins import _text_ingest
+
+    def sh(df):
+        return (df.select("doc_id", tokens("text").alias("toks"))
+                .where(F.size("toks") >= SHINGLE_N)
+                .select("doc_id", F.array_distinct(
+                    token_ngrams(F.col("toks"), SHINGLE_N)).alias("s")))
+
+    corpus = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    base, pay = str(tmp_path / "base"), str(tmp_path / "pay")
+    epochs = str(tmp_path / "epochs")
+    _band_rows(sh(corpus)).write.parquet(base)
+    write_payload(sh(corpus), "doc_id", pay)
+    batch = spark.createDataFrame(
+        [(21, "alpha beta gamma delta epsilon zeta"),   # exact dup → drop
+         (22, "one two three four five six")],          # novel → admit
+        "doc_id long, text string")
+    ingest = _text_ingest(base, pay, epochs)
+    ingest(batch, 7)
+    once = sorted(map(tuple, spark.read.parquet(epochs)
+                      .select("doc_id", "band", "bucket").collect()))
+    ingest(batch, 7)                     # crash-replay of epoch 7
+    twice = sorted(map(tuple, spark.read.parquet(epochs)
+                       .select("doc_id", "band", "bucket").collect()))
+    assert once == twice
+    assert {r[0] for r in once} == {22}
+
+    reg = load_all()
+    g1 = sorted(map(tuple, reg["stream_text_ingest"]
+                    .builder(spark, SF_SMOKE).collect()))
+    g2 = sorted(map(tuple, reg["stream_text_ingest"]
+                    .builder(spark, SF_SMOKE).collect()))
+    assert g1 == g2 and g1
+    admitted = {r.doc_id for r in reg["stream_text_admit"]
+                .builder(spark, SF_SMOKE).collect()}
+    new_side = {r[0] for r in g1 if r[0] % INCR_MOD == INCR_REM}
+    assert new_side == admitted and admitted
+
+
+def test_stream_embedding_ingest_growth_equals_admit(spark):
+    """The self-growing SRP index: second drain adds zero rows; the
+    grown index's new-side vec set equals the embedding admit gate's
+    decision; every admitted vector contributes exactly SRP_TABLES
+    rows."""
+    from collections import Counter
+
+    from full_stack_big_data_spark.operators.registry import load_all
+    from full_stack_big_data_spark.operators.similarity import (
+        ANN_INCR_MOD, ANN_INCR_REM, SRP_TABLES)
+
+    reg = load_all()
+    g1 = sorted(map(tuple, reg["stream_embedding_ingest"]
+                    .builder(spark, SF_SMOKE).collect()))
+    g2 = sorted(map(tuple, reg["stream_embedding_ingest"]
+                    .builder(spark, SF_SMOKE).collect()))
+    assert g1 == g2 and g1
+    admitted = {r.vec_id for r in reg["stream_embedding_admit"]
+                .builder(spark, SF_SMOKE).collect()}
+    new_rows = [r for r in g1 if r[0] % ANN_INCR_MOD == ANN_INCR_REM]
+    assert {r[0] for r in new_rows} == admitted and admitted
+    per_vec = Counter(r[0] for r in new_rows)
+    assert all(v == SRP_TABLES for v in per_vec.values())
