@@ -1169,6 +1169,167 @@ def stream_embedding_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(grown)
 
 
+_TEXT_COMPACT_DIRS: dict[str, tuple[str, str]] = {}
+_EMB_COMPACT_DIRS: dict[str, tuple[str, str]] = {}
+
+_CHECKSUM_P = 1_000_000_007
+
+
+def text_index_compact_dirs(spark: SparkSession,
+                            sf_dir: str) -> tuple[str, str]:
+    """Fold the grown text index's generations (base + ingest epochs)
+    into ONE band-partitioned generation with one file per band, and
+    REBUILD the verify payload to cover the admitted docs — the
+    periodic maintenance job the ingest docstrings promise
+    (``phash_index_compact``'s pattern, plus the payload half this
+    family carries). Returns (gen2 index dir, gen2 payload dir);
+    memoized per (process, corpus)."""
+    dirs = _TEXT_COMPACT_DIRS.get(sf_dir)
+    if dirs is not None:
+        return dirs
+    from ..engine.pointfetch import write_payload
+    from ..engine.scratch import scratch_dir
+    from ..operators.dedup import _shingle_sets
+
+    grown = stream_text_ingest(spark, sf_dir)   # memoized drain
+    gen2 = scratch_dir("fsbd_text_index_gen2_")
+    (grown.repartition("band")
+     .write.mode("overwrite").partitionBy("band").parquet(gen2))
+    pay2 = scratch_dir("fsbd_text_payload_gen2_")
+    member = grown.select("doc_id").distinct()
+    write_payload(
+        _shingle_sets(spark, sf_dir).join(member, "doc_id", "left_semi"),
+        "doc_id", pay2)
+    _TEXT_COMPACT_DIRS[sf_dir] = (gen2, pay2)
+    return gen2, pay2
+
+
+def _text_index_compact_oracle() -> str:
+    from ..functions.hashing import hex64_sql
+    from ..operators.dedup import (INCR_MOD, INCR_REM,
+                                   _minhash_bands_prefix, _minhash_oracle)
+    inc = _minhash_oracle(
+        cand_pred=(f"a.doc_id % {INCR_MOD} <> {INCR_REM} "
+                   f"AND b.doc_id % {INCR_MOD} = {INCR_REM}"),
+        head_cols="doc_a AS old_doc, doc_b AS new_doc")
+    h = hex64_sql("CAST(doc_id AS VARCHAR) || '|' || bucket")
+    return _minhash_bands_prefix() + f""", grown AS (
+  SELECT doc_id, band, bucket FROM bands
+  WHERE doc_id % {INCR_MOD} <> {INCR_REM}
+     OR doc_id NOT IN (SELECT new_doc FROM ({inc}) inc)
+)
+SELECT CAST(band AS INTEGER) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM({h} % {_CHECKSUM_P}) AS BIGINT) AS checksum
+FROM grown GROUP BY band
+"""
+
+
+@register(
+    "text_index_compact",
+    oracle=_text_index_compact_oracle(),
+    description="text index maintenance: fold the grown generations "
+                "(base + ingest epochs) into one band-partitioned "
+                "generation (one file per band) + rebuild the verify "
+                "payload over the grown membership; per-band row counts "
+                "+ order-independent content checksums oracle-prove the "
+                "fold is content-preserving",
+    tags=("storage", "dedup", "lsh"),
+)
+def text_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance half of the closed text-ingest loop: epochs
+    accumulate one directory per micro-batch (correct but
+    small-file-prone — the layout cost of idempotent growth), so a
+    periodic job folds index AND payload back into one generation.
+    The entry emits per-band (count, checksum) of the COMPACTED
+    generation; the oracle recomputes the same from source bytes, so a
+    fold that lost, duplicated, or corrupted any row hash-mismatches.
+    File-count and payload-serve pins live in tests/test_streaming.py.
+
+    Scale: the fold is ONE index-sized exchange (repartition on the
+    partition key) + one payload rebuild pass — both linear, both
+    off the ingest hot path; afterwards the gate's per-batch index
+    scan reads BANDS files instead of BANDS × epochs."""
+    from ..functions.hashing import hex64
+
+    gen2, _pay2 = text_index_compact_dirs(spark, sf_dir)
+    c = spark.read.parquet(gen2)
+    h = hex64(F.concat_ws("|", F.col("doc_id").cast("string"),
+                          F.col("bucket")))
+    return (c.groupBy(F.col("band").cast("int").alias("band"))
+            .agg(F.count("*").cast("bigint").alias("n_rows"),
+                 F.sum(h % _CHECKSUM_P).cast("bigint").alias("checksum")))
+
+
+def embedding_index_compact_dirs(spark: SparkSession,
+                                 sf_dir: str) -> tuple[str, str]:
+    """The SRP twin of :func:`text_index_compact_dirs`: fold base +
+    ingest epochs into one table_id-partitioned generation (one file
+    per table) and rebuild the vector payload over the grown
+    membership."""
+    dirs = _EMB_COMPACT_DIRS.get(sf_dir)
+    if dirs is not None:
+        return dirs
+    from ..engine.catalog import Catalog
+    from ..engine.pointfetch import write_payload
+    from ..engine.scratch import scratch_dir
+
+    grown = stream_embedding_ingest(spark, sf_dir)   # memoized drain
+    gen2 = scratch_dir("fsbd_emb_index_gen2_")
+    (grown.repartition("table_id")
+     .write.mode("overwrite").partitionBy("table_id").parquet(gen2))
+    pay2 = scratch_dir("fsbd_emb_payload_gen2_")
+    member = grown.select("vec_id").distinct()
+    write_payload(
+        Catalog(spark, sf_dir).embeddings.select("vec_id", "embedding")
+        .join(member, "vec_id", "left_semi"),
+        "vec_id", pay2)
+    _EMB_COMPACT_DIRS[sf_dir] = (gen2, pay2)
+    return gen2, pay2
+
+
+def _embedding_index_compact_oracle() -> str:
+    from ..functions.hashing import hex64_sql
+    from ..operators.similarity import ANN_INCR_MOD, ANN_INCR_REM
+    h = hex64_sql("CAST(vec_id AS VARCHAR) || '|' || CAST(bucket AS VARCHAR)")
+    return _emb_admit_cte() + f""", grown AS (
+  SELECT vec_id, table_id, bucket FROM b
+  WHERE vec_id % {ANN_INCR_MOD} <> {ANN_INCR_REM}
+     OR vec_id NOT IN (SELECT vec_id FROM hits)
+)
+SELECT CAST(table_id AS INTEGER) AS table_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM({h} % {_CHECKSUM_P}) AS BIGINT) AS checksum
+FROM grown GROUP BY table_id
+"""
+
+
+@register(
+    "embedding_index_compact",
+    oracle=_embedding_index_compact_oracle(),
+    description="SRP index maintenance: fold the grown generations into "
+                "one table_id-partitioned generation (one file per "
+                "table) + rebuild the vector payload over the grown "
+                "membership; per-table counts + content checksums "
+                "oracle-prove the fold content-preserving",
+    tags=("storage", "similarity", "lsh"),
+)
+def embedding_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance half of the closed embedding-ingest loop — see
+    :func:`text_index_compact` for the shape and scale argument; here
+    the fold exchange is keyed on table_id and the payload rebuild is
+    one pass over the grown vector membership."""
+    from ..functions.hashing import hex64
+
+    gen2, _pay2 = embedding_index_compact_dirs(spark, sf_dir)
+    c = spark.read.parquet(gen2)
+    h = hex64(F.concat_ws("|", F.col("vec_id").cast("string"),
+                          F.col("bucket").cast("string")))
+    return (c.groupBy(F.col("table_id").cast("int").alias("table_id"))
+            .agg(F.count("*").cast("bigint").alias("n_rows"),
+                 F.sum(h % _CHECKSUM_P).cast("bigint").alias("checksum")))
+
+
 # ---------------------------------------------------------------------------
 # Composed streaming curation (r10 verdict item 5): the singleton ingest
 # gates fused into ONE foreachBatch over one shared micro-batch scan —

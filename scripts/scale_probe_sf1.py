@@ -163,6 +163,12 @@ PROBES = [
     ("stream_embedding_ingest", "output",
      "fresh-dirs drain at the N/64-sized SRP bits against a matching "
      "index; admit join + epoch-keyed append of survivors' SRP rows"),
+    ("text_index_compact", "linear",
+     "one index-sized exchange (repartition on band) + one payload "
+     "rebuild pass; rides the memoized ingest drain"),
+    ("embedding_index_compact", "linear",
+     "one index-sized exchange (repartition on table_id) + one payload "
+     "rebuild pass"),
 ]
 
 # Candidate-volume ceilings for the banded families (r7 verdict item 4):

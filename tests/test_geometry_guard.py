@@ -88,6 +88,9 @@ SAME_KNOB = {
     "stream_embedding_ingest": "embedding_neardup_banded_scaled",  # the
                                      # admit gate's join + an epoch append;
                                      # same stored-index SRP_BITS knob
+    "embedding_index_compact": "embedding_neardup_banded_scaled",  # fold
+                                     # + checksum of the grown index — no
+                                     # banded join of its own, same knob
 }
 
 # Banding into an UNBOUNDED bucket space: MinHash band signatures are
@@ -104,6 +107,9 @@ UNBOUNDED_BUCKET_SPACE = {
     "stream_text_admit",         # per-batch bipartite join over the same
                                  # _band_rows md5 buckets (the persisted
                                  # dedup_incremental index)
+    "text_index_compact",        # fold + checksum of the grown text
+                                 # index — no banded join of its own,
+                                 # same unbounded md5 buckets
     "stream_text_ingest",        # the text admit gate's banding + an
                                  # epoch append — same persisted index,
                                  # same unbounded md5 buckets

@@ -841,3 +841,48 @@ def test_stream_embedding_ingest_growth_equals_admit(spark):
     assert {r[0] for r in new_rows} == admitted and admitted
     per_vec = Counter(r[0] for r in new_rows)
     assert all(v == SRP_TABLES for v in per_vec.values())
+
+
+def test_index_compaction_layout_and_payload_serve(spark):
+    """The compaction closers: (a) gen2 holds exactly one file per
+    band/table partition (the small-file fold actually folded);
+    (b) the rebuilt payload point-fetches an ADMITTED doc's verify
+    payload — the grown generation can serve the next dump's exact
+    verify without touching the raw corpus."""
+    import glob
+
+    from full_stack_big_data_spark.engine.pointfetch import point_fetch
+    from full_stack_big_data_spark.functions.text import token_ngrams, tokens
+    from full_stack_big_data_spark.operators.dedup import (BANDS, SHINGLE_N)
+    from full_stack_big_data_spark.operators.registry import load_all
+    from full_stack_big_data_spark.operators.similarity import SRP_TABLES
+    from full_stack_big_data_spark.streaming.joins import (
+        embedding_index_compact_dirs, text_index_compact_dirs)
+
+    reg = load_all()
+    gen2, pay2 = text_index_compact_dirs(spark, SF_SMOKE)
+    band_dirs = glob.glob(f"{gen2}/band=*")
+    assert len(band_dirs) == BANDS
+    assert all(len(glob.glob(f"{d}/*.parquet")) == 1 for d in band_dirs)
+
+    admitted = sorted(r.doc_id for r in reg["stream_text_admit"]
+                      .builder(spark, SF_SMOKE).collect())
+    probe_id = admitted[0]
+    got = point_fetch(spark, pay2, "doc_id", [probe_id]).collect()
+    assert len(got) == 1
+    from full_stack_big_data_spark.engine.catalog import Catalog
+    want = (Catalog(spark, SF_SMOKE).documents
+            .where(F.col("doc_id") == probe_id)
+            .select(F.array_distinct(token_ngrams(
+                tokens("text"), SHINGLE_N)).alias("s")).collect())
+    assert sorted(got[0].s) == sorted(want[0].s)
+
+    egen2, epay2 = embedding_index_compact_dirs(spark, SF_SMOKE)
+    tdirs = glob.glob(f"{egen2}/table_id=*")
+    assert len(tdirs) == SRP_TABLES
+    assert all(len(glob.glob(f"{d}/*.parquet")) == 1 for d in tdirs)
+    eadmitted = sorted(r.vec_id for r in reg["stream_embedding_admit"]
+                       .builder(spark, SF_SMOKE).collect())
+    egot = point_fetch(spark, epay2, "vec_id", [eadmitted[0]]).collect()
+    assert len(egot) == 1 and len(egot[0].embedding) == 64
+
