@@ -636,6 +636,9 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 CURATE_SAMPLE_PCT = 80
+CURATE_MIN_TOKENS = 20   # quality floor shared with stream_pipeline_curate
+#                          (streaming/joins.py imports THIS constant, so the
+#                          batch and streaming gates cannot drift)
 
 
 @register(
@@ -647,7 +650,7 @@ WITH scored AS (
          {_stopword_hits_sql('en')} AS en_hits
   FROM documents
 ), quality AS (
-  SELECT * FROM scored WHERE n_tokens >= 20 AND en_hits > 0
+  SELECT * FROM scored WHERE n_tokens >= {CURATE_MIN_TOKENS} AND en_hits > 0
 ), canonical AS (
   SELECT * FROM (
     SELECT *, MIN(doc_id) OVER (PARTITION BY sha256(text)) AS canon
@@ -694,7 +697,8 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "lang",
         F.size(tokens("text")).alias("n_tokens"),
         _stopword_hits_spark("en").alias("en_hits"))
-    quality = scored.where((F.col("n_tokens") >= 20) & (F.col("en_hits") > 0))
+    quality = scored.where((F.col("n_tokens") >= CURATE_MIN_TOKENS)
+                           & (F.col("en_hits") > 0))
     canon = F.min("doc_id").over(Window.partitionBy(F.sha2(F.col("text"), 256)))
     canonical = quality.withColumn("canon", canon).where(F.col("doc_id") == F.col("canon"))
     sampled = canonical.where(

@@ -1061,19 +1061,24 @@ def stream_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMB_INGEST_DIRS: dict[str, tuple[str, str]] = {}
 
 
-def _embedding_ingest(index_path: str, payload_path: str, epochs_dir: str):
+def _embedding_ingest(index_path: str, payload_path: str, epochs_dir: str,
+                      tables: int | None = None, bits: int | None = None):
     """foreachBatch body for the self-growing SRP index: the
     ``_embedding_admit`` decision (per-vector, vs the BASE generation
     only), survivors' (vec_id, table_id, bucket) rows appended as an
-    epoch-keyed partition — the family recipe on the vector column."""
+    epoch-keyed partition — the family recipe on the vector column.
+    ``tables``/``bits`` default to the registered fixture operating
+    point; the sf1.0 probe overrides bits to the N/64 sizing rule
+    against a matching index (same knob as ``_embedding_admit``)."""
     def ingest(batch: DataFrame, batch_id: int) -> None:
         from ..functions import observability
-        from ..operators.similarity import srp_buckets
+        from ..operators.similarity import SRP_BITS, SRP_TABLES, srp_buckets
 
         ss = batch.sparkSession
         idx = (ss.read.parquet(index_path)
                .withColumnRenamed("vec_id", "old_id"))
-        nb = (srp_buckets(batch)
+        nb = (srp_buckets(batch, tables=tables or SRP_TABLES,
+                          bits=bits or SRP_BITS)
               .select("vec_id", F.posexplode("buckets")
                       .alias("table_id", "bucket"))
               .persist())
@@ -1340,7 +1345,10 @@ def embedding_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CURATE_DIRS: dict[str, tuple[str, str]] = {}
 
-CURATE_MIN_TOKENS = 20   # pipeline_curate's quality floor, shared rule
+from ..operators.pipeline import CURATE_MIN_TOKENS  # noqa: E402 — the
+# batch pipeline_curate's quality floor, imported (not re-declared) so
+# the 'same rule' claim of the composed streaming gate cannot drift
+# (r11 review finding).
 
 
 def _curate_admit(eval_index_path: str, band_index_path: str,

@@ -221,11 +221,19 @@ def audit_streaming(spark, reg) -> tuple[list[str], list[str]]:
         "|---|---|---|---|---|---|---|---|---|",
     ]
     flagged = []
+    # The ingest gates memoize their output/checkpoint dirs per process
+    # and the batch section above already drained them (the compact
+    # entries call the ingest builders internally), so without a reset
+    # the listener here would observe ZERO micro-batches and stamp the
+    # bound over a vacuous row (r11 review finding — the same
+    # memoized-drain vacuity scale_probe's _fresh_gate fixes).
+    from full_stack_big_data_spark.streaming.joins import reset_gate_dirs
     try:
         for name, spec in reg.items():
             if "streaming" not in spec.tags:
                 continue
             col.reset()
+            reset_gate_dirs()
             release_scoped_cache(spark)
             bound = STREAM_STATE_BOUNDS.get(name)
             try:

@@ -311,17 +311,13 @@ def _fresh_gate(name):
     return run
 
 
-_EMB_GATE_ARTIFACTS: dict[tuple[str, int], tuple[str, str]] = {}
+_EMB_GATE_ARTIFACTS: dict[tuple[str, int], tuple[str, str, int]] = {}
 
 
-def _embedding_admit_scaled_bits(spark, sf):
-    """stream_embedding_admit at the DEPLOYMENT SRP operating point
-    (the _clusters_scaled_bits precedent): the registered entry pins
-    the fixture's 4-bit buckets so its oracle stays hash-exact, which
-    at 10× vectors is the documented occupancy pathology (the gate is
-    adjudicated SAME_KNOB in the geometry guard). This builder runs
-    the IDENTICAL foreachBatch body against an index + payload built
-    at the N/64 sizing rule — the gate a deployment actually runs."""
+def _scaled_srp_artifacts(spark, sf):
+    """(index dir, payload dir, bits) for the embedding gates at the
+    N/64-sized SRP operating point — built once per (sf, bits) and
+    shared by the admit and ingest probe builders."""
     import math
 
     from pyspark.sql import functions as F
@@ -331,8 +327,6 @@ def _embedding_admit_scaled_bits(spark, sf):
     from full_stack_big_data_spark.engine.scratch import scratch_dir
     from full_stack_big_data_spark.operators.similarity import (
         ANN_INCR_MOD, ANN_INCR_REM, srp_buckets)
-    from full_stack_big_data_spark.streaming import joins as sj
-    from full_stack_big_data_spark.streaming.core import stream_table
 
     emb = Catalog(spark, sf).embeddings
     n = emb.count()
@@ -347,21 +341,44 @@ def _embedding_admit_scaled_bits(spark, sf):
                  F.posexplode("buckets").alias("table_id", "bucket"))
          .write.mode("overwrite").partitionBy("table_id").parquet(idx))
         write_payload(corpus.select("vec_id", "embedding"), "vec_id", pay)
-        _EMB_GATE_ARTIFACTS[key] = (idx, pay)
-    idx, pay = _EMB_GATE_ARTIFACTS[key]
-    out = scratch_dir("probe_emb_admit_out_")
-    ckpt = scratch_dir("probe_emb_admit_ckpt_")
+        _EMB_GATE_ARTIFACTS[key] = (idx, pay, bits)
+    return _EMB_GATE_ARTIFACTS[key]
+
+
+def _new_vec_feed(spark, sf):
+    from pyspark.sql import functions as F
+
+    from full_stack_big_data_spark.operators.similarity import (
+        ANN_INCR_MOD, ANN_INCR_REM)
+    from full_stack_big_data_spark.streaming.core import stream_table
+
     path = f"{sf}/embeddings.parquet"
     template = spark.read.parquet(path)
-    feed = (stream_table(spark, path, template)
+    return (stream_table(spark, path, template)
             .where(F.col("vec_id") % ANN_INCR_MOD == ANN_INCR_REM)
             .select("vec_id", "embedding"))
-    q = (feed.writeStream
+
+
+def _embedding_admit_scaled_bits(spark, sf):
+    """stream_embedding_admit at the DEPLOYMENT SRP operating point
+    (the _clusters_scaled_bits precedent): the registered entry pins
+    the fixture's 4-bit buckets so its oracle stays hash-exact, which
+    at 10× vectors is the documented occupancy pathology (the gate is
+    adjudicated SAME_KNOB in the geometry guard). This builder runs
+    the IDENTICAL foreachBatch body against an index + payload built
+    at the N/64 sizing rule — the gate a deployment actually runs."""
+    from full_stack_big_data_spark.engine.scratch import scratch_dir
+    from full_stack_big_data_spark.streaming import joins as sj
+
+    idx, pay, bits = _scaled_srp_artifacts(spark, sf)
+    out = scratch_dir("probe_emb_admit_out_")
+    ckpt = scratch_dir("probe_emb_admit_ckpt_")
+    q = (_new_vec_feed(spark, sf).writeStream
          .foreachBatch(sj._embedding_admit(idx, pay, out, bits=bits))
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    return spark.read.parquet(out).select("vec_id")
+    return sj._read_gate_output(spark, out, "vec_id long")
 
 
 def _curate_en_free(spark, sf):
@@ -405,69 +422,18 @@ def _curate_en_free(spark, sf):
 
 def _embedding_ingest_scaled_bits(spark, sf):
     """stream_embedding_ingest at the deployment SRP operating point —
-    shares the admit-gate probe's scaled index/payload artifacts
-    (_EMB_GATE_ARTIFACTS) and appends survivors' SRP rows computed at
-    the SAME bits, so the grown generation is knob-consistent."""
-    import math
-
-    from pyspark.sql import functions as F
-
-    from full_stack_big_data_spark.engine.catalog import Catalog
-    from full_stack_big_data_spark.engine.pointfetch import write_payload
+    shares the admit-gate probe's scaled index/payload artifacts and
+    runs the REGISTERED _embedding_ingest body at the same bits, so
+    the probe measures the shipped code path (r11 review finding: the
+    earlier inline copy had already drifted)."""
     from full_stack_big_data_spark.engine.scratch import scratch_dir
-    from full_stack_big_data_spark.operators.similarity import (
-        ANN_INCR_MOD, ANN_INCR_REM, srp_buckets)
     from full_stack_big_data_spark.streaming import joins as sj
-    from full_stack_big_data_spark.streaming.core import stream_table
 
-    emb = Catalog(spark, sf).embeddings
-    n = emb.count()
-    bits = max(4, math.ceil(math.log2(max(n, 128) / 64)))
-    key = (sf, bits)
-    if key not in _EMB_GATE_ARTIFACTS:
-        idx = scratch_dir("probe_srp_gate_idx_")
-        pay = scratch_dir("probe_srp_gate_pay_")
-        corpus = emb.where(F.col("vec_id") % ANN_INCR_MOD != ANN_INCR_REM)
-        (srp_buckets(corpus, bits=bits)
-         .select("vec_id",
-                 F.posexplode("buckets").alias("table_id", "bucket"))
-         .write.mode("overwrite").partitionBy("table_id").parquet(idx))
-        write_payload(corpus.select("vec_id", "embedding"), "vec_id", pay)
-        _EMB_GATE_ARTIFACTS[key] = (idx, pay)
-    idx, pay = _EMB_GATE_ARTIFACTS[key]
+    idx, pay, bits = _scaled_srp_artifacts(spark, sf)
     epochs = scratch_dir("probe_emb_ingest_epochs_")
     ckpt = scratch_dir("probe_emb_ingest_ckpt_")
-
-    def ingest(batch, batch_id):
-        from full_stack_big_data_spark.functions import observability
-        ss = batch.sparkSession
-        bidx = ss.read.parquet(idx).withColumnRenamed("vec_id", "old_id")
-        nb = (srp_buckets(batch, bits=bits)
-              .select("vec_id", F.posexplode("buckets")
-                      .alias("table_id", "bucket")).persist())
-        try:
-            cand = (nb.join(bidx, ["table_id", "bucket"])
-                    .select("vec_id", "old_id"))
-            cand = (observability.observe_candidates(cand, "srp_ingest")
-                    .distinct().persist())
-            try:
-                hits = sj._cosine_verify_hits(ss, cand, batch, pay)
-                (nb.join(hits, "vec_id", "left_anti")
-                 .withColumn("batch_id", F.lit(batch_id))
-                 .write.mode("overwrite")
-                 .option("partitionOverwriteMode", "dynamic")
-                 .partitionBy("batch_id").parquet(epochs))
-            finally:
-                cand.unpersist()
-        finally:
-            nb.unpersist()
-
-    path = f"{sf}/embeddings.parquet"
-    template = spark.read.parquet(path)
-    feed = (stream_table(spark, path, template)
-            .where(F.col("vec_id") % ANN_INCR_MOD == ANN_INCR_REM)
-            .select("vec_id", "embedding"))
-    q = (feed.writeStream.foreachBatch(ingest)
+    q = (_new_vec_feed(spark, sf).writeStream
+         .foreachBatch(sj._embedding_ingest(idx, pay, epochs, bits=bits))
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination()
