@@ -67,17 +67,26 @@ FROM events v JOIN events p
  AND v.event_type = 'view' AND p.event_type = 'purchase'
  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
 """,
-    description="stream-stream event-time join: purchase within 1h of view, watermark-bounded state",
+    description="stream-stream event-time join: purchase within 1h of view, watermark-bounded state (45d replay horizon)",
     tags=("streaming", "join"),
 )
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State is bounded by the watermark horizon on BOTH sides plus the
+    time-bounded join condition; a live deployment sets the horizon to
+    its ingestion disorder (minutes-hours). The fixture REPLAYS 30 days
+    of history, so the horizon here is 45 days — like
+    ``stream_dedup_watermarked``, the replay-safe setting that keeps
+    the emitted pair set chop-invariant (a 2-hour horizon was only
+    correct while availableNow happened to drain the single fixture
+    file in one micro-batch; a multi-file feed would silently late-drop
+    rows the batch oracle contains — r11 review finding)."""
     ev = _events_stream(spark, sf_dir)
     views = (ev.where(F.col("event_type") == "view")
              .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
-             .withWatermark("view_ts", "2 hours"))
+             .withWatermark("view_ts", "45 days"))
     buys = (ev.where(F.col("event_type") == "purchase")
             .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
-            .withWatermark("purchase_ts", "2 hours"))
+            .withWatermark("purchase_ts", "45 days"))
     j = views.join(
         buys,
         (F.col("v_user") == F.col("p_user"))
@@ -151,8 +160,34 @@ def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per micro-batch against the stored gram index.
 # ---------------------------------------------------------------------------
 
+_GATE_DIR_CACHES: list[dict] = []
+
+
+def _registered_cache() -> dict:
+    """A gate's memoized-dirs cache, auto-enrolled for
+    :func:`reset_gate_dirs` — a new gate cannot be forgotten by the
+    probe reset (r11 review finding: the reset used to hand-enumerate
+    every cache, so an omission made fresh-dirs probing a silent
+    zero-batch no-op for that gate)."""
+    d: dict = {}
+    _GATE_DIR_CACHES.append(d)
+    return d
+
+
+def _gate_dirs(cache: dict, sf_dir: str, tag: str) -> tuple[str, str]:
+    """Memoized (sink dir, checkpoint dir) scratch pair for an ingest
+    gate — the 6-line block every gate used to copy."""
+    dirs = cache.get(sf_dir)
+    if dirs is None:
+        from ..engine.scratch import scratch_dir
+        dirs = (scratch_dir(f"fsbd_{tag}_out_"),
+                scratch_dir(f"fsbd_{tag}_ckpt_"))
+        cache[sf_dir] = dirs
+    return dirs
+
+
 _EVAL_INDEX_DIRS: dict[str, str] = {}
-_DECONTAM_DIRS: dict[str, tuple[str, str]] = {}
+_DECONTAM_DIRS = _registered_cache()
 
 
 def _read_gate_output(spark: SparkSession, out_dir: str,
@@ -215,15 +250,24 @@ def _decontam_admit(index_path: str, out_dir: str):
     replays byte-identical) + an idempotent epoch-keyed write."""
     def admit(batch: DataFrame, batch_id: int) -> None:
         idx = batch.sparkSession.read.parquet(index_path)
-        g = batch.select("doc_id", F.explode("gs").alias("g"))
-        hits = (g.join(F.broadcast(idx), "g", "left_semi")
-                .select("doc_id").distinct())
-        (batch.join(hits, "doc_id", "left_anti")
-         .select("doc_id", F.size("gs").cast("int").alias("n_grams"),
-                 F.lit(batch_id).alias("batch_id"))
-         .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("batch_id").parquet(out_dir))
+        # Batch-scoped persist: the tokenize + n-gram projection feeds
+        # both the membership check and the survivor anti-join —
+        # Catalyst does not CSE across join inputs, so without it every
+        # doc would be tokenized and n-grammed twice per micro-batch
+        # (r11 review finding; the sibling gates' r10 pattern).
+        batch = batch.persist()
+        try:
+            g = batch.select("doc_id", F.explode("gs").alias("g"))
+            hits = (g.join(F.broadcast(idx), "g", "left_semi")
+                    .select("doc_id").distinct())
+            (batch.join(hits, "doc_id", "left_anti")
+             .select("doc_id", F.size("gs").cast("int").alias("n_grams"),
+                     F.lit(batch_id).alias("batch_id"))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id").parquet(out_dir))
+        finally:
+            batch.unpersist()
     return admit
 
 
@@ -284,13 +328,7 @@ def stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_session(spark)
     index_path = _eval_gram_index_dir(spark, sf_dir)
-    dirs = _DECONTAM_DIRS.get(sf_dir)
-    if dirs is None:
-        from ..engine.scratch import scratch_dir
-        dirs = (scratch_dir("fsbd_stream_decontam_out_"),
-                scratch_dir("fsbd_stream_decontam_ckpt_"))
-        _DECONTAM_DIRS[sf_dir] = dirs
-    out_dir, ckpt = dirs
+    out_dir, ckpt = _gate_dirs(_DECONTAM_DIRS, sf_dir, "stream_decontam")
 
     path = f"{sf_dir}/documents.parquet"
     template = spark.read.parquet(path)
@@ -319,47 +357,57 @@ def stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decided per micro-batch against the persisted phash signature index.
 # ---------------------------------------------------------------------------
 
-_PHASH_ADMIT_DIRS: dict[str, tuple[str, str]] = {}
+_PHASH_ADMIT_DIRS = _registered_cache()
 
 
-def _phash_admit(index_path: str, out_dir: str):
-    """foreachBatch body: hash the micro-batch's payloads (the two
-    Arrow passes of ``phash_signature_frame`` — a micro-batch is a
-    plain batch DataFrame, so mapInPandas applies), bipartite
-    banded-join the batch signatures against the stored corpus index,
-    drop every new doc with a hamming ≤ ball hit, write survivors to a
+def _phash_gate(index_path: str, target_dir: str, sensor: str):
+    """Shared foreachBatch chain for BOTH phash gates (admit + ingest —
+    they differ only in sensor label and target dir, r11 review
+    finding): hash the micro-batch's payloads (the two Arrow passes of
+    ``phash_signature_frame``), bipartite banded-join the batch
+    signatures against the stored corpus index, drop every new doc
+    with a hamming ≤ ball hit, write survivors' signature rows to a
     ``batch_id=<epoch>`` partition under dynamic partition overwrite
     (the idempotent-replay recipe pinned on ``_decontam_admit``). The
-    index is read through the BATCH's session."""
-    def admit(batch: DataFrame, batch_id: int) -> None:
+    index is read through the BATCH's session; the signature frame is
+    batch-scoped persisted (feeds the banded probe AND the final
+    anti-join)."""
+    def body(batch: DataFrame, batch_id: int) -> None:
         from ..operators.dedup import banded_hamming_join
         from ..operators.multimodal import (PHASH_BAND_BITS_SCALED,
                                             PHASH_BITS, PHASH_HAMMING_MAX,
                                             phash_signature_frame)
 
         idx = batch.sparkSession.read.parquet(index_path)
-        # Batch-scoped persist: the signature frame feeds both the
-        # banded join's probe side and the final anti-join — without it
-        # the batch would render+hash twice.
         sig = phash_signature_frame(batch).persist()
         try:
             hits = (banded_hamming_join(
                         idx, sig, bits=PHASH_BITS,
                         band_bits=PHASH_BAND_BITS_SCALED, sig_col="phash",
-                        sensor=f"phash_admit_band{PHASH_BAND_BITS_SCALED}",
-                        hamming_max=PHASH_HAMMING_MAX)
+                        sensor=sensor, hamming_max=PHASH_HAMMING_MAX)
                     .select(F.col("new_doc").alias("doc_id")).distinct())
             (sig.join(hits, "doc_id", "left_anti")
              .withColumn("batch_id", F.lit(batch_id))
              .write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
-             .partitionBy("batch_id").parquet(out_dir))
+             .partitionBy("batch_id").parquet(target_dir))
         finally:
             sig.unpersist()
-    return admit
+    return body
 
 
-def _stream_phash_admit_oracle() -> str:
+def _phash_admit(index_path: str, out_dir: str):
+    """Admit gate: survivors land in the gate's own sink (see
+    :func:`_phash_gate` for the shared chain)."""
+    from ..operators.multimodal import PHASH_BAND_BITS_SCALED
+    return _phash_gate(index_path, out_dir,
+                       f"phash_admit_band{PHASH_BAND_BITS_SCALED}")
+
+
+def _phash_hits_cte() -> str:
+    """Shared oracle chain for the phash gates: per-doc signatures plus
+    the bipartite new×corpus verified ``hits`` — the admit and ingest
+    oracles differ only in the final SELECT."""
     from ..operators.multimodal import (PHASH_HAMMING_MAX, PHASH_INCR_MOD,
                                         PHASH_INCR_REM, _phash_sig_cte)
     return _phash_sig_cte() + f""", hits AS (
@@ -368,7 +416,12 @@ def _stream_phash_admit_oracle() -> str:
     ON a.doc_id % {PHASH_INCR_MOD} <> {PHASH_INCR_REM}
    AND b.doc_id % {PHASH_INCR_MOD} = {PHASH_INCR_REM}
   WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_MAX}
-)
+)"""
+
+
+def _stream_phash_admit_oracle() -> str:
+    from ..operators.multimodal import PHASH_INCR_MOD, PHASH_INCR_REM
+    return _phash_hits_cte() + f"""
 SELECT doc_id, phash FROM ph
 WHERE doc_id % {PHASH_INCR_MOD} = {PHASH_INCR_REM}
   AND doc_id NOT IN (SELECT doc_id FROM hits)
@@ -425,13 +478,7 @@ def stream_phash_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_session(spark)
     index_path = _phash_index_dir(spark, sf_dir)
-    dirs = _PHASH_ADMIT_DIRS.get(sf_dir)
-    if dirs is None:
-        from ..engine.scratch import scratch_dir
-        dirs = (scratch_dir("fsbd_phash_admit_out_"),
-                scratch_dir("fsbd_phash_admit_ckpt_"))
-        _PHASH_ADMIT_DIRS[sf_dir] = dirs
-    out_dir, ckpt = dirs
+    out_dir, ckpt = _gate_dirs(_PHASH_ADMIT_DIRS, sf_dir, "phash_admit")
 
     path = f"{sf_dir}/documents.parquet"
     template = spark.read.parquet(path)
@@ -446,54 +493,26 @@ def stream_phash_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _read_gate_output(spark, out_dir, "doc_id long, phash long")
 
 
-_PHASH_INGEST_DIRS: dict[str, tuple[str, str]] = {}
+_PHASH_INGEST_DIRS = _registered_cache()
 
 
 def _phash_ingest(base_index_path: str, epochs_dir: str):
-    """foreachBatch body for the SELF-GROWING index: the admit decision
-    of ``_phash_admit`` (per-doc, against the BASE generation only —
-    batch-chop-invariant), but survivors' signatures are appended to
-    the index's EPOCH generation dir as a ``batch_id=<epoch>``
-    partition under dynamic partition overwrite. Exactly-once index
-    growth over an at-least-once callback: a replayed epoch rewrites
-    its own partition; the base generation lives in its own dir and is
-    never touched (also why the epoch dir is separate — Spark rightly
-    refuses to overwrite a path the same plan reads from)."""
-    def ingest(batch: DataFrame, batch_id: int) -> None:
-        from ..operators.dedup import banded_hamming_join
-        from ..operators.multimodal import (PHASH_BAND_BITS_SCALED,
-                                            PHASH_BITS, PHASH_HAMMING_MAX,
-                                            phash_signature_frame)
-
-        base = batch.sparkSession.read.parquet(base_index_path)
-        sig = phash_signature_frame(batch).persist()
-        try:
-            hits = (banded_hamming_join(
-                        base, sig, bits=PHASH_BITS,
-                        band_bits=PHASH_BAND_BITS_SCALED, sig_col="phash",
-                        sensor=f"phash_ingest_band{PHASH_BAND_BITS_SCALED}",
-                        hamming_max=PHASH_HAMMING_MAX)
-                    .select(F.col("new_doc").alias("doc_id")).distinct())
-            (sig.join(hits, "doc_id", "left_anti")
-             .withColumn("batch_id", F.lit(batch_id))
-             .write.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .partitionBy("batch_id").parquet(epochs_dir))
-        finally:
-            sig.unpersist()
-    return ingest
+    """SELF-GROWING index: the :func:`_phash_gate` decision (per-doc,
+    against the BASE generation only — batch-chop-invariant), with
+    survivors' signatures appended to the index's EPOCH generation dir.
+    Exactly-once index growth over an at-least-once callback: a
+    replayed epoch rewrites its own partition; the base generation
+    lives in its own dir and is never touched (also why the epoch dir
+    is separate — Spark rightly refuses to overwrite a path the same
+    plan reads from)."""
+    from ..operators.multimodal import PHASH_BAND_BITS_SCALED
+    return _phash_gate(base_index_path, epochs_dir,
+                       f"phash_ingest_band{PHASH_BAND_BITS_SCALED}")
 
 
 def _stream_phash_ingest_oracle() -> str:
-    from ..operators.multimodal import (PHASH_HAMMING_MAX, PHASH_INCR_MOD,
-                                        PHASH_INCR_REM, _phash_sig_cte)
-    return _phash_sig_cte() + f""", hits AS (
-  SELECT DISTINCT b.doc_id
-  FROM ph a JOIN ph b
-    ON a.doc_id % {PHASH_INCR_MOD} <> {PHASH_INCR_REM}
-   AND b.doc_id % {PHASH_INCR_MOD} = {PHASH_INCR_REM}
-  WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_MAX}
-)
+    from ..operators.multimodal import PHASH_INCR_MOD, PHASH_INCR_REM
+    return _phash_hits_cte() + f"""
 SELECT doc_id, phash FROM ph
 WHERE doc_id % {PHASH_INCR_MOD} <> {PHASH_INCR_REM}
    OR doc_id NOT IN (SELECT doc_id FROM hits)
@@ -543,13 +562,7 @@ def stream_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_session(spark)
     base_dir = _phash_index_dir(spark, sf_dir)   # the corpus generation
-    dirs = _PHASH_INGEST_DIRS.get(sf_dir)
-    if dirs is None:
-        from ..engine.scratch import scratch_dir
-        dirs = (scratch_dir("fsbd_phash_ingest_epochs_"),
-                scratch_dir("fsbd_phash_ingest_ckpt_"))
-        _PHASH_INGEST_DIRS[sf_dir] = dirs
-    epochs_dir, ckpt = dirs
+    epochs_dir, ckpt = _gate_dirs(_PHASH_INGEST_DIRS, sf_dir, "phash_ingest")
 
     path = f"{sf_dir}/documents.parquet"
     template = spark.read.parquet(path)
@@ -574,7 +587,7 @@ def stream_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # against the persisted SRP bucket index.
 # ---------------------------------------------------------------------------
 
-_EMB_ADMIT_DIRS: dict[str, tuple[str, str]] = {}
+_EMB_ADMIT_DIRS = _registered_cache()
 
 
 def _cosine_verify_hits(spark: SparkSession, cand: DataFrame,
@@ -599,49 +612,64 @@ def _cosine_verify_hits(spark: SparkSession, cand: DataFrame,
             .select("vec_id").distinct())
 
 
-def _embedding_admit(index_path: str, payload_path: str, out_dir: str,
-                     tables: int | None = None, bits: int | None = None):
-    """foreachBatch body: bucket the micro-batch's vectors (the SRP
-    Arrow pass — a micro-batch is a plain batch DataFrame), equi-join
-    the batch's (table_id, bucket) rows against the stored corpus
-    index, verify candidates with the exact cosine kernel over
-    POINT-FETCHED payload rows (engine.pointfetch — per-batch I/O ∝
-    candidates, never an embeddings.parquet pass), drop every new
-    vector with a verified hit, write survivors to a
-    ``batch_id=<epoch>`` partition under dynamic partition overwrite
-    (the family's idempotent-replay recipe). Candidates carry IDS ONLY
-    through the bucket join (the band-row discipline); the candidate
-    subtree is batch-scoped persisted — it feeds both the id fetch and
-    the verify join."""
-    def admit(batch: DataFrame, batch_id: int) -> None:
+def _embedding_gate(index_path: str, payload_path: str, target_dir: str,
+                    sensor: str, survivors, tables: int | None = None,
+                    bits: int | None = None):
+    """Shared foreachBatch chain for BOTH embedding gates (admit +
+    ingest — r11 review finding): bucket the micro-batch's vectors (the
+    SRP Arrow pass), equi-join the batch's (table_id, bucket) rows
+    against the stored corpus index, verify candidates with the exact
+    cosine kernel over POINT-FETCHED payload rows (engine.pointfetch —
+    per-batch I/O ∝ candidates, never an embeddings.parquet pass), and
+    write ``survivors(batch, nb, hits)`` to a ``batch_id=<epoch>``
+    partition under dynamic partition overwrite (the family's
+    idempotent-replay recipe). Candidates carry IDS ONLY through the
+    bucket join; the bucket rows and candidate subtree are batch-scoped
+    persisted (each feeds two consumers). ``tables``/``bits`` default
+    to the registered fixture operating point; the sf1.0 probe
+    overrides bits to the N/64 sizing rule against a matching index."""
+    def body(batch: DataFrame, batch_id: int) -> None:
         from ..functions import observability
         from ..operators.similarity import SRP_BITS, SRP_TABLES, srp_buckets
 
         ss = batch.sparkSession
         idx = (ss.read.parquet(index_path)
                .withColumnRenamed("vec_id", "old_id"))
-        # tables/bits default to the registered fixture operating point;
-        # the sf1.0 probe overrides bits to the N/64 sizing rule against
-        # a matching index (the geometry-guard deployment knob).
-        nb = (srp_buckets(batch, tables=tables or SRP_TABLES,
-                          bits=bits or SRP_BITS)
+        nb = (srp_buckets(
+                  batch,
+                  tables=tables if tables is not None else SRP_TABLES,
+                  bits=bits if bits is not None else SRP_BITS)
               .select("vec_id", F.posexplode("buckets")
-                      .alias("table_id", "bucket")))
-        cand = (nb.join(idx, ["table_id", "bucket"])
-                .select("vec_id", "old_id"))
-        cand = (observability.observe_candidates(cand, "srp_admit")
-                .distinct().persist())
+                      .alias("table_id", "bucket"))
+              .persist())
         try:
-            hits = _cosine_verify_hits(ss, cand, batch, payload_path)
-            (batch.select("vec_id")
-             .join(hits, "vec_id", "left_anti")
-             .withColumn("batch_id", F.lit(batch_id))
-             .write.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .partitionBy("batch_id").parquet(out_dir))
+            cand = (nb.join(idx, ["table_id", "bucket"])
+                    .select("vec_id", "old_id"))
+            cand = (observability.observe_candidates(cand, sensor)
+                    .distinct().persist())
+            try:
+                hits = _cosine_verify_hits(ss, cand, batch, payload_path)
+                (survivors(batch, nb, hits)
+                 .withColumn("batch_id", F.lit(batch_id))
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("batch_id").parquet(target_dir))
+            finally:
+                cand.unpersist()
         finally:
-            cand.unpersist()
-    return admit
+            nb.unpersist()
+    return body
+
+
+def _embedding_admit(index_path: str, payload_path: str, out_dir: str,
+                     tables: int | None = None, bits: int | None = None):
+    """Admit gate: survivors are the batch's vec_ids without a verified
+    hit (see :func:`_embedding_gate` for the shared chain)."""
+    return _embedding_gate(
+        index_path, payload_path, out_dir, "srp_admit",
+        lambda batch, nb, hits: (batch.select("vec_id")
+                                 .join(hits, "vec_id", "left_anti")),
+        tables=tables, bits=bits)
 
 
 def _emb_admit_cte() -> str:
@@ -724,13 +752,7 @@ def stream_embedding_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     index_path = srp_index_dir(spark, sf_dir)
     payload_path = srp_payload_dir(spark, sf_dir)
-    dirs = _EMB_ADMIT_DIRS.get(sf_dir)
-    if dirs is None:
-        from ..engine.scratch import scratch_dir
-        dirs = (scratch_dir("fsbd_emb_admit_out_"),
-                scratch_dir("fsbd_emb_admit_ckpt_"))
-        _EMB_ADMIT_DIRS[sf_dir] = dirs
-    out_dir, ckpt = dirs
+    out_dir, ckpt = _gate_dirs(_EMB_ADMIT_DIRS, sf_dir, "emb_admit")
 
     path = f"{sf_dir}/embeddings.parquet"
     template = spark.read.parquet(path)
@@ -752,7 +774,7 @@ def stream_embedding_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per micro-batch against the persisted MinHash band index.
 # ---------------------------------------------------------------------------
 
-_TEXT_ADMIT_DIRS: dict[str, tuple[str, str]] = {}
+_TEXT_ADMIT_DIRS = _registered_cache()
 
 
 def _jaccard_verify_hits(spark: SparkSession, cand: DataFrame,
@@ -781,19 +803,20 @@ def _jaccard_verify_hits(spark: SparkSession, cand: DataFrame,
             .select("doc_id").distinct())
 
 
-def _text_admit(index_path: str, payload_path: str, out_dir: str):
-    """foreachBatch body: shingle + MinHash-band the micro-batch
+def _text_gate(index_path: str, payload_path: str, target_dir: str,
+               sensor: str, survivors):
+    """Shared foreachBatch chain for BOTH text gates (admit + ingest —
+    r11 review finding): shingle + MinHash-band the micro-batch
     (map-side, the shared ``_band_rows`` kernel), equi-join the batch's
-    band rows against the stored corpus index, then verify candidates
-    with EXACT jaccard over POINT-FETCHED payload shingle sets
+    band rows against the stored corpus index, verify candidates with
+    EXACT jaccard over POINT-FETCHED payload shingle sets
     (engine.pointfetch — per-batch I/O ∝ candidates' pk directories,
-    never a corpus pass). The candidate subtree is batch-scoped
-    persisted (r10 ADVICE): it feeds both the id fetch and the verify
-    join, and without the persist the bucket join + the batch's
-    banding would compute twice. Survivors land in a
-    ``batch_id=<epoch>`` partition under dynamic partition overwrite
-    (the family's idempotent-replay recipe)."""
-    def admit(batch: DataFrame, batch_id: int) -> None:
+    never a corpus pass), and write ``survivors(sh_new, bands_new,
+    hits)`` to a ``batch_id=<epoch>`` partition under dynamic partition
+    overwrite (the family's idempotent-replay recipe). The shingle
+    frame, band rows, and candidate subtree are each batch-scoped
+    persisted — every one feeds two consumers (r10 ADVICE pattern)."""
+    def body(batch: DataFrame, batch_id: int) -> None:
         from ..functions import observability
         from ..functions.text import token_ngrams, tokens
         from ..operators.dedup import SHINGLE_N, _band_rows
@@ -807,40 +830,61 @@ def _text_admit(index_path: str, payload_path: str, out_dir: str):
             F.array_distinct(token_ngrams(F.col("toks"), SHINGLE_N))
              .alias("s")).persist()
         try:
-            bands_new = _band_rows(sh_new)
-            cand = (idx.alias("a").join(
-                        bands_new.alias("b"),
-                        (F.col("a.band") == F.col("b.band"))
-                        & (F.col("a.bucket") == F.col("b.bucket")))
-                    .select(F.col("a.doc_id").alias("old_doc"),
-                            F.col("b.doc_id").alias("doc_id")))
-            cand = (observability.observe_candidates(
-                        cand, "text_admit_minhash")
-                    .distinct().persist())
+            bands_new = _band_rows(sh_new).persist()
             try:
-                hits = _jaccard_verify_hits(ss, cand, sh_new, payload_path)
-                (sh_new.select("doc_id",
-                               F.size("s").cast("int").alias("n_shingles"))
-                 .join(hits, "doc_id", "left_anti")
-                 .withColumn("batch_id", F.lit(batch_id))
-                 .write.mode("overwrite")
-                 .option("partitionOverwriteMode", "dynamic")
-                 .partitionBy("batch_id").parquet(out_dir))
+                cand = (idx.alias("a").join(
+                            bands_new.alias("b"),
+                            (F.col("a.band") == F.col("b.band"))
+                            & (F.col("a.bucket") == F.col("b.bucket")))
+                        .select(F.col("a.doc_id").alias("old_doc"),
+                                F.col("b.doc_id").alias("doc_id")))
+                cand = (observability.observe_candidates(cand, sensor)
+                        .distinct().persist())
+                try:
+                    hits = _jaccard_verify_hits(ss, cand, sh_new,
+                                                payload_path)
+                    (survivors(sh_new, bands_new, hits)
+                     .withColumn("batch_id", F.lit(batch_id))
+                     .write.mode("overwrite")
+                     .option("partitionOverwriteMode", "dynamic")
+                     .partitionBy("batch_id").parquet(target_dir))
+                finally:
+                    cand.unpersist()
             finally:
-                cand.unpersist()
+                bands_new.unpersist()
         finally:
             sh_new.unpersist()
-    return admit
+    return body
+
+
+def _text_admit(index_path: str, payload_path: str, out_dir: str):
+    """Admit gate: survivors are the batch's docs without a verified
+    hit, recorded as (doc_id, n_shingles) rows (see :func:`_text_gate`
+    for the shared chain)."""
+    return _text_gate(
+        index_path, payload_path, out_dir, "text_admit_minhash",
+        lambda sh_new, bands_new, hits: (
+            sh_new.select("doc_id",
+                          F.size("s").cast("int").alias("n_shingles"))
+            .join(hits, "doc_id", "left_anti")))
+
+
+def _text_inc_oracle() -> str:
+    """The bipartite verified near-dup pair subquery (corpus × new
+    dump) every text-gate oracle embeds — built once here instead of
+    four times (r11 review finding)."""
+    from ..operators.dedup import INCR_MOD, INCR_REM, _minhash_oracle
+    return _minhash_oracle(
+        cand_pred=(f"a.doc_id % {INCR_MOD} <> {INCR_REM} "
+                   f"AND b.doc_id % {INCR_MOD} = {INCR_REM}"),
+        head_cols="doc_a AS old_doc, doc_b AS new_doc")
 
 
 def _stream_text_admit_oracle() -> str:
     from ..functions.text import tokens_sql
     from ..operators.dedup import (INCR_MOD, INCR_REM, SHINGLE_N,
-                                   _SHINGLES_SQL, _minhash_oracle)
-    inc = _minhash_oracle(
-        cand_pred=(f"a.doc_id % {INCR_MOD} <> {INCR_REM} "
-                   f"AND b.doc_id % {INCR_MOD} = {INCR_REM}"),
-        head_cols="doc_a AS old_doc, doc_b AS new_doc")
+                                   _SHINGLES_SQL)
+    inc = _text_inc_oracle()
     return f"""
 SELECT doc_id, CAST(len({_SHINGLES_SQL}) AS INTEGER) AS n_shingles
 FROM documents
@@ -894,13 +938,7 @@ def stream_text_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/documents.parquet"
     index_path = minhash_index_dir(spark, sf_dir)
     payload_path = minhash_payload_dir(spark, sf_dir)
-    dirs = _TEXT_ADMIT_DIRS.get(sf_dir)
-    if dirs is None:
-        from ..engine.scratch import scratch_dir
-        dirs = (scratch_dir("fsbd_text_admit_out_"),
-                scratch_dir("fsbd_text_admit_ckpt_"))
-        _TEXT_ADMIT_DIRS[sf_dir] = dirs
-    out_dir, ckpt = dirs
+    out_dir, ckpt = _gate_dirs(_TEXT_ADMIT_DIRS, sf_dir, "text_admit")
 
     template = spark.read.parquet(path)
     docs = stream_table(spark, path, template)
@@ -922,70 +960,27 @@ def stream_text_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ingest loop for all three column families.
 # ---------------------------------------------------------------------------
 
-_TEXT_INGEST_DIRS: dict[str, tuple[str, str]] = {}
+_TEXT_INGEST_DIRS = _registered_cache()
 
 
 def _text_ingest(base_index_path: str, payload_path: str, epochs_dir: str):
-    """foreachBatch body for the self-growing MinHash band index: the
-    ``_text_admit`` decision (per-doc, vs the BASE generation only —
-    batch-chop-invariant), but survivors' BAND ROWS land in the index's
-    epoch generation as a ``batch_id=<epoch>`` partition under dynamic
-    partition overwrite — the ``_phash_ingest`` recipe on the text
-    family. The band-row frame feeds both the candidate probe and the
-    final anti-join, so it is batch-scoped persisted alongside the
-    shingle frame and the candidate subtree."""
-    def ingest(batch: DataFrame, batch_id: int) -> None:
-        from ..functions import observability
-        from ..functions.text import token_ngrams, tokens
-        from ..operators.dedup import SHINGLE_N, _band_rows
-
-        ss = batch.sparkSession
-        idx = ss.read.parquet(base_index_path)
-        toks = (batch.select("doc_id", tokens("text").alias("toks"))
-                .where(F.size("toks") >= SHINGLE_N))
-        sh_new = toks.select(
-            "doc_id",
-            F.array_distinct(token_ngrams(F.col("toks"), SHINGLE_N))
-             .alias("s")).persist()
-        try:
-            bands_new = _band_rows(sh_new).persist()
-            try:
-                cand = (idx.alias("a").join(
-                            bands_new.alias("b"),
-                            (F.col("a.band") == F.col("b.band"))
-                            & (F.col("a.bucket") == F.col("b.bucket")))
-                        .select(F.col("a.doc_id").alias("old_doc"),
-                                F.col("b.doc_id").alias("doc_id")))
-                cand = (observability.observe_candidates(
-                            cand, "text_ingest_minhash")
-                        .distinct().persist())
-                try:
-                    hits = _jaccard_verify_hits(ss, cand, sh_new,
-                                                payload_path)
-                    (bands_new.join(hits, "doc_id", "left_anti")
-                     .select("doc_id",
-                             F.col("band").cast("int").alias("band"),
-                             "bucket")
-                     .withColumn("batch_id", F.lit(batch_id))
-                     .write.mode("overwrite")
-                     .option("partitionOverwriteMode", "dynamic")
-                     .partitionBy("batch_id").parquet(epochs_dir))
-                finally:
-                    cand.unpersist()
-            finally:
-                bands_new.unpersist()
-        finally:
-            sh_new.unpersist()
-    return ingest
+    """SELF-GROWING MinHash band index: the :func:`_text_gate` decision
+    (per-doc, vs the BASE generation only — batch-chop-invariant), with
+    survivors' BAND ROWS landing in the index's epoch generation as a
+    ``batch_id=<epoch>`` partition — the ``_phash_ingest`` recipe on
+    the text family."""
+    return _text_gate(
+        base_index_path, payload_path, epochs_dir, "text_ingest_minhash",
+        lambda sh_new, bands_new, hits: (
+            bands_new.join(hits, "doc_id", "left_anti")
+            .select("doc_id", F.col("band").cast("int").alias("band"),
+                    "bucket")))
 
 
 def _stream_text_ingest_oracle() -> str:
     from ..operators.dedup import (INCR_MOD, INCR_REM,
-                                   _minhash_bands_prefix, _minhash_oracle)
-    inc = _minhash_oracle(
-        cand_pred=(f"a.doc_id % {INCR_MOD} <> {INCR_REM} "
-                   f"AND b.doc_id % {INCR_MOD} = {INCR_REM}"),
-        head_cols="doc_a AS old_doc, doc_b AS new_doc")
+                                   _minhash_bands_prefix)
+    inc = _text_inc_oracle()
     return _minhash_bands_prefix() + f"""
 SELECT doc_id, CAST(band AS INTEGER) AS band, bucket FROM bands
 WHERE doc_id % {INCR_MOD} <> {INCR_REM}
@@ -1033,13 +1028,7 @@ def stream_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/documents.parquet"
     base_dir = minhash_index_dir(spark, sf_dir)
     payload_path = minhash_payload_dir(spark, sf_dir)
-    dirs = _TEXT_INGEST_DIRS.get(sf_dir)
-    if dirs is None:
-        from ..engine.scratch import scratch_dir
-        dirs = (scratch_dir("fsbd_text_ingest_epochs_"),
-                scratch_dir("fsbd_text_ingest_ckpt_"))
-        _TEXT_INGEST_DIRS[sf_dir] = dirs
-    epochs_dir, ckpt = dirs
+    epochs_dir, ckpt = _gate_dirs(_TEXT_INGEST_DIRS, sf_dir, "text_ingest")
 
     template = spark.read.parquet(path)
     docs = stream_table(spark, path, template)
@@ -1058,50 +1047,23 @@ def stream_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(grown)
 
 
-_EMB_INGEST_DIRS: dict[str, tuple[str, str]] = {}
+_EMB_INGEST_DIRS = _registered_cache()
 
 
 def _embedding_ingest(index_path: str, payload_path: str, epochs_dir: str,
                       tables: int | None = None, bits: int | None = None):
-    """foreachBatch body for the self-growing SRP index: the
-    ``_embedding_admit`` decision (per-vector, vs the BASE generation
-    only), survivors' (vec_id, table_id, bucket) rows appended as an
-    epoch-keyed partition — the family recipe on the vector column.
-    ``tables``/``bits`` default to the registered fixture operating
-    point; the sf1.0 probe overrides bits to the N/64 sizing rule
-    against a matching index (same knob as ``_embedding_admit``)."""
-    def ingest(batch: DataFrame, batch_id: int) -> None:
-        from ..functions import observability
-        from ..operators.similarity import SRP_BITS, SRP_TABLES, srp_buckets
-
-        ss = batch.sparkSession
-        idx = (ss.read.parquet(index_path)
-               .withColumnRenamed("vec_id", "old_id"))
-        nb = (srp_buckets(batch, tables=tables or SRP_TABLES,
-                          bits=bits or SRP_BITS)
-              .select("vec_id", F.posexplode("buckets")
-                      .alias("table_id", "bucket"))
-              .persist())
-        try:
-            cand = (nb.join(idx, ["table_id", "bucket"])
-                    .select("vec_id", "old_id"))
-            cand = (observability.observe_candidates(cand, "srp_ingest")
-                    .distinct().persist())
-            try:
-                hits = _cosine_verify_hits(ss, cand, batch, payload_path)
-                (nb.join(hits, "vec_id", "left_anti")
-                 .select("vec_id",
-                         F.col("table_id").cast("int").alias("table_id"),
-                         F.col("bucket").cast("int").alias("bucket"))
-                 .withColumn("batch_id", F.lit(batch_id))
-                 .write.mode("overwrite")
-                 .option("partitionOverwriteMode", "dynamic")
-                 .partitionBy("batch_id").parquet(epochs_dir))
-            finally:
-                cand.unpersist()
-        finally:
-            nb.unpersist()
-    return ingest
+    """SELF-GROWING SRP index: the :func:`_embedding_gate` decision
+    (per-vector, vs the BASE generation only), with survivors'
+    (vec_id, table_id, bucket) rows appended as an epoch-keyed
+    partition — the family recipe on the vector column."""
+    return _embedding_gate(
+        index_path, payload_path, epochs_dir, "srp_ingest",
+        lambda batch, nb, hits: (
+            nb.join(hits, "vec_id", "left_anti")
+            .select("vec_id",
+                    F.col("table_id").cast("int").alias("table_id"),
+                    F.col("bucket").cast("int").alias("bucket"))),
+        tables=tables, bits=bits)
 
 
 def _stream_embedding_ingest_oracle() -> str:
@@ -1148,13 +1110,7 @@ def stream_embedding_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/embeddings.parquet"
     base_dir = srp_index_dir(spark, sf_dir)
     payload_path = srp_payload_dir(spark, sf_dir)
-    dirs = _EMB_INGEST_DIRS.get(sf_dir)
-    if dirs is None:
-        from ..engine.scratch import scratch_dir
-        dirs = (scratch_dir("fsbd_emb_ingest_epochs_"),
-                scratch_dir("fsbd_emb_ingest_ckpt_"))
-        _EMB_INGEST_DIRS[sf_dir] = dirs
-    epochs_dir, ckpt = dirs
+    epochs_dir, ckpt = _gate_dirs(_EMB_INGEST_DIRS, sf_dir, "emb_ingest")
 
     template = spark.read.parquet(path)
     vecs = stream_table(spark, path, template)
@@ -1212,11 +1168,8 @@ def text_index_compact_dirs(spark: SparkSession,
 def _text_index_compact_oracle() -> str:
     from ..functions.hashing import hex64_sql
     from ..operators.dedup import (INCR_MOD, INCR_REM,
-                                   _minhash_bands_prefix, _minhash_oracle)
-    inc = _minhash_oracle(
-        cand_pred=(f"a.doc_id % {INCR_MOD} <> {INCR_REM} "
-                   f"AND b.doc_id % {INCR_MOD} = {INCR_REM}"),
-        head_cols="doc_a AS old_doc, doc_b AS new_doc")
+                                   _minhash_bands_prefix)
+    inc = _text_inc_oracle()
     h = hex64_sql("CAST(doc_id AS VARCHAR) || '|' || bucket")
     return _minhash_bands_prefix() + f""", grown AS (
   SELECT doc_id, band, bucket FROM bands
@@ -1343,7 +1296,7 @@ def embedding_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reference's README declares (/root/reference/README.md:49-55).
 # ---------------------------------------------------------------------------
 
-_CURATE_DIRS: dict[str, tuple[str, str]] = {}
+_CURATE_DIRS = _registered_cache()
 
 from ..operators.pipeline import CURATE_MIN_TOKENS  # noqa: E402 — the
 # batch pipeline_curate's quality floor, imported (not re-declared) so
@@ -1436,13 +1389,10 @@ def _curate_admit(eval_index_path: str, band_index_path: str,
 def _stream_pipeline_curate_oracle() -> str:
     from ..functions.text import tokens_sql
     from ..operators.decontam import _NG_SQL, EVAL_MOD
-    from ..operators.dedup import INCR_MOD, INCR_REM, _minhash_oracle
+    from ..operators.dedup import INCR_MOD, INCR_REM
     from ..operators.textanalysis import _stopword_hits_sql
 
-    inc = _minhash_oracle(
-        cand_pred=(f"a.doc_id % {INCR_MOD} <> {INCR_REM} "
-                   f"AND b.doc_id % {INCR_MOD} = {INCR_REM}"),
-        head_cols="doc_a AS old_doc, doc_b AS new_doc")
+    inc = _text_inc_oracle()
     return f"""
 WITH eligible AS (
   SELECT doc_id, lang,
@@ -1516,13 +1466,7 @@ def stream_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_index = _eval_gram_index_dir(spark, sf_dir)
     band_index = minhash_index_dir(spark, sf_dir)
     payload = minhash_payload_dir(spark, sf_dir)
-    dirs = _CURATE_DIRS.get(sf_dir)
-    if dirs is None:
-        from ..engine.scratch import scratch_dir
-        dirs = (scratch_dir("fsbd_stream_curate_out_"),
-                scratch_dir("fsbd_stream_curate_ckpt_"))
-        _CURATE_DIRS[sf_dir] = dirs
-    out_dir, ckpt = dirs
+    out_dir, ckpt = _gate_dirs(_CURATE_DIRS, sf_dir, "stream_curate")
 
     template = spark.read.parquet(path)
     docs = stream_table(spark, path, template)
@@ -1548,9 +1492,7 @@ def reset_gate_dirs() -> None:
     (r10 verdict item 2). The INDEX/payload artifacts stay memoized:
     they are the persisted corpus-side state a production gate reads
     every batch, paid once — the bpe_tokenize_serve probe precedent."""
-    for d in (_DECONTAM_DIRS, _PHASH_ADMIT_DIRS, _PHASH_INGEST_DIRS,
-              _EMB_ADMIT_DIRS, _TEXT_ADMIT_DIRS, _CURATE_DIRS,
-              _TEXT_INGEST_DIRS, _EMB_INGEST_DIRS):
+    for d in _GATE_DIR_CACHES:
         d.clear()
 
 
@@ -1563,7 +1505,7 @@ APPROX_DISTINCT_RSD = 0.05
 SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS estimate_ok
 FROM events GROUP BY event_type
 """,
-    description="streaming HLL distinct users per event_type, estimate hash-proved within 5% of exact",
+    description="streaming HLL distinct users per event_type, estimate hash-proved within 3×rsd (15%) of exact",
     tags=("streaming", "sketch", "approx"),
 )
 def stream_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1577,8 +1519,9 @@ def stream_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Correctness contract (sketch internals are engine-private, same
     discipline as ``q_approx_distinct``): the streamed estimate must
-    land within the configured 5% rsd of the EXACT batch recompute over
-    the same replayed input — both sides computed Spark-side, booleans
+    land within 3× the configured 5% rsd (the standard ±3σ acceptance
+    band, 15%) of the EXACT batch recompute over the same replayed
+    input — both sides computed Spark-side, booleans
     asserted TRUE by the oracle alongside the exact counts.
     """
     from ..engine.catalog import Catalog
