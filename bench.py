@@ -73,32 +73,40 @@ HEADLINE = [
 
 
 def _prev_round_queries() -> tuple[list[str], int | None]:
-    """(query keys, round) of the newest committed BENCH_r{N}.json
-    whose set DIFFERS from this run's HEADLINE — the previous round's
-    headline set. Summing THIS run's times over that set gives a
-    like-for-like round-over-round subtotal in the artifact itself
-    (r8 verdict item 3), so a grown headline list no longer makes
-    totals incomparable.
+    """(query keys, round) of the newest committed BENCH_r{N}.json that
+    is NOT this round's own artifact — the previous round's headline
+    set. Summing THIS run's times over that set gives a like-for-like
+    round-over-round subtotal in the artifact itself (r8 verdict
+    item 3), so a grown headline list no longer makes totals
+    incomparable.
 
-    Artifacts whose query set equals the current HEADLINE are skipped
-    (r9 ADVICE): once the current round's artifact lands on disk, a
-    re-run within the round would otherwise compare against its OWN
-    set (subtotal == total, vacuously). When NO artifact's set differs
-    (the headline genuinely didn't change between rounds), fall back
-    to the newest artifact's set instead of none — the subtotal then
-    equals the total, which IS the like-for-like number (r10 ADVICE).
-    The source round rides in the emitted JSON as
-    ``prev_round_source`` so a fallback several rounds deep is
-    labeled, not silently passed off as last round's."""
+    "Own artifact" is identified by ROUND NUMBER, not by set equality
+    (r11 verdict item 6: the old skip-any-equal-set rule silently
+    reached past r10 to r9 whenever the headline was stable between
+    rounds — correct arithmetic, wrong label). The current round is
+    VERDICT.md's round + 1 (the driver rewrites VERDICT.md before each
+    build round); only a within-round re-run after the driver lands
+    BENCH_r{current} ever hits the exclusion. When VERDICT.md is
+    absent or unparseable the newest artifact is excluded only if its
+    set equals HEADLINE (the old self-compare guard). The source round
+    rides in the emitted JSON as ``prev_round_source``."""
     import re as _re
 
     here = os.path.dirname(os.path.abspath(__file__))
+    cur_round = None
+    try:
+        with open(os.path.join(here, "VERDICT.md")) as f:
+            m = _re.search(r"Round\s+(\d+)", f.read(2048))
+        if m:
+            cur_round = int(m.group(1)) + 1
+    except OSError:
+        pass
     rounds = []
     for fname in os.listdir(here):
         m = _re.match(r"BENCH_r(\d+)\.json$", fname)
         if m:
             rounds.append((int(m.group(1)), fname))
-    newest: tuple[list[str], int | None] = ([], None)
+    first = True
     for rnd, fname in sorted(rounds, reverse=True):
         try:
             with open(os.path.join(here, fname)) as f:
@@ -108,11 +116,15 @@ def _prev_round_queries() -> tuple[list[str], int | None]:
             prev = list(rec.get("parsed", rec).get("queries", {}))
         except (OSError, ValueError, AttributeError):
             continue
-        if prev and newest[1] is None:
-            newest = (prev, rnd)
-        if prev and set(prev) != set(HEADLINE):
-            return prev, rnd
-    return newest
+        if not prev:
+            continue
+        if rnd == cur_round:
+            continue
+        if cur_round is None and first and set(prev) == set(HEADLINE):
+            first = False
+            continue
+        return prev, rnd
+    return [], None
 
 
 def main() -> None:

@@ -37,6 +37,19 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 PF_PK_MOD = 32        # payload directory-partition modulus
 PF_MAX_IDS = 200_000  # size gate for the driver-side id fetch (~1.6 MB)
+# Ceiling for the pushed-literal ``key IN (…)`` path. Spark only pushes
+# an In filter to parquet as PER-VALUE stats checks while the value
+# count is ≤ spark.sql.parquet.pushdown.inFilterThreshold — past it the
+# pushed filter degrades to a [min(ids), max(ids)] RANGE check, and
+# row-group skipping inside a touched pk directory largely vanishes
+# for spread-out ids (r11 ADVICE). point_fetch raises the session
+# threshold to this ceiling so every literal fetch it issues gets the
+# per-value rule; id sets past the ceiling take the broadcast-join
+# fallback (still pk-directory-pruned) rather than a range-degraded
+# literal push. 4096 covers every gate family's CAND_CEIL with slack;
+# per-value stats evaluation at this width is footer arithmetic,
+# microseconds against row-group I/O.
+PF_IN_MAX = 4096
 
 
 def write_payload(df: DataFrame, key: str, path: str,
@@ -47,7 +60,16 @@ def write_payload(df: DataFrame, key: str, path: str,
     directory holds one sorted file at this scale."""
     (df.withColumn("pk", F.pmod(F.col(key), F.lit(pk_mod)).cast("int"))
        .repartition("pk")
-       .sortWithinPartitions(key)
+       # Sort by BOTH the partition column and the key: partitionBy
+       # requires pk-ordered input, so a key-only sort makes the writer
+       # insert its own Sort(pk) on top — key order within a pk file
+       # then survives only while the writer's sort stays in memory
+       # (stable radix), and silently breaks under spill merges at
+       # scale, loosening the row-group min/max stats the point lookup
+       # depends on (r11 ADVICE). (pk, key) satisfies the writer's
+       # required ordering outright — no extra sort, guaranteed
+       # key-sorted files.
+       .sortWithinPartitions("pk", key)
        .write.mode("overwrite")
        # Small row groups ARE the point-lookup design: the row group is
        # parquet's stats-pruning granule, so with key-sorted files the
@@ -79,6 +101,16 @@ def point_fetch(spark: SparkSession, path: str, key: str,
     r = spark.read.parquet(path)
     if not ids:
         return r.where(F.lit(False)).drop("pk")
+    # Runtime conf, read at physical planning: guarantees the In filter
+    # below is pushed to parquet as per-value stats checks, not the
+    # range degradation the default threshold (10) would give any
+    # realistic candidate set (r11 ADVICE). Monotone raise — never
+    # lowered back — so concurrent fetches can't race it downward.
+    cur = int(spark.conf.get(
+        "spark.sql.parquet.pushdown.inFilterThreshold", "10"))
+    if cur < PF_IN_MAX:
+        spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold",
+                       str(PF_IN_MAX))
     pks = sorted({i % pk_mod for i in ids})
     return (r.where(F.col("pk").isin(pks) & F.col(key).isin(ids))
             .drop("pk"))
@@ -86,12 +118,22 @@ def point_fetch(spark: SparkSession, path: str, key: str,
 
 def fetch_payload(spark: SparkSession, path: str, key: str,
                   ids_df: DataFrame, pk_mod: int = PF_PK_MOD) -> DataFrame:
-    """The gates' entry point: try the pushed-literal point fetch,
-    fall back to a broadcast join against the payload table when the
-    id set blows the driver gate (still never the raw corpus — the
-    payload carries only (key, verify columns))."""
+    """The gates' entry point: three regimes by candidate-set size,
+    never the raw corpus in any of them (the payload carries only
+    (key, verify columns)).
+
+    ≤ PF_IN_MAX ids → pushed-literal point fetch (directory prune +
+    per-value row-group skipping). ≤ PF_MAX_IDS → broadcast join, but
+    still with the literal ``pk IN`` directory prune (the pk set is at
+    most pk_mod values regardless of id count, so the literal stays
+    tiny while untouched directories are never opened). Past the
+    driver gate → plain broadcast join over the payload."""
     ids = fetch_ids(ids_df, key)
-    if ids is not None:
+    if ids is not None and len(ids) <= PF_IN_MAX:
         return point_fetch(spark, path, key, ids, pk_mod=pk_mod)
-    return (spark.read.parquet(path).drop("pk")
+    r = spark.read.parquet(path)
+    if ids is not None:
+        pks = sorted({i % pk_mod for i in ids})
+        r = r.where(F.col("pk").isin(pks))
+    return (r.drop("pk")
             .join(F.broadcast(ids_df.select(key).distinct()), key))

@@ -43,11 +43,16 @@ def _touched_bytes(payload_path: str, key: str,
     """(touched bytes, touched row groups, total bytes, total row
     groups) a stats-pruning parquet reader must read for ``ids``: a
     row group is touched iff some candidate id falls in its key
-    [min, max] (the exact rule Spark's pushed parquet-native In filter
-    evaluates against row-group statistics; pk directories no id maps
-    to are never opened at all — PartitionFilters). Computed from
-    parquet footers via pyarrow so the measurement is reader-
-    independent."""
+    [min, max] — the per-value rule Spark's pushed parquet-native In
+    filter evaluates against row-group statistics. point_fetch raises
+    spark.sql.parquet.pushdown.inFilterThreshold to PF_IN_MAX for
+    every literal fetch it issues (r11 ADVICE: at the DEFAULT
+    threshold of 10, k > 10 ids degrade to a [min, max] RANGE push and
+    this arithmetic would overstate the reader's pruning — with the
+    raise, the k = 16/64/256 rows below match the reader's actual
+    rule). pk directories no id maps to are never opened at all
+    (PartitionFilters). Computed from parquet footers via pyarrow so
+    the measurement is reader-independent."""
     import bisect
 
     import pyarrow.parquet as pq
