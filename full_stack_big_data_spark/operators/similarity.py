@@ -1270,28 +1270,36 @@ def embedding_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SRP_INDEX_DIRS: dict[str, str] = {}
+_SRP_INDEX_DIRS: dict[tuple[str, int, int], str] = {}
 
 
-def srp_index_dir(spark: SparkSession, sf_dir: str) -> str:
+def srp_index_dir(spark: SparkSession, sf_dir: str,
+                  tables: int = SRP_TABLES, bits: int = SRP_BITS) -> str:
     """Materialize the EXISTING corpus's (vec_id, table_id, bucket) SRP
-    rows as table_id-partitioned parquet ONCE per (process, corpus) —
-    the stored-index artifact ``ann_index_persist`` builds in-query,
-    memoized so the STREAMING admit gate (``stream_embedding_admit``)
-    can check every micro-batch against it without re-bucketing the
-    corpus. Same economics as the phash/eval-gram/BPE artifacts."""
-    path = _SRP_INDEX_DIRS.get(sf_dir)
+    rows as table_id-partitioned parquet ONCE per (process, corpus,
+    geometry) — the stored-index artifact ``ann_index_persist`` builds
+    in-query, memoized so the STREAMING admit gate
+    (``stream_embedding_admit``) can check every micro-batch against it
+    without re-bucketing the corpus. Same economics as the
+    phash/eval-gram/BPE artifacts. ``tables``/``bits`` key the cache:
+    the fixture gates read the 16×4 index, the ``_scaled`` lifecycle
+    entries the 16×9 one (a deployment runs exactly one geometry; both
+    exist here only because the fixture rows are kept as sensor
+    contrasts). The verify payload is geometry-free and shared."""
+    key = (sf_dir, tables, bits)
+    path = _SRP_INDEX_DIRS.get(key)
     if path is not None:
         return path
     from ..engine.scratch import scratch_dir
 
     e = srp_buckets(Catalog(spark, sf_dir).embeddings
-                    .where(F.col("vec_id") % ANN_INCR_MOD != ANN_INCR_REM))
+                    .where(F.col("vec_id") % ANN_INCR_MOD != ANN_INCR_REM),
+                    tables=tables, bits=bits)
     tbl = e.select("vec_id",
                    F.posexplode("buckets").alias("table_id", "bucket"))
     path = scratch_dir("fsbd_srp_admit_index_")
     tbl.write.mode("overwrite").partitionBy("table_id").parquet(path)
-    _SRP_INDEX_DIRS[sf_dir] = path
+    _SRP_INDEX_DIRS[key] = path
     return path
 
 

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..engine.session import tune_session
 from ..operators.registry import register
+from ..operators.similarity import SRP_BITS_WIDE as _SRP_BITS_WIDE
 from .core import run_to_completion, stream_table
 from .windows import TS_FMT, with_event_time
 
@@ -672,14 +673,19 @@ def _embedding_admit(index_path: str, payload_path: str, out_dir: str,
         tables=tables, bits=bits)
 
 
-def _emb_admit_cte() -> str:
+def _emb_admit_cte(bits: int | None = None) -> str:
     """Shared oracle chain for the embedding gate: SRP buckets over
     ALL vectors (``b``), the bipartite new×corpus candidate join, and
     the exact-cosine-verified ``hits`` — reused by the admit and
-    ingest oracles, which differ only in the final SELECT."""
+    ingest oracles, which differ only in the final SELECT. ``bits``
+    mirrors the gate's SRP geometry knob (fixture default vs the
+    ``_scaled`` entries' N/64 operating point) — the prefix embeds the
+    exact plane literals for that geometry."""
     from ..operators.similarity import (ANN_INCR_MOD, ANN_INCR_REM,
-                                        NEARDUP_COS, _srp_bucket_prefix)
-    return _srp_bucket_prefix() + f""", newb AS (
+                                        NEARDUP_COS, SRP_BITS,
+                                        _srp_bucket_prefix)
+    return _srp_bucket_prefix(
+        bits=bits if bits is not None else SRP_BITS) + f""", newb AS (
   SELECT vec_id, table_id, bucket FROM b
   WHERE vec_id % {ANN_INCR_MOD} = {ANN_INCR_REM}
 ), oldb AS (
@@ -698,13 +704,42 @@ def _emb_admit_cte() -> str:
 )"""
 
 
-def _stream_embedding_admit_oracle() -> str:
+def _stream_embedding_admit_oracle(bits: int | None = None) -> str:
     from ..operators.similarity import ANN_INCR_MOD, ANN_INCR_REM
-    return _emb_admit_cte() + f"""
+    return _emb_admit_cte(bits) + f"""
 SELECT vec_id FROM embeddings
 WHERE vec_id % {ANN_INCR_MOD} = {ANN_INCR_REM}
   AND vec_id NOT IN (SELECT vec_id FROM hits)
 """
+
+
+def _run_embedding_admit(spark: SparkSession, sf_dir: str, cache: dict,
+                         tag: str, bits: int | None = None) -> DataFrame:
+    """Shared entry body for the admit gate at either SRP geometry:
+    build/reuse the (geometry-keyed) corpus index + (geometry-free)
+    payload, drain the new-vector feed through the checkpointed
+    foreachBatch gate, read back the admitted epoch partitions."""
+    from ..operators.similarity import (ANN_INCR_MOD, ANN_INCR_REM,
+                                        srp_index_dir, srp_payload_dir)
+
+    tune_session(spark)
+    kw = {} if bits is None else {"bits": bits}
+    index_path = srp_index_dir(spark, sf_dir, **kw)
+    payload_path = srp_payload_dir(spark, sf_dir)
+    out_dir, ckpt = _gate_dirs(cache, sf_dir, tag)
+
+    path = f"{sf_dir}/embeddings.parquet"
+    template = spark.read.parquet(path)
+    vecs = stream_table(spark, path, template)
+    feed = (vecs.where(F.col("vec_id") % ANN_INCR_MOD == ANN_INCR_REM)
+            .select("vec_id", "embedding"))
+    q = (feed.writeStream
+         .foreachBatch(_embedding_admit(index_path, payload_path, out_dir,
+                                        bits=bits))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return _read_gate_output(spark, out_dir, "vec_id long")
 
 
 @register(
@@ -745,26 +780,49 @@ def stream_embedding_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the ``srp_admit`` sensor rides it); corpus vectors are
     POINT-FETCHED from the payload artifact for candidate ids only —
     scan-level pk/vec_id prunes, never an embeddings.parquet pass
-    (r10 verdict item 1; plan pinned in tests/test_plans.py)."""
-    from ..operators.similarity import (ANN_INCR_MOD, ANN_INCR_REM,
-                                        srp_index_dir, srp_payload_dir)
+    (r10 verdict item 1; plan pinned in tests/test_plans.py).
 
-    tune_session(spark)
-    index_path = srp_index_dir(spark, sf_dir)
-    payload_path = srp_payload_dir(spark, sf_dir)
-    out_dir, ckpt = _gate_dirs(_EMB_ADMIT_DIRS, sf_dir, "emb_admit")
+    OPERATING POINT: this entry runs the 16×4 FIXTURE geometry — the
+    sensor-contrast twin (the ``dedup_simhash`` precedent) whose
+    candidate volume the ``srp_admit`` sensor prices. Its bucket space
+    is fixed, so occupancy, and the quadratic-in-occupancy candidate
+    join, grow with N — the documented sf1.0 pathology. The entry a
+    deployment actually runs is ``stream_embedding_admit_scaled``
+    (2^bits ≈ N/64), and the self-growing/compaction lifecycle
+    composes THAT one (r11 verdict item 1)."""
+    return _run_embedding_admit(spark, sf_dir, _EMB_ADMIT_DIRS,
+                                "emb_admit")
 
-    path = f"{sf_dir}/embeddings.parquet"
-    template = spark.read.parquet(path)
-    vecs = stream_table(spark, path, template)
-    feed = (vecs.where(F.col("vec_id") % ANN_INCR_MOD == ANN_INCR_REM)
-            .select("vec_id", "embedding"))
-    q = (feed.writeStream
-         .foreachBatch(_embedding_admit(index_path, payload_path, out_dir))
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
-    return _read_gate_output(spark, out_dir, "vec_id long")
+
+_EMB_ADMIT_SCALED_DIRS = _registered_cache()
+
+
+@register(
+    "stream_embedding_admit_scaled",
+    oracle=_stream_embedding_admit_oracle(bits=_SRP_BITS_WIDE),
+    description="the embedding admit gate at the deployment SRP "
+                "operating point (16 tables × 9 bits, the 2^bits ≈ "
+                "N/64 rule): same chain, index and oracle rebuilt at "
+                "the scaled geometry — the entry the ingest/compact "
+                "lifecycle composes",
+    tags=("streaming", "similarity", "neardup", "lsh"),
+)
+def stream_embedding_admit_scaled(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """``stream_embedding_admit`` at the N/64-sized SRP geometry
+    (``SRP_BITS_WIDE`` = 9 — the 2^bits ≈ N/64 rule at the sf1.0
+    corpus, the same graduation ``embedding_neardup_banded_scaled``
+    registers for the batch path). The fixture-bits twin above is kept
+    as an explicit sensor contrast; THIS is the gate whose per-batch
+    candidate join stays ∝ true near-dups as the corpus grows, and the
+    geometry the self-growing index and compaction entries ride
+    (r11 verdict item 1: no registered lifecycle entry composes the
+    fixed-bucket occupancy pathology). Recall trade at the wide point:
+    per-table collision is p^9 (p = 1 − θ/π), so 16 tables keep ≈ 99%
+    recall at cos ≥ 0.9 true duplicates while low-cosine collision
+    noise collapses — the operating point a 100 TB dedup wants."""
+    return _run_embedding_admit(spark, sf_dir, _EMB_ADMIT_SCALED_DIRS,
+                                "emb_admit_sc", bits=_SRP_BITS_WIDE)
 
 
 # ---------------------------------------------------------------------------
@@ -1066,15 +1124,49 @@ def _embedding_ingest(index_path: str, payload_path: str, epochs_dir: str,
         tables=tables, bits=bits)
 
 
-def _stream_embedding_ingest_oracle() -> str:
+def _stream_embedding_ingest_oracle(bits: int | None = None) -> str:
     from ..operators.similarity import ANN_INCR_MOD, ANN_INCR_REM
-    return _emb_admit_cte() + f"""
+    return _emb_admit_cte(bits) + f"""
 SELECT vec_id, CAST(table_id AS INTEGER) AS table_id,
        CAST(bucket AS INTEGER) AS bucket
 FROM b
 WHERE vec_id % {ANN_INCR_MOD} <> {ANN_INCR_REM}
    OR vec_id NOT IN (SELECT vec_id FROM hits)
 """
+
+
+def _run_embedding_ingest(spark: SparkSession, sf_dir: str, cache: dict,
+                          tag: str, bits: int | None = None) -> DataFrame:
+    """Shared entry body for the self-growing SRP index at either
+    geometry: drain the feed through the ingest gate (admit decision
+    vs the geometry-keyed BASE index), return base ∪ grown epochs."""
+    from ..operators.similarity import (ANN_INCR_MOD, ANN_INCR_REM,
+                                        srp_index_dir, srp_payload_dir)
+
+    tune_session(spark)
+    kw = {} if bits is None else {"bits": bits}
+    base_dir = srp_index_dir(spark, sf_dir, **kw)
+    payload_path = srp_payload_dir(spark, sf_dir)
+    epochs_dir, ckpt = _gate_dirs(cache, sf_dir, tag)
+
+    path = f"{sf_dir}/embeddings.parquet"
+    template = spark.read.parquet(path)
+    vecs = stream_table(spark, path, template)
+    feed = (vecs.where(F.col("vec_id") % ANN_INCR_MOD == ANN_INCR_REM)
+            .select("vec_id", "embedding"))
+    q = (feed.writeStream.foreachBatch(
+             _embedding_ingest(base_dir, payload_path, epochs_dir,
+                               bits=bits))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    base = (spark.read.parquet(base_dir)
+            .select("vec_id",
+                    F.col("table_id").cast("int").alias("table_id"),
+                    F.col("bucket").cast("int").alias("bucket")))
+    grown = _read_gate_output(spark, epochs_dir,
+                              "vec_id long, table_id int, bucket int")
+    return base.unionByName(grown)
 
 
 @register(
@@ -1102,32 +1194,40 @@ def stream_embedding_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per-batch cost identical to the admit gate plus one
     batch-sized partition write; the index grows SRP_TABLES rows per
-    admitted vector; zero streaming state."""
-    from ..operators.similarity import (ANN_INCR_MOD, ANN_INCR_REM,
-                                        srp_index_dir, srp_payload_dir)
+    admitted vector; zero streaming state.
 
-    tune_session(spark)
-    path = f"{sf_dir}/embeddings.parquet"
-    base_dir = srp_index_dir(spark, sf_dir)
-    payload_path = srp_payload_dir(spark, sf_dir)
-    epochs_dir, ckpt = _gate_dirs(_EMB_INGEST_DIRS, sf_dir, "emb_ingest")
+    OPERATING POINT: the 16×4 FIXTURE geometry — kept as the sensor
+    contrast (see ``stream_embedding_admit``); the lifecycle a
+    deployment runs, and the one ``embedding_index_compact`` folds, is
+    ``stream_embedding_ingest_scaled`` (r11 verdict item 1)."""
+    return _run_embedding_ingest(spark, sf_dir, _EMB_INGEST_DIRS,
+                                 "emb_ingest")
 
-    template = spark.read.parquet(path)
-    vecs = stream_table(spark, path, template)
-    feed = (vecs.where(F.col("vec_id") % ANN_INCR_MOD == ANN_INCR_REM)
-            .select("vec_id", "embedding"))
-    q = (feed.writeStream.foreachBatch(
-             _embedding_ingest(base_dir, payload_path, epochs_dir))
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
-    base = (spark.read.parquet(base_dir)
-            .select("vec_id",
-                    F.col("table_id").cast("int").alias("table_id"),
-                    F.col("bucket").cast("int").alias("bucket")))
-    grown = _read_gate_output(spark, epochs_dir,
-                              "vec_id long, table_id int, bucket int")
-    return base.unionByName(grown)
+
+_EMB_INGEST_SCALED_DIRS = _registered_cache()
+
+
+@register(
+    "stream_embedding_ingest_scaled",
+    oracle=_stream_embedding_ingest_oracle(bits=_SRP_BITS_WIDE),
+    description="the self-growing SRP index at the deployment operating "
+                "point (16 tables × 9 bits): admit survivors' rows "
+                "appended as epoch partitions onto the scaled-geometry "
+                "base index — the drain embedding_index_compact folds",
+    tags=("streaming", "similarity", "lsh", "storage"),
+)
+def stream_embedding_ingest_scaled(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """``stream_embedding_ingest`` at the N/64-sized SRP geometry —
+    the registered lifecycle path (r11 verdict item 1: the compact
+    entry must not fold a drain whose candidate join rides the
+    fixed-bucket occupancy pathology). Same two-generation layout,
+    same idempotence at both replay layers, same per-vector-vs-base
+    admission; only the bucket space (and hence the per-batch
+    candidate volume, which stays ∝ true near-dups as N grows) and
+    the oracle's embedded plane literals change."""
+    return _run_embedding_ingest(spark, sf_dir, _EMB_INGEST_SCALED_DIRS,
+                                 "emb_ingest_sc", bits=_SRP_BITS_WIDE)
 
 
 # Enrolled in the gate-cache registry (r11 ADVICE): the compact
@@ -1231,7 +1331,10 @@ def embedding_index_compact_dirs(spark: SparkSession,
     """The SRP twin of :func:`text_index_compact_dirs`: fold base +
     ingest epochs into one table_id-partitioned generation (one file
     per table) and rebuild the vector payload over the grown
-    membership."""
+    membership. The drain folded is the SCALED-geometry lifecycle
+    (``stream_embedding_ingest_scaled``, 2^bits ≈ N/64) — a
+    maintenance entry a user actually runs must not compose the
+    fixture geometry's occupancy pathology (r11 verdict item 1)."""
     dirs = _EMB_COMPACT_DIRS.get(sf_dir)
     if dirs is not None:
         return dirs
@@ -1239,7 +1342,7 @@ def embedding_index_compact_dirs(spark: SparkSession,
     from ..engine.pointfetch import write_payload
     from ..engine.scratch import scratch_dir
 
-    grown = stream_embedding_ingest(spark, sf_dir)   # memoized drain
+    grown = stream_embedding_ingest_scaled(spark, sf_dir)  # memoized drain
     gen2 = scratch_dir("fsbd_emb_index_gen2_")
     (grown.repartition("table_id")
      .write.mode("overwrite").partitionBy("table_id").parquet(gen2))
@@ -1257,7 +1360,7 @@ def _embedding_index_compact_oracle() -> str:
     from ..functions.hashing import hex64_sql
     from ..operators.similarity import ANN_INCR_MOD, ANN_INCR_REM
     h = hex64_sql("CAST(vec_id AS VARCHAR) || '|' || CAST(bucket AS VARCHAR)")
-    return _emb_admit_cte() + f""", grown AS (
+    return _emb_admit_cte(_SRP_BITS_WIDE) + f""", grown AS (
   SELECT vec_id, table_id, bucket FROM b
   WHERE vec_id % {ANN_INCR_MOD} <> {ANN_INCR_REM}
      OR vec_id NOT IN (SELECT vec_id FROM hits)
@@ -1272,18 +1375,23 @@ FROM grown GROUP BY table_id
 @register(
     "embedding_index_compact",
     oracle=_embedding_index_compact_oracle(),
-    description="SRP index maintenance: fold the grown generations into "
-                "one table_id-partitioned generation (one file per "
-                "table) + rebuild the vector payload over the grown "
-                "membership; per-table counts + content checksums "
-                "oracle-prove the fold content-preserving",
+    description="SRP index maintenance at the deployment geometry: fold "
+                "the scaled ingest's grown generations into one "
+                "table_id-partitioned generation (one file per table) + "
+                "rebuild the vector payload over the grown membership; "
+                "per-table counts + content checksums oracle-prove the "
+                "fold content-preserving",
     tags=("storage", "similarity", "lsh"),
 )
 def embedding_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The maintenance half of the closed embedding-ingest loop — see
     :func:`text_index_compact` for the shape and scale argument; here
     the fold exchange is keyed on table_id and the payload rebuild is
-    one pass over the grown vector membership."""
+    one pass over the grown vector membership. Folds the
+    SCALED-geometry drain (r11 verdict item 1): the registered
+    lifecycle — admit → grow → compact — runs end-to-end at the
+    2^bits ≈ N/64 operating point whose decade probe is linear, with
+    the fixture-bits entries kept only as sensor contrasts."""
     from ..functions.hashing import hex64
 
     gen2, _pay2 = embedding_index_compact_dirs(spark, sf_dir)

@@ -147,10 +147,11 @@ PROBES = [
      "fresh-dirs drain: bipartite minhash bucket join vs the stored "
      "band index (unbounded md5 buckets), jaccard verify point-fetch "
      "∝ candidates"),
-    ("stream_embedding_admit", "output",
-     "fresh-dirs drain at the N/64-sized SRP bits against a matching "
-     "index (deployment knob, the _clusters_scaled_bits precedent); "
-     "exact-cosine verify point-fetch ∝ candidates"),
+    ("stream_embedding_admit_scaled", "output",
+     "fresh-dirs drain of the REGISTERED scaled gate (16×9 bits, r11 "
+     "verdict item 1 — the deployment knob is now a driver-checked "
+     "entry, not a probe override); exact-cosine verify point-fetch "
+     "∝ candidates"),
     ("stream_phash_admit", "output",
      "fresh-dirs drain: per-batch BMP render+dHash (two Arrow passes) "
      "+ bipartite banded-hamming join vs the stored signature index"),
@@ -160,15 +161,19 @@ PROBES = [
     ("stream_text_ingest", "output",
      "fresh-dirs drain: the text admit join + an epoch-keyed append of "
      "survivors' band rows — same unbounded md5 buckets"),
-    ("stream_embedding_ingest", "output",
-     "fresh-dirs drain at the N/64-sized SRP bits against a matching "
-     "index; admit join + epoch-keyed append of survivors' SRP rows"),
+    ("stream_embedding_ingest_scaled", "output",
+     "fresh-dirs drain of the REGISTERED scaled ingest (16×9 bits); "
+     "admit join + epoch-keyed append of survivors' SRP rows"),
     ("text_index_compact", "linear",
-     "one index-sized exchange (repartition on band) + one payload "
-     "rebuild pass; rides the memoized ingest drain"),
+     "fresh-dirs lifecycle (r11 ADVICE: the compact caches are now "
+     "enrolled in the gate-cache registry, so every rep re-runs ingest "
+     "drain + fold + payload rebuild instead of timing the memoized "
+     "gen2 read): one index-sized exchange (repartition on band) + one "
+     "payload rebuild pass"),
     ("embedding_index_compact", "linear",
-     "one index-sized exchange (repartition on table_id) + one payload "
-     "rebuild pass"),
+     "fresh-dirs lifecycle over the SCALED ingest drain (r11 verdict "
+     "item 1): one index-sized exchange (repartition on table_id) + "
+     "one payload rebuild pass"),
 ]
 
 # Candidate-volume ceilings for the banded families (r7 verdict item 4):
@@ -238,15 +243,15 @@ CAND_CEIL = {
     # dedup_incremental ceiling.
     "stream_text_admit": ("documents", 64.0, False),
     "stream_pipeline_curate": ("documents", 64.0, False),
-    # embedding gate probed at the N/64 sizing rule (the registered
-    # fixture bits would be the documented occupancy pathology at 10×):
-    # the banded-embedding family ceiling.
-    "stream_embedding_admit": ("embeddings", 1024.0, False),
+    # embedding gate at the N/64 sizing rule — now the registered
+    # scaled entries themselves (r11 verdict item 1): the banded-
+    # embedding family ceiling.
+    "stream_embedding_admit_scaled": ("embeddings", 1024.0, False),
     # phash gate runs the scaled 12-bit banding → the family's 512.
     "stream_phash_admit": ("documents", 512.0, False),
     # the ingest twins run their admit gate's join + an append.
     "stream_text_ingest": ("documents", 64.0, False),
-    "stream_embedding_ingest": ("embeddings", 1024.0, False),
+    "stream_embedding_ingest_scaled": ("embeddings", 1024.0, False),
 }
 
 
@@ -311,76 +316,6 @@ def _fresh_gate(name):
     return run
 
 
-_EMB_GATE_ARTIFACTS: dict[tuple[str, int], tuple[str, str, int]] = {}
-
-
-def _scaled_srp_artifacts(spark, sf):
-    """(index dir, payload dir, bits) for the embedding gates at the
-    N/64-sized SRP operating point — built once per (sf, bits) and
-    shared by the admit and ingest probe builders."""
-    import math
-
-    from pyspark.sql import functions as F
-
-    from full_stack_big_data_spark.engine.catalog import Catalog
-    from full_stack_big_data_spark.engine.pointfetch import write_payload
-    from full_stack_big_data_spark.engine.scratch import scratch_dir
-    from full_stack_big_data_spark.operators.similarity import (
-        ANN_INCR_MOD, ANN_INCR_REM, srp_buckets)
-
-    emb = Catalog(spark, sf).embeddings
-    n = emb.count()
-    bits = max(4, math.ceil(math.log2(max(n, 128) / 64)))
-    key = (sf, bits)
-    if key not in _EMB_GATE_ARTIFACTS:
-        idx = scratch_dir("probe_srp_gate_idx_")
-        pay = scratch_dir("probe_srp_gate_pay_")
-        corpus = emb.where(F.col("vec_id") % ANN_INCR_MOD != ANN_INCR_REM)
-        (srp_buckets(corpus, bits=bits)
-         .select("vec_id",
-                 F.posexplode("buckets").alias("table_id", "bucket"))
-         .write.mode("overwrite").partitionBy("table_id").parquet(idx))
-        write_payload(corpus.select("vec_id", "embedding"), "vec_id", pay)
-        _EMB_GATE_ARTIFACTS[key] = (idx, pay, bits)
-    return _EMB_GATE_ARTIFACTS[key]
-
-
-def _new_vec_feed(spark, sf):
-    from pyspark.sql import functions as F
-
-    from full_stack_big_data_spark.operators.similarity import (
-        ANN_INCR_MOD, ANN_INCR_REM)
-    from full_stack_big_data_spark.streaming.core import stream_table
-
-    path = f"{sf}/embeddings.parquet"
-    template = spark.read.parquet(path)
-    return (stream_table(spark, path, template)
-            .where(F.col("vec_id") % ANN_INCR_MOD == ANN_INCR_REM)
-            .select("vec_id", "embedding"))
-
-
-def _embedding_admit_scaled_bits(spark, sf):
-    """stream_embedding_admit at the DEPLOYMENT SRP operating point
-    (the _clusters_scaled_bits precedent): the registered entry pins
-    the fixture's 4-bit buckets so its oracle stays hash-exact, which
-    at 10× vectors is the documented occupancy pathology (the gate is
-    adjudicated SAME_KNOB in the geometry guard). This builder runs
-    the IDENTICAL foreachBatch body against an index + payload built
-    at the N/64 sizing rule — the gate a deployment actually runs."""
-    from full_stack_big_data_spark.engine.scratch import scratch_dir
-    from full_stack_big_data_spark.streaming import joins as sj
-
-    idx, pay, bits = _scaled_srp_artifacts(spark, sf)
-    out = scratch_dir("probe_emb_admit_out_")
-    ckpt = scratch_dir("probe_emb_admit_ckpt_")
-    q = (_new_vec_feed(spark, sf).writeStream
-         .foreachBatch(sj._embedding_admit(idx, pay, out, bits=bits))
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
-    return sj._read_gate_output(spark, out, "vec_id long")
-
-
 def _curate_en_free(spark, sf):
     """stream_pipeline_curate with the English-evidence floor at 0 —
     probe-only knob: the sf1.0 corpus suffixes EVERY token
@@ -420,38 +355,25 @@ def _curate_en_free(spark, sf):
                                 "doc_id long, lang string, n_tokens int")
 
 
-def _embedding_ingest_scaled_bits(spark, sf):
-    """stream_embedding_ingest at the deployment SRP operating point —
-    shares the admit-gate probe's scaled index/payload artifacts and
-    runs the REGISTERED _embedding_ingest body at the same bits, so
-    the probe measures the shipped code path (r11 review finding: the
-    earlier inline copy had already drifted)."""
-    from full_stack_big_data_spark.engine.scratch import scratch_dir
-    from full_stack_big_data_spark.streaming import joins as sj
-
-    idx, pay, bits = _scaled_srp_artifacts(spark, sf)
-    epochs = scratch_dir("probe_emb_ingest_epochs_")
-    ckpt = scratch_dir("probe_emb_ingest_ckpt_")
-    q = (_new_vec_feed(spark, sf).writeStream
-         .foreachBatch(sj._embedding_ingest(idx, pay, epochs, bits=bits))
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
-    base = spark.read.parquet(idx).select("vec_id", "table_id", "bucket")
-    grown = sj._read_gate_output(
-        spark, epochs, "vec_id long, table_id int, bucket int")
-    return base.unionByName(grown)
-
-
 BUILDER_OVERRIDES = {
     "embedding_dedup_clusters": _clusters_scaled_bits,
     "bpe_tokenize_serve": _bpe_serve_only,
     "stream_text_admit": _fresh_gate("stream_text_admit"),
     "stream_phash_admit": _fresh_gate("stream_phash_admit"),
     "stream_pipeline_curate": _curate_en_free,
-    "stream_embedding_admit": _embedding_admit_scaled_bits,
+    # r12: the scaled embedding gates are REGISTERED entries now (r11
+    # verdict item 1) — the probe runs the shipped builders fresh-dirs
+    # instead of hand-assembled scaled-bits copies.
+    "stream_embedding_admit_scaled": _fresh_gate(
+        "stream_embedding_admit_scaled"),
     "stream_text_ingest": _fresh_gate("stream_text_ingest"),
-    "stream_embedding_ingest": _embedding_ingest_scaled_bits,
+    "stream_embedding_ingest_scaled": _fresh_gate(
+        "stream_embedding_ingest_scaled"),
+    # r11 ADVICE: the compact entries memoize their fold — probe them
+    # fresh-dirs so reps ≥ 2 re-run the whole lifecycle (ingest drain +
+    # fold + payload rebuild), not the gen2 read.
+    "text_index_compact": _fresh_gate("text_index_compact"),
+    "embedding_index_compact": _fresh_gate("embedding_index_compact"),
 }
 
 

@@ -40,6 +40,12 @@ FIXTURE_TO_SCALED = {
     "dedup_simhash": "dedup_simhash_scaled",
     "ann_ivf": "ann_ivf_scaled",
     "embedding_neardup_banded": "embedding_neardup_banded_scaled",
+    # r12 (r11 verdict item 1): the embedding gate lifecycle graduates —
+    # the fixture gates become explicit sensor contrasts with registered
+    # oracle-gated scaled siblings, and the compact entry folds the
+    # scaled drain.
+    "stream_embedding_admit": "stream_embedding_admit_scaled",
+    "stream_embedding_ingest": "stream_embedding_ingest_scaled",
     "emb_knn_graph": "emb_knn_graph_scaled",
     "multimodal_phash_neardup": "multimodal_phash_neardup_scaled",
 }
@@ -73,6 +79,15 @@ SCALED = {
                                      # probes: candidates stay occupancy-
                                      # bounded (≤ probes² × the r=1
                                      # volume; sensor + CAND_CEIL row)
+    "stream_embedding_admit_scaled",  # the admit gate AT SRP_BITS_WIDE —
+                                      # per-batch bipartite join vs the
+                                      # scaled-geometry stored index
+    "stream_embedding_ingest_scaled", # same join + epoch append; the
+                                      # drain embedding_index_compact
+                                      # folds
+    "embedding_index_compact",        # fold + checksum of the SCALED
+                                      # ingest's grown index — runs AT
+                                      # the graduated geometry end-to-end
 }
 
 # Entries that reuse a knob whose graduation is already pinned by a
@@ -82,15 +97,6 @@ SAME_KNOB = {
     "ann_srp_lsh": "embedding_neardup_banded_scaled",       # SRP_BITS knob
     "ann_incremental": "embedding_neardup_banded_scaled",   # SRP_BITS knob
     "ann_index_persist": "embedding_neardup_banded_scaled", # SRP_BITS knob
-    "stream_embedding_admit": "embedding_neardup_banded_scaled",  # same
-                                     # stored-index SRP_BITS knob as
-                                     # ann_index_persist, checked per batch
-    "stream_embedding_ingest": "embedding_neardup_banded_scaled",  # the
-                                     # admit gate's join + an epoch append;
-                                     # same stored-index SRP_BITS knob
-    "embedding_index_compact": "embedding_neardup_banded_scaled",  # fold
-                                     # + checksum of the grown index — no
-                                     # banded join of its own, same knob
 }
 
 # Banding into an UNBOUNDED bucket space: MinHash band signatures are

@@ -841,6 +841,17 @@ def test_stream_embedding_ingest_growth_equals_admit(spark):
     assert {r[0] for r in new_rows} == admitted and admitted
     per_vec = Counter(r[0] for r in new_rows)
     assert all(v == SRP_TABLES for v in per_vec.values())
+    # The SCALED lifecycle (the one compaction folds, r11 verdict
+    # item 1) satisfies the same growth-equals-admit contract at its
+    # own geometry.
+    gs = reg["stream_embedding_ingest_scaled"].builder(
+        spark, SF_SMOKE).collect()
+    adm_s = {r.vec_id for r in reg["stream_embedding_admit_scaled"]
+             .builder(spark, SF_SMOKE).collect()}
+    new_s = [r for r in gs if r.vec_id % ANN_INCR_MOD == ANN_INCR_REM]
+    assert {r.vec_id for r in new_s} == adm_s and adm_s
+    assert all(v == SRP_TABLES
+               for v in Counter(r.vec_id for r in new_s).values())
 
 
 def test_index_compaction_layout_and_payload_serve(spark):
@@ -881,7 +892,10 @@ def test_index_compaction_layout_and_payload_serve(spark):
     tdirs = glob.glob(f"{egen2}/table_id=*")
     assert len(tdirs) == SRP_TABLES
     assert all(len(glob.glob(f"{d}/*.parquet")) == 1 for d in tdirs)
-    eadmitted = sorted(r.vec_id for r in reg["stream_embedding_admit"]
+    # The compact folds the SCALED lifecycle (r11 verdict item 1), so
+    # the payload membership is the scaled gate's admit decision.
+    eadmitted = sorted(r.vec_id
+                       for r in reg["stream_embedding_admit_scaled"]
                        .builder(spark, SF_SMOKE).collect())
     egot = point_fetch(spark, epay2, "vec_id", [eadmitted[0]]).collect()
     assert len(egot) == 1 and len(egot[0].embedding) == 64
