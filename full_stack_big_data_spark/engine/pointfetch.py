@@ -46,10 +46,14 @@ PF_MAX_IDS = 200_000  # size gate for the driver-side id fetch (~1.6 MB)
 # threshold to this ceiling so every literal fetch it issues gets the
 # per-value rule; id sets past the ceiling take the broadcast-join
 # fallback (still pk-directory-pruned) rather than a range-degraded
-# literal push. 4096 covers every gate family's CAND_CEIL with slack;
-# per-value stats evaluation at this width is footer arithmetic,
-# microseconds against row-group I/O.
-PF_IN_MAX = 4096
+# literal push. The ceiling is STACK-bounded, not cost-bounded: Spark
+# pushes In as a left-deep Or-of-Eq chain and parquet-mr's filter
+# visitor recurses it — measured on this JVM: 1024 pushed values
+# evaluate fine, 2048 StackOverflowError in the executor. 1000 keeps
+# margin while covering every gate family's realistic per-batch
+# candidate set; per-value stats evaluation at this width is footer
+# arithmetic, microseconds against row-group I/O.
+PF_IN_MAX = 1000
 
 
 def write_payload(df: DataFrame, key: str, path: str,

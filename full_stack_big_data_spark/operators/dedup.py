@@ -369,9 +369,13 @@ def minhash_payload_dir(spark: SparkSession, sf_dir: str) -> str:
     stored beside the band index, the exact-jaccard verify never opens
     the raw corpus: per-batch I/O is the pk directories the candidate
     ids touch. Storage is the shingle arrays once (≈ tokenized corpus
-    size; a 100 TB deployment would store 8-byte shingle hashes — this
-    keeps the strings so the verify, and hence the DuckDB oracle, stays
-    collision-proof exact)."""
+    size); since r12 this string payload is TIER 2 of the verify — the
+    per-batch fetch goes to the 8-byte-hash tier first
+    (:func:`minhash_hash_payload_dir`) and opens string row groups only
+    for candidates that survive the hash-jaccard screen, so keeping
+    the strings costs at-rest bytes but not per-batch I/O, and the
+    verify (and hence the DuckDB oracle) stays collision-proof
+    exact."""
     path = _MINHASH_PAYLOAD_DIRS.get(sf_dir)
     if path is not None:
         return path
@@ -383,6 +387,97 @@ def minhash_payload_dir(spark: SparkSession, sf_dir: str) -> str:
     path = scratch_dir("fsbd_minhash_payload_")
     write_payload(sh, "doc_id", path)
     _MINHASH_PAYLOAD_DIRS[sf_dir] = path
+    return path
+
+
+def hashed_shingle_cols(sh: DataFrame) -> DataFrame:
+    """(doc_id, hs, n, collide) from a (doc_id, s) shingle-set frame —
+    the tier-1 screen representation shared by the payload builder and
+    the gates' new-batch side (both sides MUST hash identically or the
+    screen's superset argument below is void).
+
+    ``hs`` = distinct 31-bit hash of each shingle (xxhash64 folded to
+    int32), ``n`` = |s| (the EXACT set size; the screen's jaccard
+    denominator uses exact sizes, only the intersection is hashed),
+    ``collide`` = a within-set hash collision happened (|hs| < |s|).
+    Width choice is MEASURED, not assumed: on the sf0.1 corpus the
+    string payload dictionary-encodes to ~8.1 B/shingle-instance
+    (27 k distinct shingles over 197 k instances), int64 hashes to
+    ~8.3 B (dictionary gains nothing on the wider values), int32 to
+    ~4.3 B — so 31 bits halves tier-1 bytes here, and the gap widens
+    toward the plain-encoding ratio (~20-60 B strings vs 4 B) on
+    natural corpora whose shingle dictionaries overflow the row group
+    and fall back to plain. Narrower hashes cost nothing in
+    correctness (argument below) — only a slightly busier tier 2.
+
+    Why the screen never drops a true near-dup (the collision-safety
+    argument the two-tier design rests on): when neither side has a
+    within-set collision, every common shingle contributes a distinct
+    common hash, so |hs_a ∩ hs_b| ≥ |s_a ∩ s_b|; with exact sizes in
+    the denominator, hash-jaccard = ih/(n_a+n_b-ih) is monotone in ih
+    and therefore ≥ exact jaccard — screening at the SAME threshold
+    keeps a superset of the exact-passing pairs. A side WITH a
+    within-set collision (probability ≈ n²/2³² per doc at 31 bits —
+    ~10⁻⁶ for thousand-shingle docs, but not assumed away) bypasses
+    the screen entirely via the ``collide`` flag and goes straight to
+    the tier-2 exact verify."""
+    hs = F.array_distinct(F.transform(
+        "s", lambda x: F.pmod(F.xxhash64(x), F.lit(1 << 31)).cast("int")))
+    return (sh.select("doc_id", hs.alias("hs"), F.size("s").alias("n"))
+            .withColumn("collide", F.size("hs") < F.col("n")))
+
+
+_DOC_TEXT_PAYLOAD_DIRS: dict[str, str] = {}
+
+
+def doc_text_payload_dir(spark: SparkSession, sf_dir: str) -> str:
+    """TIER 2 of the text gates' verify payload: the corpus side's raw
+    (doc_id, text) in point-lookup layout. The exact verify re-derives
+    a candidate's shingle set from its text with the SAME kernel the
+    index build used (:func:`_shingle_sets`'s expressions) — paying a
+    few docs' tokenization per batch instead of storing pre-exploded
+    shingle strings at 2.7× the corpus (BENCHNOTES r11): at rest this
+    tier is exactly 1× corpus text, and per batch it is only opened
+    for hash-screen survivors (≈ true near-dups)."""
+    path = _DOC_TEXT_PAYLOAD_DIRS.get(sf_dir)
+    if path is not None:
+        return path
+    from ..engine.pointfetch import write_payload
+    from ..engine.scratch import scratch_dir
+
+    d = (Catalog(spark, sf_dir).documents
+         .where(F.col("doc_id") % INCR_MOD != INCR_REM)
+         .select("doc_id", "text"))
+    path = scratch_dir("fsbd_doc_text_payload_")
+    write_payload(d, "doc_id", path)
+    _DOC_TEXT_PAYLOAD_DIRS[sf_dir] = path
+    return path
+
+
+_MINHASH_HASH_PAYLOAD_DIRS: dict[str, str] = {}
+
+
+def minhash_hash_payload_dir(spark: SparkSession, sf_dir: str) -> str:
+    """TIER 1 of the text gates' verify payload (r11 verdict item 2):
+    the corpus side's distinct xxhash64 shingle hashes in point-lookup
+    layout. At 100 TB the raw-string payload is the biggest object in
+    the system (~2.7× corpus text, BENCHNOTES r11); the hash tier is
+    ~0.3×, and per-batch verify I/O rides it — candidates are screened
+    on hash-jaccard (provably no false drops, see
+    :func:`hashed_shingle_cols`) and only the screen's survivors (true
+    near-dups plus the ~zero-probability collision bypasses) open
+    tier-2 string row groups."""
+    path = _MINHASH_HASH_PAYLOAD_DIRS.get(sf_dir)
+    if path is not None:
+        return path
+    from ..engine.pointfetch import write_payload
+    from ..engine.scratch import scratch_dir
+
+    sh = _shingle_sets(spark, sf_dir).where(
+        F.col("doc_id") % INCR_MOD != INCR_REM)
+    path = scratch_dir("fsbd_minhash_hash_payload_")
+    write_payload(hashed_shingle_cols(sh), "doc_id", path)
+    _MINHASH_HASH_PAYLOAD_DIRS[sf_dir] = path
     return path
 
 

@@ -836,22 +836,80 @@ _TEXT_ADMIT_DIRS = _registered_cache()
 
 
 def _jaccard_verify_hits(spark: SparkSession, cand: DataFrame,
-                         sh_new: DataFrame, payload_path: str) -> DataFrame:
-    """Exact-jaccard verify for the text gate: point-fetch the
-    candidate old docs' precomputed shingle sets from the minhash
-    payload artifact (scan-level pk + doc_id prunes — NEVER a pass
-    over documents.parquet, the r10 weak item; the old side's
-    tokenization was already paid once at payload-build time) and
-    return the new doc_ids with a verified hit. Module-level so
-    tests/test_plans.py can pin the fetch plan outside the streaming
-    run."""
+                         sh_new: DataFrame, payload_path: str | None,
+                         hash_payload_path: str | None = None,
+                         text_payload_path: str | None = None,
+                         scope: list | None = None) -> DataFrame:
+    """Exact-jaccard verify for the text gate, two-tier since r12 (r11
+    verdict item 2). Tier 1: point-fetch candidate old docs' int32
+    shingle HASHES and screen pairs on hash-jaccard at the same
+    threshold — provably drop-free (dedup.hashed_shingle_cols' superset
+    argument), so the screen changes I/O, never the result, and every
+    oracle stays as-is. Tier 2: point-fetch the screen survivors' RAW
+    TEXT (true near-dups — a sliver of the candidates) from the 1×
+    text payload, re-derive their shingle sets with the index build's
+    own kernel, and decide on exact jaccard, collision-proof. Neither
+    tier ever passes over documents.parquet (the r10 weak item), and
+    neither stores the 2.7×-corpus shingle-string payload the r11
+    dossier flagged as the system's biggest at-rest object. Module-
+    level so tests/test_plans.py can pin the fetch plans outside the
+    streaming run; two-tier needs ``hash_payload_path`` AND
+    ``text_payload_path`` — without them the one-tier exact path
+    fetches pre-exploded shingle strings from ``payload_path``. The
+    screened pair frame is batch-scoped persisted (it feeds the
+    tier-2 id fetch AND the exact-jaccard join); it is appended to
+    ``scope`` for the CALLER's finally-block to unpersist — the
+    result is consumed lazily inside the caller's sink write, after
+    this function returns."""
     from ..engine.pointfetch import fetch_payload
-    from ..operators.dedup import JACCARD_THRESHOLD
+    from ..functions.text import token_ngrams, tokens
+    from ..operators.dedup import (JACCARD_THRESHOLD, SHINGLE_N,
+                                   hashed_shingle_cols)
 
-    sh_old = (fetch_payload(spark, payload_path, "doc_id",
+    two_tier = hash_payload_path is not None
+    if two_tier:
+        assert text_payload_path is not None
+        hp = (fetch_payload(spark, hash_payload_path, "doc_id",
                             cand.select(F.col("old_doc").alias("doc_id")))
               .select(F.col("doc_id").alias("old_doc"),
-                      F.col("s").alias("so")))
+                      F.col("hs").alias("ho"), F.col("n").alias("no"),
+                      F.col("collide").alias("coll_o")))
+        nh = (hashed_shingle_cols(sh_new)
+              .select("doc_id", F.col("hs").alias("hn"),
+                      F.col("n").alias("nn"),
+                      F.col("collide").alias("coll_n")))
+        ih = F.size(F.array_intersect("ho", "hn"))
+        keep = (F.col("coll_o") | F.col("coll_n")
+                | (F.col("ih") / (F.col("no") + F.col("nn") - F.col("ih"))
+                   >= JACCARD_THRESHOLD))
+        cand = (cand.join(hp, "old_doc").join(nh, "doc_id")
+                .select("old_doc", "doc_id", ih.alias("ih"),
+                        "no", "nn", "coll_o", "coll_n")
+                .where(keep)
+                .select("old_doc", "doc_id")
+                .persist())
+        if scope is not None:
+            scope.append(cand)
+
+    if two_tier:
+        # Re-shingle the fetched text with the exact kernel the index
+        # build used (_shingle_sets' two-projection shape: tokenize
+        # into a real column first so the regex split stays
+        # once-per-row under the transform() lambda).
+        sh_old = (fetch_payload(spark, text_payload_path, "doc_id",
+                                cand.select(F.col("old_doc")
+                                            .alias("doc_id")))
+                  .select("doc_id", tokens("text").alias("toks"))
+                  .select(F.col("doc_id").alias("old_doc"),
+                          F.array_distinct(
+                              token_ngrams(F.col("toks"), SHINGLE_N))
+                          .alias("so")))
+    else:
+        sh_old = (fetch_payload(spark, payload_path, "doc_id",
+                                cand.select(F.col("old_doc")
+                                            .alias("doc_id")))
+                  .select(F.col("doc_id").alias("old_doc"),
+                          F.col("s").alias("so")))
     i = F.size(F.array_intersect("so", "s"))
     jac = F.col("i") / (F.col("no") + F.col("nn") - F.col("i"))
     return (cand.join(sh_old, "old_doc").join(sh_new, "doc_id")
@@ -861,8 +919,10 @@ def _jaccard_verify_hits(spark: SparkSession, cand: DataFrame,
             .select("doc_id").distinct())
 
 
-def _text_gate(index_path: str, payload_path: str, target_dir: str,
-               sensor: str, survivors):
+def _text_gate(index_path: str, payload_path: str | None,
+               target_dir: str, sensor: str, survivors,
+               hash_payload_path: str | None = None,
+               text_payload_path: str | None = None):
     """Shared foreachBatch chain for BOTH text gates (admit + ingest —
     r11 review finding): shingle + MinHash-band the micro-batch
     (map-side, the shared ``_band_rows`` kernel), equi-join the batch's
@@ -898,15 +958,21 @@ def _text_gate(index_path: str, payload_path: str, target_dir: str,
                                 F.col("b.doc_id").alias("doc_id")))
                 cand = (observability.observe_candidates(cand, sensor)
                         .distinct().persist())
+                scope: list = []
                 try:
                     hits = _jaccard_verify_hits(ss, cand, sh_new,
-                                                payload_path)
+                                                payload_path,
+                                                hash_payload_path,
+                                                text_payload_path,
+                                                scope=scope)
                     (survivors(sh_new, bands_new, hits)
                      .withColumn("batch_id", F.lit(batch_id))
                      .write.mode("overwrite")
                      .option("partitionOverwriteMode", "dynamic")
                      .partitionBy("batch_id").parquet(target_dir))
                 finally:
+                    for df in scope:
+                        df.unpersist()
                     cand.unpersist()
             finally:
                 bands_new.unpersist()
@@ -915,7 +981,9 @@ def _text_gate(index_path: str, payload_path: str, target_dir: str,
     return body
 
 
-def _text_admit(index_path: str, payload_path: str, out_dir: str):
+def _text_admit(index_path: str, payload_path: str | None, out_dir: str,
+                hash_payload_path: str | None = None,
+                text_payload_path: str | None = None):
     """Admit gate: survivors are the batch's docs without a verified
     hit, recorded as (doc_id, n_shingles) rows (see :func:`_text_gate`
     for the shared chain)."""
@@ -924,7 +992,9 @@ def _text_admit(index_path: str, payload_path: str, out_dir: str):
         lambda sh_new, bands_new, hits: (
             sh_new.select("doc_id",
                           F.size("s").cast("int").alias("n_shingles"))
-            .join(hits, "doc_id", "left_anti")))
+            .join(hits, "doc_id", "left_anti")),
+        hash_payload_path=hash_payload_path,
+        text_payload_path=text_payload_path)
 
 
 def _text_inc_oracle() -> str:
@@ -989,13 +1059,16 @@ def stream_text_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the immutable index → batch-chop-invariant (intra-stream
     near-dups belong to the batch cluster/apply path, the
     division-of-labor note on ``stream_phash_admit``)."""
-    from ..operators.dedup import (INCR_MOD, INCR_REM, minhash_index_dir,
-                                   minhash_payload_dir)
+    from ..operators.dedup import (INCR_MOD, INCR_REM,
+                                   doc_text_payload_dir,
+                                   minhash_hash_payload_dir,
+                                   minhash_index_dir)
 
     tune_session(spark)
     path = f"{sf_dir}/documents.parquet"
     index_path = minhash_index_dir(spark, sf_dir)
-    payload_path = minhash_payload_dir(spark, sf_dir)
+    hash_payload_path = minhash_hash_payload_dir(spark, sf_dir)
+    text_payload_path = doc_text_payload_dir(spark, sf_dir)
     out_dir, ckpt = _gate_dirs(_TEXT_ADMIT_DIRS, sf_dir, "text_admit")
 
     template = spark.read.parquet(path)
@@ -1003,7 +1076,9 @@ def stream_text_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = (docs.where(F.col("doc_id") % INCR_MOD == INCR_REM)
             .select("doc_id", "text"))
     q = (feed.writeStream.foreachBatch(
-             _text_admit(index_path, payload_path, out_dir))
+             _text_admit(index_path, None, out_dir,
+                         hash_payload_path=hash_payload_path,
+                         text_payload_path=text_payload_path))
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination()
@@ -1021,7 +1096,10 @@ def stream_text_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEXT_INGEST_DIRS = _registered_cache()
 
 
-def _text_ingest(base_index_path: str, payload_path: str, epochs_dir: str):
+def _text_ingest(base_index_path: str, payload_path: str | None,
+                 epochs_dir: str,
+                 hash_payload_path: str | None = None,
+                 text_payload_path: str | None = None):
     """SELF-GROWING MinHash band index: the :func:`_text_gate` decision
     (per-doc, vs the BASE generation only — batch-chop-invariant), with
     survivors' BAND ROWS landing in the index's epoch generation as a
@@ -1032,7 +1110,9 @@ def _text_ingest(base_index_path: str, payload_path: str, epochs_dir: str):
         lambda sh_new, bands_new, hits: (
             bands_new.join(hits, "doc_id", "left_anti")
             .select("doc_id", F.col("band").cast("int").alias("band"),
-                    "bucket")))
+                    "bucket")),
+        hash_payload_path=hash_payload_path,
+        text_payload_path=text_payload_path)
 
 
 def _stream_text_ingest_oracle() -> str:
@@ -1079,13 +1159,16 @@ def stream_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per-batch cost identical to the admit gate plus one
     batch-sized partition write; the index grows ~8 band rows per
     admitted doc; zero streaming state."""
-    from ..operators.dedup import (INCR_MOD, INCR_REM, minhash_index_dir,
-                                   minhash_payload_dir)
+    from ..operators.dedup import (INCR_MOD, INCR_REM,
+                                   doc_text_payload_dir,
+                                   minhash_hash_payload_dir,
+                                   minhash_index_dir)
 
     tune_session(spark)
     path = f"{sf_dir}/documents.parquet"
     base_dir = minhash_index_dir(spark, sf_dir)
-    payload_path = minhash_payload_dir(spark, sf_dir)
+    hash_payload_path = minhash_hash_payload_dir(spark, sf_dir)
+    text_payload_path = doc_text_payload_dir(spark, sf_dir)
     epochs_dir, ckpt = _gate_dirs(_TEXT_INGEST_DIRS, sf_dir, "text_ingest")
 
     template = spark.read.parquet(path)
@@ -1093,7 +1176,9 @@ def stream_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = (docs.where(F.col("doc_id") % INCR_MOD == INCR_REM)
             .select("doc_id", "text"))
     q = (feed.writeStream.foreachBatch(
-             _text_ingest(base_dir, payload_path, epochs_dir))
+             _text_ingest(base_dir, None, epochs_dir,
+                          hash_payload_path=hash_payload_path,
+                          text_payload_path=text_payload_path))
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination()
@@ -1244,32 +1329,43 @@ _CHECKSUM_P = 1_000_000_007
 
 
 def text_index_compact_dirs(spark: SparkSession,
-                            sf_dir: str) -> tuple[str, str]:
+                            sf_dir: str) -> tuple[str, str, str]:
     """Fold the grown text index's generations (base + ingest epochs)
     into ONE band-partitioned generation with one file per band, and
-    REBUILD the verify payload to cover the admitted docs — the
+    REBUILD the verify payload — both tiers (int32 hash screen + raw
+    text, r11 verdict item 2) — to cover the admitted docs: the
     periodic maintenance job the ingest docstrings promise
     (``phash_index_compact``'s pattern, plus the payload half this
-    family carries). Returns (gen2 index dir, gen2 payload dir);
-    memoized per (process, corpus)."""
+    family carries). Returns (gen2 index dir, gen2 hash-payload dir,
+    gen2 text-payload dir); memoized per (process, corpus)."""
     dirs = _TEXT_COMPACT_DIRS.get(sf_dir)
     if dirs is not None:
         return dirs
+    from ..engine.catalog import Catalog
     from ..engine.pointfetch import write_payload
     from ..engine.scratch import scratch_dir
-    from ..operators.dedup import _shingle_sets
+    from ..operators.dedup import _shingle_sets, hashed_shingle_cols
 
     grown = stream_text_ingest(spark, sf_dir)   # memoized drain
     gen2 = scratch_dir("fsbd_text_index_gen2_")
     (grown.repartition("band")
      .write.mode("overwrite").partitionBy("band").parquet(gen2))
-    pay2 = scratch_dir("fsbd_text_payload_gen2_")
-    member = grown.select("doc_id").distinct()
-    write_payload(
-        _shingle_sets(spark, sf_dir).join(member, "doc_id", "left_semi"),
-        "doc_id", pay2)
-    _TEXT_COMPACT_DIRS[sf_dir] = (gen2, pay2)
-    return gen2, pay2
+    member = grown.select("doc_id").distinct().persist()
+    try:
+        pay2h = scratch_dir("fsbd_text_hash_payload_gen2_")
+        write_payload(
+            hashed_shingle_cols(_shingle_sets(spark, sf_dir)
+                                .join(member, "doc_id", "left_semi")),
+            "doc_id", pay2h)
+        pay2t = scratch_dir("fsbd_text_payload_gen2_")
+        write_payload(
+            Catalog(spark, sf_dir).documents.select("doc_id", "text")
+            .join(member, "doc_id", "left_semi"),
+            "doc_id", pay2t)
+    finally:
+        member.unpersist()
+    _TEXT_COMPACT_DIRS[sf_dir] = (gen2, pay2h, pay2t)
+    return gen2, pay2h, pay2t
 
 
 def _text_index_compact_oracle() -> str:
@@ -1317,7 +1413,7 @@ def text_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan reads BANDS files instead of BANDS × epochs."""
     from ..functions.hashing import hex64
 
-    gen2, _pay2 = text_index_compact_dirs(spark, sf_dir)
+    gen2, _pay2h, _pay2t = text_index_compact_dirs(spark, sf_dir)
     c = spark.read.parquet(gen2)
     h = hex64(F.concat_ws("|", F.col("doc_id").cast("string"),
                           F.col("bucket")))
@@ -1420,7 +1516,10 @@ from ..operators.pipeline import CURATE_MIN_TOKENS  # noqa: E402 — the
 
 
 def _curate_admit(eval_index_path: str, band_index_path: str,
-                  payload_path: str, out_dir: str, min_en_hits: int = 1):
+                  payload_path: str | None, out_dir: str,
+                  min_en_hits: int = 1,
+                  hash_payload_path: str | None = None,
+                  text_payload_path: str | None = None):
     """foreachBatch body: the three gates' decisions over ONE persisted
     projection of the micro-batch. Drops compose as a conjunction of
     per-doc keep predicates, so stage ORDER cannot change the result
@@ -1481,9 +1580,13 @@ def _curate_admit(eval_index_path: str, band_index_path: str,
                 cand = (observability.observe_candidates(
                             cand, "curate_minhash")
                         .distinct().persist())
+                scope: list = []
                 try:
                     hits = _jaccard_verify_hits(ss, cand, clean,
-                                                payload_path)
+                                                payload_path,
+                                                hash_payload_path,
+                                                text_payload_path,
+                                                scope=scope)
                     (clean.select("doc_id", "lang",
                                   F.col("n_tokens").cast("int")
                                   .alias("n_tokens"))
@@ -1493,6 +1596,8 @@ def _curate_admit(eval_index_path: str, band_index_path: str,
                      .option("partitionOverwriteMode", "dynamic")
                      .partitionBy("batch_id").parquet(out_dir))
                 finally:
+                    for df in scope:
+                        df.unpersist()
                     cand.unpersist()
             finally:
                 clean.unpersist()
@@ -1572,15 +1677,18 @@ def stream_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose I/O ∝ candidates (engine.pointfetch, the r11 gate
     discipline). Stage order is pure cost optimization — drops are a
     conjunction, so the result set is order-free by construction."""
-    from ..operators.dedup import (INCR_MOD, INCR_REM, minhash_index_dir,
-                                   minhash_payload_dir)
+    from ..operators.dedup import (INCR_MOD, INCR_REM,
+                                   doc_text_payload_dir,
+                                   minhash_hash_payload_dir,
+                                   minhash_index_dir)
     from ..operators.decontam import EVAL_MOD
 
     tune_session(spark)
     path = f"{sf_dir}/documents.parquet"
     eval_index = _eval_gram_index_dir(spark, sf_dir)
     band_index = minhash_index_dir(spark, sf_dir)
-    payload = minhash_payload_dir(spark, sf_dir)
+    hash_payload = minhash_hash_payload_dir(spark, sf_dir)
+    text_payload = doc_text_payload_dir(spark, sf_dir)
     out_dir, ckpt = _gate_dirs(_CURATE_DIRS, sf_dir, "stream_curate")
 
     template = spark.read.parquet(path)
@@ -1589,7 +1697,9 @@ def stream_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
                        & (F.col("doc_id") % EVAL_MOD != 0))
             .select("doc_id", "lang", "text"))
     q = (feed.writeStream.foreachBatch(
-             _curate_admit(eval_index, band_index, payload, out_dir))
+             _curate_admit(eval_index, band_index, None, out_dir,
+                           hash_payload_path=hash_payload,
+                           text_payload_path=text_payload))
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination()

@@ -50,15 +50,21 @@ def _touched_bytes(payload_path: str, key: str,
     threshold of 10, k > 10 ids degrade to a [min, max] RANGE push and
     this arithmetic would overstate the reader's pruning — with the
     raise, the k = 16/64/256 rows below match the reader's actual
-    rule). pk directories no id maps to are never opened at all
-    (PartitionFilters). Computed from parquet footers via pyarrow so
-    the measurement is reader-independent."""
+    rule). Past PF_IN_MAX ids, fetch_payload switches to the
+    broadcast-join fallback where ONLY the pk directory prune applies
+    — this arithmetic mirrors that regime too (every row group in a
+    touched directory counts), so each row reports what the reader's
+    actual regime reads. pk directories no id maps to are never
+    opened at all (PartitionFilters). Computed from parquet footers
+    via pyarrow so the measurement is reader-independent."""
     import bisect
 
     import pyarrow.parquet as pq
 
-    from full_stack_big_data_spark.engine.pointfetch import PF_PK_MOD
+    from full_stack_big_data_spark.engine.pointfetch import (PF_IN_MAX,
+                                                             PF_PK_MOD)
 
+    per_value = len(ids) <= PF_IN_MAX
     pks = {i % PF_PK_MOD for i in ids}
     touched = t_rg = total = n_rg = 0
     for root, _dirs, names in os.walk(payload_path):
@@ -78,6 +84,10 @@ def _touched_bytes(payload_path: str, key: str,
                 n_rg += 1
                 if pk_dir is not None and pk_dir not in pks:
                     continue   # directory pruned: never opened
+                if not per_value:
+                    touched += sz   # join fallback: whole touched dir
+                    t_rg += 1
+                    continue
                 st = rg.column(key_idx).statistics
                 lo = bisect.bisect_left(ids, st.min)
                 if lo < len(ids) and ids[lo] <= st.max:
@@ -99,11 +109,14 @@ def main() -> int:
     # --- text gate: the micro-batch is the whole new partition -------
     from full_stack_big_data_spark.functions.text import token_ngrams, tokens
     from full_stack_big_data_spark.operators.dedup import (
-        INCR_MOD, INCR_REM, SHINGLE_N, _band_rows, minhash_index_dir,
-        minhash_payload_dir)
+        INCR_MOD, INCR_REM, JACCARD_THRESHOLD, SHINGLE_N, _band_rows,
+        doc_text_payload_dir, hashed_shingle_cols,
+        minhash_hash_payload_dir, minhash_index_dir, minhash_payload_dir)
 
     idx_path = minhash_index_dir(spark, sf)
-    pay_path = minhash_payload_dir(spark, sf)
+    pay_path = minhash_payload_dir(spark, sf)   # r11 one-tier baseline
+    hpay_path = minhash_hash_payload_dir(spark, sf)
+    tpay_path = doc_text_payload_dir(spark, sf)
     batch = (Catalog(spark, sf).documents
              .where(F.col("doc_id") % INCR_MOD == INCR_REM)
              .select("doc_id", "text"))
@@ -122,12 +135,45 @@ def main() -> int:
     n_cand = cand.count()
     ids = fetch_ids(cand.select(F.col("old_doc").alias("doc_id")), "doc_id")
     # correctness of the pruned fetch: rows back == ids asked for
-    got = point_fetch(spark, pay_path, "doc_id", ids).count()
+    got = point_fetch(spark, hpay_path, "doc_id", ids).count()
     assert got == len(ids), (got, len(ids))
-    fb, frg, pb, prg = _touched_bytes(pay_path, "doc_id", ids)
     cb = _corpus_bytes(os.path.join(sf, "documents.parquet"))
-    print(f"| stream_text_admit | {n_cand} | {len(ids)} | {pb} ({prg}) "
-          f"| {fb} ({frg}) | {cb} | {fb / pb:.3f} | {fb / cb:.3f} |")
+
+    # Two-tier verify I/O (r11 verdict item 2): tier 1 fetches int32
+    # shingle hashes for every candidate; only pairs passing the
+    # hash-jaccard screen (≈ true near-dups) open tier-2 raw-text row
+    # groups. Rows: the tiers separately, then combined vs what the
+    # r11 one-tier shingle-string fetch for all candidates read.
+    hp = (point_fetch(spark, hpay_path, "doc_id", ids)
+          .select(F.col("doc_id").alias("old_doc"),
+                  F.col("hs").alias("ho"), F.col("n").alias("no"),
+                  F.col("collide").alias("coll_o")))
+    nh = (hashed_shingle_cols(sh_new)
+          .select("doc_id", F.col("hs").alias("hn"),
+                  F.col("n").alias("nn"), F.col("collide").alias("coll_n")))
+    ih = F.size(F.array_intersect("ho", "hn"))
+    keep = (F.col("coll_o") | F.col("coll_n")
+            | (F.col("ih") / (F.col("no") + F.col("nn") - F.col("ih"))
+               >= JACCARD_THRESHOLD))
+    surv = sorted(r.old_doc for r in
+                  (cand.join(hp, "old_doc").join(nh, "doc_id")
+                   .select("old_doc", ih.alias("ih"), "no", "nn",
+                           "coll_o", "coll_n")
+                   .where(keep).select("old_doc").distinct().collect()))
+    t1b, t1rg, hpb, hprg = _touched_bytes(hpay_path, "doc_id", ids)
+    t2b, t2rg, tpb, tprg = _touched_bytes(tpay_path, "doc_id", surv)
+    old_b, old_rg, spb, _ = _touched_bytes(pay_path, "doc_id", ids)
+    print(f"| text tier-1 (int32 hash screen) | {n_cand} | {len(ids)} "
+          f"| {hpb} ({hprg}) | {t1b} ({t1rg}) | {cb} | {t1b / hpb:.3f} "
+          f"| {t1b / cb:.3f} |")
+    print(f"| text tier-2 (raw text, screen survivors) | {n_cand} "
+          f"| {len(surv)} | {tpb} ({tprg}) | {t2b} ({t2rg}) | {cb} "
+          f"| {t2b / tpb:.3f} | {t2b / cb:.3f} |")
+    print(f"| stream_text_admit two-tier total (vs r11 one-tier "
+          f"fetch {old_b} from the {spb}-byte string payload) "
+          f"| {n_cand} | {len(ids)} | {hpb + tpb} "
+          f"| {t1b + t2b} | {cb} | {(t1b + t2b) / max(old_b, 1):.3f}"
+          f" of one-tier | {(t1b + t2b) / cb:.3f} |")
 
     # --- embedding gate ----------------------------------------------
     from full_stack_big_data_spark.operators.similarity import (
@@ -158,13 +204,15 @@ def main() -> int:
     # The proportionality curve: fetched bytes for id SUBSETS of the
     # text gate's candidates — a production micro-batch is minutes of
     # feed, not a quarter of the corpus like the sf fixture's one-shot
-    # batch, so the per-batch number is the small-k row.
+    # batch, so the per-batch number is the small-k row. Since r12 the
+    # per-candidate fetch rides the HASH tier, so that's the payload
+    # the curve measures.
     print("\n| gate | k (ids) | fetched bytes | row groups | of payload |")
     print("|---|---|---|---|---|")
     for k in (4, 16, 64, 256):
         sub = ids[:: max(1, len(ids) // k)][:k]   # spread across pk space
-        b, rg, pb2, _ = _touched_bytes(pay_path, "doc_id", sub)
-        print(f"| stream_text_admit | {len(sub)} | {b} | {rg} "
+        b, rg, pb2, _ = _touched_bytes(hpay_path, "doc_id", sub)
+        print(f"| stream_text_admit tier-1 | {len(sub)} | {b} | {rg} "
               f"| {b / pb2:.3f} |")
     spark.stop()
     return 0

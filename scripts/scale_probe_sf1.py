@@ -330,13 +330,15 @@ def _curate_en_free(spark, sf):
     from full_stack_big_data_spark.engine.scratch import scratch_dir
     from full_stack_big_data_spark.operators.decontam import EVAL_MOD
     from full_stack_big_data_spark.operators.dedup import (
-        INCR_MOD, INCR_REM, minhash_index_dir, minhash_payload_dir)
+        INCR_MOD, INCR_REM, doc_text_payload_dir,
+        minhash_hash_payload_dir, minhash_index_dir)
     from full_stack_big_data_spark.streaming import joins as sj
     from full_stack_big_data_spark.streaming.core import stream_table
 
     eval_index = sj._eval_gram_index_dir(spark, sf)
     band_index = minhash_index_dir(spark, sf)
-    payload = minhash_payload_dir(spark, sf)
+    hash_payload = minhash_hash_payload_dir(spark, sf)
+    text_payload = doc_text_payload_dir(spark, sf)
     out = scratch_dir("probe_curate_out_")
     ckpt = scratch_dir("probe_curate_ckpt_")
     path = f"{sf}/documents.parquet"
@@ -346,8 +348,10 @@ def _curate_en_free(spark, sf):
                    & (F.col("doc_id") % EVAL_MOD != 0))
             .select("doc_id", "lang", "text"))
     q = (feed.writeStream.foreachBatch(
-             sj._curate_admit(eval_index, band_index, payload, out,
-                              min_en_hits=0))
+             sj._curate_admit(eval_index, band_index, None, out,
+                              min_en_hits=0,
+                              hash_payload_path=hash_payload,
+                              text_payload_path=text_payload))
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination()

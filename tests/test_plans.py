@@ -498,6 +498,28 @@ def test_gate_verify_fetches_never_scan_the_corpus(spark):
     assert "PartitionFilters" in plan and "pk" in plan.split(
         "PartitionFilters")[1][:300], plan[:2000]
 
+    # Two-tier path (r11 verdict item 2): the hash-screen tier and the
+    # raw-text tier are BOTH point fetches — still no corpus scan
+    # anywhere in the verify, and the tier-1 screen runs pk-pruned.
+    from full_stack_big_data_spark.operators.dedup import (
+        doc_text_payload_dir, minhash_hash_payload_dir)
+    hpay = minhash_hash_payload_dir(spark, SF)
+    tpay = doc_text_payload_dir(spark, SF)
+    scope = []
+    try:
+        hits2 = _jaccard_verify_hits(spark, cand, sh_new, None,
+                                     hpay, tpay, scope=scope)
+        plan2 = hits2._jdf.queryExecution().executedPlan().toString()
+        assert "documents.parquet" not in plan2, plan2[:2000]
+        assert scope, "tier-1 screen did not run"
+        splan = scope[0]._jdf.queryExecution().executedPlan().toString()
+        assert "documents.parquet" not in splan, splan[:2000]
+        assert "PartitionFilters" in splan and "pk" in splan.split(
+            "PartitionFilters")[1][:300], splan[:2000]
+    finally:
+        for df in scope:
+            df.unpersist()
+
     emb_payload = srp_payload_dir(spark, SF)
     ecand = spark.createDataFrame(
         [(999001, 1), (999002, 2)], "vec_id long, old_id long")

@@ -871,7 +871,7 @@ def test_index_compaction_layout_and_payload_serve(spark):
         embedding_index_compact_dirs, text_index_compact_dirs)
 
     reg = load_all()
-    gen2, pay2 = text_index_compact_dirs(spark, SF_SMOKE)
+    gen2, pay2h, pay2t = text_index_compact_dirs(spark, SF_SMOKE)
     band_dirs = glob.glob(f"{gen2}/band=*")
     assert len(band_dirs) == BANDS
     assert all(len(glob.glob(f"{d}/*.parquet")) == 1 for d in band_dirs)
@@ -879,14 +879,28 @@ def test_index_compaction_layout_and_payload_serve(spark):
     admitted = sorted(r.doc_id for r in reg["stream_text_admit"]
                       .builder(spark, SF_SMOKE).collect())
     probe_id = admitted[0]
-    got = point_fetch(spark, pay2, "doc_id", [probe_id]).collect()
+    # Tier 2 (raw text): re-shingling the fetched text reproduces the
+    # doc's exact shingle set.
+    got = point_fetch(spark, pay2t, "doc_id", [probe_id]).collect()
     assert len(got) == 1
     from full_stack_big_data_spark.engine.catalog import Catalog
-    want = (Catalog(spark, SF_SMOKE).documents
-            .where(F.col("doc_id") == probe_id)
-            .select(F.array_distinct(token_ngrams(
-                tokens("text"), SHINGLE_N)).alias("s")).collect())
-    assert sorted(got[0].s) == sorted(want[0].s)
+    doc = (Catalog(spark, SF_SMOKE).documents
+           .where(F.col("doc_id") == probe_id)
+           .select("text",
+                   F.array_distinct(token_ngrams(
+                       tokens("text"), SHINGLE_N)).alias("s")).collect())
+    assert got[0].text == doc[0].text
+    # Tier 1 (hash screen): the rebuilt hash row matches a fresh hash
+    # of the doc's shingle set, with the exact size and no collision.
+    from full_stack_big_data_spark.operators.dedup import \
+        hashed_shingle_cols
+    hrow = point_fetch(spark, pay2h, "doc_id", [probe_id]).collect()
+    want_h = hashed_shingle_cols(
+        spark.createDataFrame([(probe_id, doc[0].s)],
+                              "doc_id long, s array<string>")).collect()
+    assert len(hrow) == 1
+    assert sorted(hrow[0].hs) == sorted(want_h[0].hs)
+    assert hrow[0].n == len(doc[0].s) and not hrow[0].collide
 
     egen2, epay2 = embedding_index_compact_dirs(spark, SF_SMOKE)
     tdirs = glob.glob(f"{egen2}/table_id=*")
