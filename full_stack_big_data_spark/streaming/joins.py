@@ -1406,6 +1406,11 @@ def text_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation; the oracle recomputes the same from source bytes, so a
     fold that lost, duplicated, or corrupted any row hash-mismatches.
     File-count and payload-serve pins live in tests/test_streaming.py.
+    RETENTION: the fold supersedes the base + epoch + payload
+    directories it read; engine.retention.vacuum_superseded reclaims
+    them (completeness-gated on gen2's _SUCCESS, delete-last,
+    idempotent, quiescence the caller's contract — pinned in
+    tests/test_streaming.py::test_retention_vacuum_superseded_generations).
 
     Scale: the fold is ONE index-sized exchange (repartition on the
     partition key) + one payload rebuild pass — both linear, both

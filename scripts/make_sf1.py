@@ -15,11 +15,19 @@ growth would, instead of degenerating:
   day, not a longer history): event_id offset, user_id offset — the
   behavioral-graph queries (pagerank, triangles, funnels) see a 10x
   node/edge population.
-- documents: 10 copies with doc_id offset AND per-copy token suffixing
-  (w -> wcK), the BENCHNOTES 16x-probe trick: shingles are copy-disjoint
-  so planted near-dup PAIRS grow linearly (10 copies of each 1x pair),
-  never quadratically — the probe measures engine scaling, not
-  duplicate explosion.
+- documents: 10 copies with doc_id offset AND per-copy suffixing of
+  every NON-STOPWORD token (w -> wcK), the BENCHNOTES 16x-probe trick
+  with the r11 verdict-item-7 refinement: stopwords (the union of
+  functions.text.STOPWORDS_BY_LANG, 6.6% of sf0.1 tokens) keep their
+  surface form, so stopword-evidence statistics (language ID, quality
+  gates, stream_pipeline_curate's en_hits rule) survive the decade and
+  the composed gate probes at its REGISTERED rule instead of a
+  min_en_hits=0 override. Shingle copy-disjointness — the property
+  that keeps planted near-dup PAIRS growing linearly (10 copies of
+  each 1x pair, never quadratically) — survives to within measurement
+  noise: only ALL-stopword 3-grams are copy-shared, 77 of 260,704
+  sf0.1 shingle instances (0.03%), and a band collision needs BOTH
+  minhash rows of a band to land on shared shingles (~p² per band).
 - embeddings: 10 copies with vec_id offset and a per-copy DETERMINISTIC
   SIGN-FLIP pattern (element d multiplied by ±1 from xxhash64(copy, d);
   copy 0 keeps the original data). A diagonal ±1 matrix is orthogonal:
@@ -113,10 +121,17 @@ def main() -> None:
     wr(_copies(rd("events")).select(
         _off("event_id", step["events"]), "ts", _off("user_id", user_step),
         "event_type", "value", "props"), "events")
+    # Suffix every non-stopword token (doc text is pure [a-z0-9 ], so
+    # \b token boundaries are exact); stopwords keep their surface form
+    # — see the module docstring for why.
+    from full_stack_big_data_spark.functions.text import STOPWORDS_BY_LANG
+    stop_alt = "|".join(sorted({w for lst in STOPWORDS_BY_LANG.values()
+                                for w in lst}))
     wr(_copies(rd("documents")).select(
         _off("doc_id", step["documents"]),
-        F.expr("regexp_replace(text, '(\\\\S+)', "
-               "concat('$1c', cast(c as string)))").alias("text"),
+        F.expr(f"regexp_replace(text, "
+               f"'\\\\b(?!(?:{stop_alt})\\\\b)([a-z0-9]+)', "
+               f"concat('$1c', cast(c as string)))").alias("text"),
         "lang", "source", "n_chars"), "documents", 16)
     flipped = F.transform(
         "embedding",

@@ -81,7 +81,10 @@ SCALED = {
                                      # volume; sensor + CAND_CEIL row)
     "stream_embedding_admit_scaled",  # the admit gate AT SRP_BITS_WIDE —
                                       # per-batch bipartite join vs the
-                                      # scaled-geometry stored index
+                                      # scaled-geometry stored index;
+                                      # recall contract pinned in
+                                      # test_streaming.py::test_embedding
+                                      # _admit_gate_recall_contract
     "stream_embedding_ingest_scaled", # same join + epoch append; the
                                       # drain embedding_index_compact
                                       # folds

@@ -914,3 +914,188 @@ def test_index_compaction_layout_and_payload_serve(spark):
     egot = point_fetch(spark, epay2, "vec_id", [eadmitted[0]]).collect()
     assert len(egot) == 1 and len(egot[0].embedding) == 64
 
+
+
+def test_retention_vacuum_superseded_generations(spark, tmp_path):
+    """r11 verdict item 4: compaction folds generations but nothing
+    reclaimed the superseded base/epoch/payload directories — at
+    100 TB a self-growing index that never vacuums is a storage leak.
+    Pins, on an isolated mini text family:
+    (a) SERVE EQUALITY — an admit decision computed from the folded
+        gen2 artifacts before the vacuum equals the same decision
+        after the superseded directories are gone (including a probe
+        doc that near-dups an ADMITTED doc, so the rebuilt payloads'
+        grown membership is load-bearing);
+    (b) refusal — an incomplete fold (no _SUCCESS) makes vacuum raise
+        and delete NOTHING;
+    (c) orphan cleanup + idempotence — superseded dirs deleted, bytes
+        accounted, and a re-run skips what's already gone."""
+    import glob
+    import os
+    import shutil
+
+    import pytest
+
+    from full_stack_big_data_spark.engine.pointfetch import write_payload
+    from full_stack_big_data_spark.engine.retention import (
+        IncompleteGenerationError, vacuum_superseded)
+    from full_stack_big_data_spark.functions.text import token_ngrams, tokens
+    from full_stack_big_data_spark.operators.dedup import (
+        SHINGLE_N, _band_rows, hashed_shingle_cols)
+    from full_stack_big_data_spark.streaming.joins import (
+        _read_gate_output, _text_admit, _text_ingest)
+
+    def sh(df):
+        return (df.select("doc_id", tokens("text").alias("toks"))
+                .where(F.size("toks") >= SHINGLE_N)
+                .select("doc_id", F.array_distinct(
+                    token_ngrams(F.col("toks"), SHINGLE_N)).alias("s")))
+
+    corpus = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta"),
+         (11, "red orange yellow green blue indigo")],
+        "doc_id long, text string")
+    base = str(tmp_path / "base")
+    hpay, tpay = str(tmp_path / "hpay"), str(tmp_path / "tpay")
+    epochs = str(tmp_path / "epochs")
+    _band_rows(sh(corpus)).write.parquet(base)
+    write_payload(hashed_shingle_cols(sh(corpus)), "doc_id", hpay)
+    write_payload(corpus, "doc_id", tpay)
+
+    dump = spark.createDataFrame(
+        [(21, "alpha beta gamma delta epsilon zeta"),   # dup → dropped
+         (22, "one two three four five six")],          # novel → admitted
+        "doc_id long, text string")
+    _text_ingest(base, None, epochs,
+                 hash_payload_path=hpay, text_payload_path=tpay)(dump, 0)
+
+    # Fold: gen2 index = base ∪ epochs; payloads rebuilt over the
+    # GROWN membership (corpus + admitted docs).
+    grown = (spark.read.parquet(base)
+             .select("doc_id", F.col("band").cast("int").alias("band"),
+                     "bucket")
+             .unionByName(_read_gate_output(
+                 spark, epochs, "doc_id long, band int, bucket string")))
+    gen2 = str(tmp_path / "gen2")
+    (grown.repartition("band")
+     .write.mode("overwrite").partitionBy("band").parquet(gen2))
+    member_docs = corpus.unionByName(
+        dump.where(F.col("doc_id") == 22))
+    hpay2, tpay2 = str(tmp_path / "hpay2"), str(tmp_path / "tpay2")
+    write_payload(hashed_shingle_cols(sh(member_docs)), "doc_id", hpay2)
+    write_payload(member_docs, "doc_id", tpay2)
+
+    # Pre-vacuum decision from the gen2 artifacts: 31 near-dups the
+    # ADMITTED doc 22 (drop — only provable through the rebuilt
+    # payloads), 32 is novel (admit).
+    probe = spark.createDataFrame(
+        [(31, "one two three four five six"),
+         (32, "seven eight nine ten eleven twelve")],
+        "doc_id long, text string")
+    out_pre, out_post = str(tmp_path / "out_pre"), str(tmp_path / "out_post")
+    admit = _text_admit(gen2, None, out_pre,
+                        hash_payload_path=hpay2, text_payload_path=tpay2)
+    admit(probe, 0)
+    pre = sorted(r.doc_id for r in _read_gate_output(
+        spark, out_pre, "doc_id long, n_shingles int").collect())
+    assert pre == [32]
+
+    # (b) incomplete fold → refuse, delete nothing.
+    success = os.path.join(gen2, "_SUCCESS")
+    os.rename(success, success + ".hidden")
+    with pytest.raises(IncompleteGenerationError):
+        vacuum_superseded([gen2, hpay2, tpay2], [base, hpay, tpay, epochs])
+    assert os.path.isdir(base) and os.path.isdir(epochs)
+    os.rename(success + ".hidden", success)
+
+    # (c) the sweep: superseded generations reclaimed, gen2 intact.
+    stats = vacuum_superseded([gen2, hpay2, tpay2],
+                              [base, hpay, tpay, epochs])
+    assert sorted(stats["deleted"]) == sorted([base, hpay, tpay, epochs])
+    assert stats["bytes_reclaimed"] > 0
+    assert not any(map(os.path.isdir, (base, hpay, tpay, epochs)))
+    assert glob.glob(f"{gen2}/band=*")
+
+    # (a) post-vacuum serve equality from the folded artifacts alone.
+    admit2 = _text_admit(gen2, None, out_post,
+                         hash_payload_path=hpay2, text_payload_path=tpay2)
+    admit2(probe, 0)
+    post = sorted(r.doc_id for r in _read_gate_output(
+        spark, out_post, "doc_id long, n_shingles int").collect())
+    assert post == pre
+
+    # idempotent re-run: nothing left to delete, no error.
+    again = vacuum_superseded([gen2, hpay2, tpay2],
+                              [base, hpay, tpay, epochs])
+    assert again["deleted"] == [] and again["bytes_reclaimed"] == 0
+
+
+def test_embedding_admit_gate_recall_contract(spark):
+    """r11 verdict item 5: the embedding admit gate's false-accept side
+    (near-dups the SRP buckets miss) gets a pinned contract at the
+    N/64 operating point. Three pins against the EXACT bipartite
+    kernel (new × corpus, cosine ≥ NEARDUP_COS — small enough to
+    brute-force at the smoke fixture):
+
+    1. PRECISION = 1 (both geometries): every dropped vector has an
+       exact near-dup — the gate's exact-cosine verify makes false
+       drops impossible by construction; this pin keeps it that way.
+    2. RECALL FLOOR (scaled point, measured): the fixture's truth
+       pairs all sit in the low-cosine band (0.4–0.9, where 9-bit
+       detection probability 1−(1−p⁹)¹⁶ is genuinely partial — the
+       documented trade that buys linear candidate cost), and the
+       deterministic integer SRP makes the measured recall exact
+       round-to-round: 5/10 at sf0.001. Pinned as ≥ 0.5.
+    3. HIGH-COSINE GUARANTEE: any truth vector whose best corpus
+       cosine ≥ 0.9 MUST be dropped — at cos 0.9, p = 1−θ/π ≈ 0.857,
+       p⁹ ≈ 0.25, miss probability (1−p⁹)¹⁶ < 1% per table set, and
+       the pin is the design claim the scaled docstrings make. The
+       smoke fixture has no such pair (asserted explicitly so a
+       fixture change re-arms this clause rather than passing
+       vacuously forever).
+
+    Adjudication (why floor + precision suffice): a dedup gate's
+    failure modes are asymmetric — a false DROP destroys data
+    (precision pin), a false ACCEPT costs storage already bounded by
+    the batch dedup sweep downstream; the scaled geometry deliberately
+    concentrates recall where duplicates live (high cosine)."""
+    from full_stack_big_data_spark.engine.catalog import Catalog
+    from full_stack_big_data_spark.functions.vectors import cosine_sim
+    from full_stack_big_data_spark.operators.registry import load_all
+    from full_stack_big_data_spark.operators.similarity import (
+        ANN_INCR_MOD, ANN_INCR_REM, NEARDUP_COS)
+
+    e = Catalog(spark, SF_SMOKE).embeddings
+    new = e.where(F.col("vec_id") % ANN_INCR_MOD == ANN_INCR_REM).select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
+    old = e.where(F.col("vec_id") % ANN_INCR_MOD != ANN_INCR_REM).select(
+        F.col("embedding").alias("ov"))
+    best = (F.broadcast(new).join(old)
+            .select("nid", cosine_sim(F.col("nv"), F.col("ov")).alias("c"))
+            .groupBy("nid").agg(F.max("c").alias("best")))
+    best_cos = {r.nid: r.best for r in best.collect()}
+    truth = {k for k, v in best_cos.items() if v >= NEARDUP_COS}
+    assert truth, "fixture lost its near-dup pairs — rebuild testdata"
+
+    reg = load_all()
+    for name in ("stream_embedding_admit", "stream_embedding_admit_scaled"):
+        admitted = {r.vec_id
+                    for r in reg[name].builder(spark, SF_SMOKE).collect()}
+        dropped = set(best_cos) - admitted
+        # 1. precision: no vector dropped without an exact near-dup.
+        assert dropped <= truth, (name, sorted(dropped - truth))
+        if name.endswith("_scaled"):
+            recall = len(truth - admitted) / len(truth)
+            # 2. measured deterministic floor at the N/64 point.
+            assert recall >= 0.5, (recall, sorted(truth & admitted))
+            # 3. the high-cosine guarantee (vacuous on this fixture —
+            # asserted so a fixture change re-arms it).
+            hi = {k for k, v in best_cos.items() if v >= 0.9}
+            assert hi <= dropped, sorted(hi - dropped)
+            assert not hi, ("fixture now has cos≥0.9 pairs — clause 3 "
+                            "is live; update this assertion to expect "
+                            "them dropped")
+        else:
+            # fixture geometry drops the full truth set at this N
+            # (16 wide buckets over ~450 vectors collide everything).
+            assert truth <= dropped
