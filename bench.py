@@ -86,10 +86,13 @@ def _prev_round_queries() -> tuple[list[str], int | None]:
     rounds — correct arithmetic, wrong label). The current round is
     VERDICT.md's round + 1 (the driver rewrites VERDICT.md before each
     build round); only a within-round re-run after the driver lands
-    BENCH_r{current} ever hits the exclusion. When VERDICT.md is
-    absent or unparseable the newest artifact is excluded only if its
-    set equals HEADLINE (the old self-compare guard). The source round
-    rides in the emitted JSON as ``prev_round_source``."""
+    BENCH_r{current} ever hits the exclusion, and a stable headline
+    now compares against LAST round, correctly labeled. When
+    VERDICT.md is absent or unparseable (hand-saved artifact trees),
+    the pre-r12 heuristic applies unchanged: skip equal-set artifacts,
+    and when none differs fall back to the newest (subtotal == total
+    IS the like-for-like number there). The source round rides in the
+    emitted JSON as ``prev_round_source``."""
     import re as _re
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -106,7 +109,7 @@ def _prev_round_queries() -> tuple[list[str], int | None]:
         m = _re.match(r"BENCH_r(\d+)\.json$", fname)
         if m:
             rounds.append((int(m.group(1)), fname))
-    first = True
+    newest: tuple[list[str], int | None] = ([], None)
     for rnd, fname in sorted(rounds, reverse=True):
         try:
             with open(os.path.join(here, fname)) as f:
@@ -116,15 +119,15 @@ def _prev_round_queries() -> tuple[list[str], int | None]:
             prev = list(rec.get("parsed", rec).get("queries", {}))
         except (OSError, ValueError, AttributeError):
             continue
-        if not prev:
+        if not prev or rnd == cur_round:
             continue
-        if rnd == cur_round:
-            continue
-        if cur_round is None and first and set(prev) == set(HEADLINE):
-            first = False
-            continue
-        return prev, rnd
-    return [], None
+        if cur_round is not None:
+            return prev, rnd          # newest non-own, label-faithful
+        if newest[1] is None:
+            newest = (prev, rnd)
+        if set(prev) != set(HEADLINE):
+            return prev, rnd
+    return newest
 
 
 def main() -> None:

@@ -368,14 +368,12 @@ def minhash_payload_dir(spark: SparkSession, sf_dir: str) -> str:
     every micro-batch (r10 verdict's weak item); with the payload
     stored beside the band index, the exact-jaccard verify never opens
     the raw corpus: per-batch I/O is the pk directories the candidate
-    ids touch. Storage is the shingle arrays once (≈ tokenized corpus
-    size); since r12 this string payload is TIER 2 of the verify — the
-    per-batch fetch goes to the 8-byte-hash tier first
-    (:func:`minhash_hash_payload_dir`) and opens string row groups only
-    for candidates that survive the hash-jaccard screen, so keeping
-    the strings costs at-rest bytes but not per-batch I/O, and the
-    verify (and hence the DuckDB oracle) stays collision-proof
-    exact."""
+    ids touch. Storage is the shingle arrays once (≈ 2.7× corpus text).
+    Since r12 the GATES no longer read this artifact — their verify is
+    two-tier (:func:`minhash_hash_payload_dir` +
+    :func:`doc_text_payload_dir`); this builder remains as the one-tier
+    path's payload (plan-pin tests; gate_io_probe's r11 baseline row)
+    and for any caller that wants pre-exploded shingle sets."""
     path = _MINHASH_PAYLOAD_DIRS.get(sf_dir)
     if path is not None:
         return path
@@ -459,14 +457,16 @@ _MINHASH_HASH_PAYLOAD_DIRS: dict[str, str] = {}
 
 def minhash_hash_payload_dir(spark: SparkSession, sf_dir: str) -> str:
     """TIER 1 of the text gates' verify payload (r11 verdict item 2):
-    the corpus side's distinct xxhash64 shingle hashes in point-lookup
-    layout. At 100 TB the raw-string payload is the biggest object in
-    the system (~2.7× corpus text, BENCHNOTES r11); the hash tier is
-    ~0.3×, and per-batch verify I/O rides it — candidates are screened
-    on hash-jaccard (provably no false drops, see
-    :func:`hashed_shingle_cols`) and only the screen's survivors (true
-    near-dups plus the ~zero-probability collision bypasses) open
-    tier-2 string row groups."""
+    the corpus side's distinct int32 shingle hashes in point-lookup
+    layout. The r11 raw-string payload was the system's biggest at-rest
+    object (~2.7× corpus text, BENCHNOTES r11); this tier measures
+    ~0.5× of it at fixture encodings (widening on natural corpora —
+    see :func:`hashed_shingle_cols`'s width note), and per-batch verify
+    I/O rides it — candidates are screened on hash-jaccard (provably no
+    false drops, see :func:`hashed_shingle_cols`) and only the screen's
+    survivors (true near-dups plus the ~zero-probability collision
+    bypasses) open tier-2 raw-text row groups
+    (:func:`doc_text_payload_dir`)."""
     path = _MINHASH_HASH_PAYLOAD_DIRS.get(sf_dir)
     if path is not None:
         return path

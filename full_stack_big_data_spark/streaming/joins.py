@@ -890,8 +890,6 @@ def _jaccard_verify_hits(spark: SparkSession, cand: DataFrame,
                 .persist())
         if scope is not None:
             scope.append(cand)
-
-    if two_tier:
         # Re-shingle the fetched text with the exact kernel the index
         # build used (_shingle_sets' two-projection shape: tokenize
         # into a real column first so the regex split stays
@@ -1546,10 +1544,9 @@ def _curate_admit(eval_index_path: str, band_index_path: str,
                       _stopword_hits_spark("en").alias("en_hits"))
                   .withColumn("n_tokens", F.size("toks")))
         # Stage 1 — quality gate (map-only): pipeline_curate's rule.
-        # min_en_hits is the probe knob: the sf1.0 corpus suffixes every
-        # token (scripts/make_sf1.py), zeroing English-stopword evidence
-        # corpus-wide, so the decade probe sets 0 to keep the later
-        # stages loaded (scale_probe_sf1._curate_en_free).
+        # min_en_hits stays a knob for alternative corpora; since r12
+        # make_sf1.py preserves stopword surface forms, so the decade
+        # probe runs the REGISTERED rule (r11 verdict item 7 closed).
         quality = (scored.where((F.col("n_tokens") >= CURATE_MIN_TOKENS)
                                 & (F.col("en_hits") >= min_en_hits))
                    .select("doc_id", "lang", "n_tokens", "toks")

@@ -316,55 +316,15 @@ def _fresh_gate(name):
     return run
 
 
-def _curate_en_free(spark, sf):
-    """stream_pipeline_curate with the English-evidence floor at 0 —
-    probe-only knob: the sf1.0 corpus suffixes EVERY token
-    (scripts/make_sf1.py, the shingle-disjointness trick), so stopword
-    evidence is zero corpus-wide and the registered rule would admit
-    nothing at the decade, unloading the decontam + near-dup stages
-    this probe exists to measure. min_en_hits=0 keeps the token-count
-    gate and both downstream stages fully loaded; the registered
-    entry's oracle already pins the en_hits rule at sf0.01."""
-    from pyspark.sql import functions as F
-
-    from full_stack_big_data_spark.engine.scratch import scratch_dir
-    from full_stack_big_data_spark.operators.decontam import EVAL_MOD
-    from full_stack_big_data_spark.operators.dedup import (
-        INCR_MOD, INCR_REM, doc_text_payload_dir,
-        minhash_hash_payload_dir, minhash_index_dir)
-    from full_stack_big_data_spark.streaming import joins as sj
-    from full_stack_big_data_spark.streaming.core import stream_table
-
-    eval_index = sj._eval_gram_index_dir(spark, sf)
-    band_index = minhash_index_dir(spark, sf)
-    hash_payload = minhash_hash_payload_dir(spark, sf)
-    text_payload = doc_text_payload_dir(spark, sf)
-    out = scratch_dir("probe_curate_out_")
-    ckpt = scratch_dir("probe_curate_ckpt_")
-    path = f"{sf}/documents.parquet"
-    template = spark.read.parquet(path)
-    feed = (stream_table(spark, path, template)
-            .where((F.col("doc_id") % INCR_MOD == INCR_REM)
-                   & (F.col("doc_id") % EVAL_MOD != 0))
-            .select("doc_id", "lang", "text"))
-    q = (feed.writeStream.foreachBatch(
-             sj._curate_admit(eval_index, band_index, None, out,
-                              min_en_hits=0,
-                              hash_payload_path=hash_payload,
-                              text_payload_path=text_payload))
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
-    return sj._read_gate_output(spark, out,
-                                "doc_id long, lang string, n_tokens int")
-
-
 BUILDER_OVERRIDES = {
     "embedding_dedup_clusters": _clusters_scaled_bits,
     "bpe_tokenize_serve": _bpe_serve_only,
     "stream_text_admit": _fresh_gate("stream_text_admit"),
     "stream_phash_admit": _fresh_gate("stream_phash_admit"),
-    "stream_pipeline_curate": _curate_en_free,
+    # r12 (r11 verdict item 7): make_sf1 now preserves stopword
+    # surface forms, so the composed curate gate probes at its
+    # REGISTERED en_hits rule — the _curate_en_free override is gone.
+    "stream_pipeline_curate": _fresh_gate("stream_pipeline_curate"),
     # r12: the scaled embedding gates are REGISTERED entries now (r11
     # verdict item 1) — the probe runs the shipped builders fresh-dirs
     # instead of hand-assembled scaled-bits copies.

@@ -97,3 +97,26 @@ def test_prev_round_falls_back_to_newest_when_no_set_differs(
                         lambda _p: str(tmp_path / "bench.py"))
     prev, src = bench._prev_round_queries()
     assert set(prev) == set(bench.HEADLINE) and src == 9
+
+
+def test_prev_round_excludes_only_own_round_when_verdict_labels_it(
+        tmp_path, monkeypatch):
+    """r11 verdict item 6: with VERDICT.md present (the committed-repo
+    case), "own artifact" is identified by ROUND NUMBER — a stable
+    headline compares against LAST round's artifact, correctly
+    labeled, instead of reaching past it to the newest differing set."""
+    import importlib
+
+    bench = importlib.import_module("bench")
+    same = {"parsed": {"queries": {n: 0.5 for n in bench.HEADLINE}}}
+    older = {"queries": {"q1_pricing_summary": 1.0, "dropped_query": 2.0}}
+    (tmp_path / "BENCH_r10.json").write_text(json.dumps(older))
+    (tmp_path / "BENCH_r11.json").write_text(json.dumps(same))
+    (tmp_path / "BENCH_r12.json").write_text(json.dumps(same))
+    (tmp_path / "VERDICT.md").write_text("# VERDICT — Round 11\n")
+    monkeypatch.setattr(bench.os.path, "abspath",
+                        lambda _p: str(tmp_path / "bench.py"))
+    prev, src = bench._prev_round_queries()
+    # current round = 11 + 1 = 12 → r12 is own; r11 is the previous
+    # round even though its set equals HEADLINE.
+    assert set(prev) == set(bench.HEADLINE) and src == 11
