@@ -197,9 +197,35 @@ def main() -> int:
     assert egot == len(eids), (egot, len(eids))
     efb, efrg, epb, eprg = _touched_bytes(epay, "vec_id", eids)
     ecb = _corpus_bytes(os.path.join(sf, "embeddings.parquet"))
-    print(f"| stream_embedding_admit | {en_cand} | {len(eids)} | {epb} "
+    print(f"| stream_embedding_admit (fixture 16×4 — sensor contrast) "
+          f"| {en_cand} | {len(eids)} | {epb} "
           f"({eprg}) | {efb} ({efrg}) | {ecb} | {efb / epb:.3f} "
           f"| {efb / ecb:.3f} |")
+
+    # The DEPLOYMENT row (r12): the scaled gate's candidate set at the
+    # N/64 geometry is ~3 orders smaller, so its verify fetch rides the
+    # pushed-literal point-fetch regime instead of the fixture row's
+    # join fallback — this is the per-batch I/O a production gate pays.
+    from full_stack_big_data_spark.operators.similarity import \
+        SRP_BITS_WIDE
+    sidx = (spark.read.parquet(
+                srp_index_dir(spark, sf, bits=SRP_BITS_WIDE))
+            .withColumnRenamed("vec_id", "old_id"))
+    snb = (srp_buckets(ebatch, bits=SRP_BITS_WIDE)
+           .select("vec_id", F.posexplode("buckets")
+                   .alias("table_id", "bucket")))
+    scand = (snb.join(sidx, ["table_id", "bucket"])
+             .select("vec_id", "old_id").distinct())
+    sn_cand = scand.count()
+    sids = fetch_ids(scand.select(F.col("old_id").alias("vec_id")),
+                     "vec_id")
+    sgot = point_fetch(spark, epay, "vec_id", sids).count()
+    assert sgot == len(sids), (sgot, len(sids))
+    sfb, sfrg, _, _ = _touched_bytes(epay, "vec_id", sids)
+    print(f"| stream_embedding_admit_scaled (16×{SRP_BITS_WIDE}, "
+          f"deployment) | {sn_cand} | {len(sids)} | {epb} ({eprg}) "
+          f"| {sfb} ({sfrg}) | {ecb} | {sfb / epb:.3f} "
+          f"| {sfb / ecb:.3f} |")
 
     # The proportionality curve: fetched bytes for id SUBSETS of the
     # text gate's candidates — a production micro-batch is minutes of
@@ -214,6 +240,16 @@ def main() -> int:
         b, rg, pb2, _ = _touched_bytes(hpay_path, "doc_id", sub)
         print(f"| stream_text_admit tier-1 | {len(sub)} | {b} | {rg} "
               f"| {b / pb2:.3f} |")
+    # Embedding payload curve: the fixture's one-shot batch is 10% of
+    # the corpus, so even the scaled gate's distinct-id set saturates
+    # the 1800-vector corpus — a production micro-batch is a few
+    # vectors, and THIS curve is its verify I/O (∝ ids, ≈52 KB of
+    # pk-pruned row groups for a 4-id batch vs the 472 KB payload).
+    for k in (4, 16, 64, 256):
+        sub = sids[:: max(1, len(sids) // k)][:k]
+        b, rg, pb2, _ = _touched_bytes(epay, "vec_id", sub)
+        print(f"| stream_embedding_admit_scaled | {len(sub)} | {b} "
+              f"| {rg} | {b / pb2:.3f} |")
     spark.stop()
     return 0
 

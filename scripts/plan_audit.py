@@ -191,6 +191,21 @@ STREAM_STATE_BOUNDS = {
                          "index, exact-jaccard verify on point-fetched "
                          "candidate docs; per-doc admission, idempotent "
                          "epoch-keyed sink",
+    "stream_embedding_admit_scaled": "zero store state: the admit gate's "
+                                     "chain at the N/64 SRP geometry — "
+                                     "same per-doc admission vs the "
+                                     "(scaled) persisted index, "
+                                     "idempotent epoch-keyed sink",
+    "stream_embedding_ingest_scaled": "zero store state: the scaled admit "
+                                      "join vs the immutable scaled base "
+                                      "index; survivors' SRP rows appended "
+                                      "as epoch-keyed partitions — growth "
+                                      "on disk, not in the store",
+    "stream_reservoir_sample": "no store state: foreachBatch folds each "
+                               "batch's top-k into a versioned k-row "
+                               "snapshot (max-k semilattice merge) — "
+                               "O(k) state regardless of stream length, "
+                               "the defining reservoir property",
 }
 
 

@@ -174,6 +174,12 @@ PROBES = [
      "fresh-dirs lifecycle over the SCALED ingest drain (r11 verdict "
      "item 1): one index-sized exchange (repartition on table_id) + "
      "one payload rebuild pass"),
+    # r12: the streaming reservoir — map-side key projection +
+    # per-batch top-k + k-row snapshot merge; state and snapshot I/O
+    # are O(k) regardless of stream length (the reservoir property).
+    ("stream_reservoir_sample", "linear",
+     "fresh-dirs drain: per-batch TakeOrdered top-k + k-row versioned "
+     "snapshot merge; state O(k), scan is the only corpus-sized term"),
 ]
 
 # Candidate-volume ceilings for the banded families (r7 verdict item 4):
@@ -338,6 +344,7 @@ BUILDER_OVERRIDES = {
     # fold + payload rebuild), not the gen2 read.
     "text_index_compact": _fresh_gate("text_index_compact"),
     "embedding_index_compact": _fresh_gate("embedding_index_compact"),
+    "stream_reservoir_sample": _fresh_gate("stream_reservoir_sample"),
 }
 
 

@@ -1099,3 +1099,62 @@ def test_embedding_admit_gate_recall_contract(spark):
             # fixture geometry drops the full truth set at this N
             # (16 wide buckets over ~450 vectors collide everything).
             assert truth <= dropped
+
+
+def test_stream_reservoir_bounded_state_chop_invariance_and_replay(
+        spark, tmp_path):
+    """The streaming reservoir's three contracts (streaming/reservoir.py):
+    (a) BOUNDED STATE — every versioned snapshot holds ≤ k rows no
+        matter how much data has streamed past;
+    (b) CHOP INVARIANCE — the max-k semilattice merge makes the final
+        reservoir independent of how the feed is chopped into batches
+        (any chop == the one-shot batch top-k), which is what makes
+        the registered entry's one-shot SQL oracle exact;
+    (c) REPLAY IDEMPOTENCE — re-running a batch_id (foreachBatch's
+        at-least-once) rewrites its own version to identical content."""
+    import os
+
+    from full_stack_big_data_spark.streaming.reservoir import (
+        RESERVOIR_K, _race_key_col, _reservoir_body, read_reservoir)
+
+    docs = (spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+            .select("doc_id", "n_chars"))
+    want = sorted(
+        map(tuple,
+            docs.withColumn("race_key", _race_key_col())
+            .orderBy(F.desc("race_key"), F.asc("doc_id"))
+            .limit(RESERVOIR_K).collect()))
+
+    # chop the corpus into 3 deterministic batches by doc_id band
+    state = str(tmp_path / "res_state")
+    os.makedirs(state)
+    body = _reservoir_body(state)
+    parts = [docs.where(F.col("doc_id") % 3 == r) for r in (0, 1, 2)]
+    for bid, part in enumerate(parts):
+        body(part, bid)
+        snap = spark.read.parquet(f"{state}/v={bid}")
+        assert snap.count() <= RESERVOIR_K          # (a)
+
+    got = sorted((r.doc_id, r.n_chars, r.race_key)
+                 for r in read_reservoir(spark, state).collect())
+    assert got == want                              # (b)
+
+    # a DIFFERENT chop (2 batches, reversed order of content) folds to
+    # the same reservoir
+    state2 = str(tmp_path / "res_state2")
+    os.makedirs(state2)
+    body2 = _reservoir_body(state2)
+    body2(docs.where(F.col("doc_id") % 2 == 1), 0)
+    body2(docs.where(F.col("doc_id") % 2 == 0), 1)
+    got2 = sorted((r.doc_id, r.n_chars, r.race_key)
+                  for r in read_reservoir(spark, state2).collect())
+    assert got2 == want                             # (b)
+
+    # replay batch 1: v=1 must be rebuilt from v=0 ∪ batch-1 content,
+    # byte-identical decision set
+    before = sorted(map(tuple,
+                        spark.read.parquet(f"{state2}/v=1").collect()))
+    body2(docs.where(F.col("doc_id") % 2 == 0), 1)
+    after = sorted(map(tuple,
+                       spark.read.parquet(f"{state2}/v=1").collect()))
+    assert before == after                          # (c)
