@@ -174,3 +174,114 @@ def stream_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return read_reservoir(spark, state_root)
+
+
+_W_SALT = "wsample|"
+_W_U_MOD = 1_000_000
+WEIGHTED_RES_K = 64
+
+_WRES_DIRS: dict[str, tuple[str, str, str]] = _registered_cache()
+
+
+def _weighted_race_key_col() -> F.Column:
+    """``sample_weighted``'s exponential race key, unchanged: a 6-digit
+    deterministic uniform from the content hash, raced as
+    round(ln(u)/w, 10) with w = n_chars — identical literals and
+    rounding in both engines (the float-determinism argument lives on
+    operators/sampling.py::sample_weighted)."""
+    u = ((hex64(F.concat(F.lit(_W_SALT), F.col("doc_id").cast("string")))
+          % _W_U_MOD + 1) / F.lit(float(_W_U_MOD + 1)))
+    return F.round(F.log(u) / F.col("n_chars"), 10)
+
+
+def _weighted_reservoir_body(state_root: str, k: int = WEIGHTED_RES_K):
+    """foreachBatch body for the WEIGHTED reservoir — same versioned
+    max-k semilattice fold as :func:`_reservoir_body`, different race
+    key (A-Res: keep the k largest ln(u)/w). The merge algebra, and
+    with it every exactly-once/chop-invariance argument, is key-
+    agnostic — only the key column changes."""
+    def body(batch: DataFrame, batch_id: int) -> None:
+        ss = batch.sparkSession
+        keyed = (batch.select("doc_id", "n_chars")
+                 .withColumn("race_key", _weighted_race_key_col())
+                 .orderBy(F.desc("race_key"), F.asc("doc_id"))
+                 .limit(k))
+        versions = sorted(int(d.split("=", 1)[1])
+                          for d in os.listdir(state_root)
+                          if d.startswith("v=") and
+                          int(d.split("=", 1)[1]) < batch_id)
+        if versions:
+            prev = ss.read.parquet(
+                os.path.join(state_root, f"v={versions[-1]}"))
+        else:
+            prev = ss.createDataFrame(
+                [], "doc_id long, n_chars int, race_key double")
+        out = os.path.join(state_root, f"v={batch_id}")
+        (_merge_reservoir(prev, keyed, k)
+         .coalesce(1).write.mode("overwrite").parquet(out))
+    return body
+
+
+def _weighted_reservoir_oracle() -> str:
+    h = hex64_sql(f"'{_W_SALT}' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         ROUND(ln((({h} % {_W_U_MOD}) + 1) / {_W_U_MOD + 1}.0)
+               / n_chars, 10) AS race_key
+  FROM documents
+), ranked AS (
+  SELECT doc_id, n_chars, race_key,
+         ROW_NUMBER() OVER (ORDER BY race_key DESC, doc_id) AS rank
+  FROM keyed
+)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, n_chars, race_key
+FROM ranked WHERE rank <= {WEIGHTED_RES_K}
+"""
+
+
+@register(
+    "stream_reservoir_weighted",
+    oracle=_weighted_reservoir_oracle(),
+    description=f"weighted streaming reservoir (A-Res): a "
+                f"{WEIGHTED_RES_K}-doc weight-proportional sample "
+                "(weight = n_chars) of everything that ever streamed "
+                "past, O(k) state — sample_weighted's exponential race "
+                "moved to the ingest door through the same versioned "
+                "max-k semilattice fold as stream_reservoir_sample",
+    tags=("streaming", "sampling", "weighted", "topk"),
+)
+def stream_reservoir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sample_weighted`` (Efraimidis–Spirakis A-Res, weight =
+    n_chars — the "sample by token budget" curation step) as a
+    STREAMING operator: the race keys are deterministic, so the
+    weighted reservoir is the same max-k semilattice fold as the
+    uniform one — batch-chop-invariant, replay-idempotent, crash-safe
+    versioned O(k) state — and the one-shot SQL top-k replays it
+    exactly. Together with ``stream_reservoir_sample`` this closes the
+    sampling family's streaming column for both uniform and weighted
+    draws."""
+    from ..engine.scratch import scratch_dir
+
+    tune_session(spark)
+    dirs = _WRES_DIRS.get(sf_dir)
+    if dirs is None:
+        feed_dir = scratch_dir("fsbd_wres_feed_")
+        state_root = scratch_dir("fsbd_wres_state_")
+        ckpt = scratch_dir("fsbd_wres_ckpt_")
+        (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .select("doc_id", "n_chars")
+         .repartition(4).write.mode("overwrite").parquet(feed_dir))
+        dirs = (feed_dir, state_root, ckpt)
+        _WRES_DIRS[sf_dir] = dirs
+    feed_dir, state_root, ckpt = dirs
+
+    template = spark.read.parquet(feed_dir)
+    feed = (spark.readStream.schema(template.schema)
+            .option("maxFilesPerTrigger", 1).parquet(feed_dir))
+    q = (feed.writeStream.foreachBatch(
+             _weighted_reservoir_body(state_root))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return read_reservoir(spark, state_root)

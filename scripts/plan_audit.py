@@ -206,6 +206,9 @@ STREAM_STATE_BOUNDS = {
                                "snapshot (max-k semilattice merge) — "
                                "O(k) state regardless of stream length, "
                                "the defining reservoir property",
+    "stream_reservoir_weighted": "no store state: the same versioned "
+                                 "k-row semilattice fold with the "
+                                 "exponential-race key — O(k) state",
 }
 
 

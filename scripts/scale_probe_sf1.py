@@ -180,6 +180,8 @@ PROBES = [
     ("stream_reservoir_sample", "linear",
      "fresh-dirs drain: per-batch TakeOrdered top-k + k-row versioned "
      "snapshot merge; state O(k), scan is the only corpus-sized term"),
+    ("stream_reservoir_weighted", "linear",
+     "same fold, exponential-race key (A-Res, weight = n_chars)"),
 ]
 
 # Candidate-volume ceilings for the banded families (r7 verdict item 4):
@@ -345,6 +347,7 @@ BUILDER_OVERRIDES = {
     "text_index_compact": _fresh_gate("text_index_compact"),
     "embedding_index_compact": _fresh_gate("embedding_index_compact"),
     "stream_reservoir_sample": _fresh_gate("stream_reservoir_sample"),
+    "stream_reservoir_weighted": _fresh_gate("stream_reservoir_weighted"),
 }
 
 

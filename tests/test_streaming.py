@@ -1158,3 +1158,32 @@ def test_stream_reservoir_bounded_state_chop_invariance_and_replay(
     after = sorted(map(tuple,
                        spark.read.parquet(f"{state2}/v=1").collect()))
     assert before == after                          # (c)
+
+
+def test_stream_reservoir_weighted_matches_batch_race(spark, tmp_path):
+    """The weighted twin: the same versioned semilattice fold with the
+    A-Res exponential race key folds (under an arbitrary chop) to the
+    one-shot weighted top-k — and every snapshot stays ≤ k rows."""
+    import os
+
+    from full_stack_big_data_spark.streaming.reservoir import (
+        WEIGHTED_RES_K, _weighted_race_key_col, _weighted_reservoir_body,
+        read_reservoir)
+
+    docs = (spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+            .select("doc_id", "n_chars"))
+    want = sorted(
+        map(tuple,
+            docs.withColumn("race_key", _weighted_race_key_col())
+            .orderBy(F.desc("race_key"), F.asc("doc_id"))
+            .limit(WEIGHTED_RES_K).collect()))
+    state = str(tmp_path / "wres_state")
+    os.makedirs(state)
+    body = _weighted_reservoir_body(state)
+    for bid, r in enumerate((2, 0, 1)):    # deliberately shuffled chop
+        body(docs.where(F.col("doc_id") % 3 == r), bid)
+        assert spark.read.parquet(f"{state}/v={bid}").count() \
+            <= WEIGHTED_RES_K
+    got = sorted((r.doc_id, r.n_chars, r.race_key)
+                 for r in read_reservoir(spark, state).collect())
+    assert got == want
