@@ -1316,7 +1316,18 @@ def srp_payload_dir(spark: SparkSession, sf_dir: str) -> str:
     the payload stored beside the bucket index, the exact-cosine verify
     reads only the pk directories the candidate ids touch. Storage is
     one re-sorted copy of the corpus vectors — 1×, vs the 16× a
-    vector-in-every-band-row layout would cost."""
+    vector-in-every-band-row layout would cost.
+
+    Why NO hash/screen tier here (the r12 text-gate two-tier design
+    does not transfer): the vectors ARE the exact-verify data — there
+    is no cheaper exact representation to screen on the way the text
+    gate screens on shingle hashes before fetching text. A quantized
+    tier (e.g. 64 int16s packed to 128 B vs the 256 B float array)
+    would need an error-BOUND screen (keep if cosine upper bound ≥
+    threshold) — sound, but it halves I/O at best while adding a
+    bound proof and an Arrow decode stage; adjudicated not worth it
+    while the per-batch vector fetch is already ∝ candidate ids
+    (gate_io_probe's per-k curve: 4 ids → 0.14 of the payload)."""
     path = _SRP_PAYLOAD_DIRS.get(sf_dir)
     if path is not None:
         return path

@@ -1486,7 +1486,10 @@ def embedding_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The maintenance half of the closed embedding-ingest loop — see
     :func:`text_index_compact` for the shape and scale argument; here
     the fold exchange is keyed on table_id and the payload rebuild is
-    one pass over the grown vector membership. Folds the
+    one pass over the grown vector membership. RETENTION: same recipe
+    as the text compact — engine.retention.vacuum_superseded reclaims
+    the superseded base/epoch/payload dirs, completeness-gated on
+    gen2's _SUCCESS. Folds the
     SCALED-geometry drain (r11 verdict item 1): the registered
     lifecycle — admit → grow → compact — runs end-to-end at the
     2^bits ≈ N/64 operating point whose decade probe is linear, with

@@ -1159,6 +1159,18 @@ def test_stream_reservoir_bounded_state_chop_invariance_and_replay(
                        spark.read.parquet(f"{state2}/v=1").collect()))
     assert before == after                          # (c)
 
+    # (d) retention: superseded snapshot versions vacuum away
+    # (completeness-gated on the live version) and the served sample
+    # is unchanged — the reservoir's own storage never grows either.
+    from full_stack_big_data_spark.engine.retention import \
+        vacuum_superseded
+    stats = vacuum_superseded([f"{state2}/v=1"], [f"{state2}/v=0"])
+    assert stats["deleted"] == [f"{state2}/v=0"]
+    assert not os.path.isdir(f"{state2}/v=0")
+    got3 = sorted((r.doc_id, r.n_chars, r.race_key)
+                  for r in read_reservoir(spark, state2).collect())
+    assert got3 == want
+
 
 def test_stream_reservoir_weighted_matches_batch_race(spark, tmp_path):
     """The weighted twin: the same versioned semilattice fold with the
