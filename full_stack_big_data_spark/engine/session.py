@@ -53,6 +53,16 @@ _BUILD_CONFS = {
 # verification driver) owns the SparkSession.
 _RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # NOT excluded: InferFiltersFromGenerate. It re-inlines computed
+    # array expressions (interpreted HOFs on the text paths) into a
+    # per-row Filter below every explode, which LOOKS like a
+    # pessimization — a hot-host A/B first measured 9.3 s vs 0.8 s on
+    # the sf0.1 shingle explode. Interleaved order-alternating reps on
+    # an idle host showed that headline was the ambient band, not the
+    # rule: min-of-reps lands at parity (0.85–1.38× across the gram
+    # family, direction inconsistent). A global optimizer exclusion
+    # with no robust win is risk without reward — adjudicated out
+    # (BENCHNOTES r12, the measurement-discipline note).
     # See _BUILD_CONFS: cap driver-side plan strings (iterative lineage
     # would otherwise OOM explainString at scale).
     "spark.sql.maxPlanStringLength": "100000",

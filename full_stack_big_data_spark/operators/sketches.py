@@ -55,7 +55,13 @@ FROM kth CROSS JOIN n
     tags=("sketch", "distinct", "custom"),
 )
 def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hs = (_shingled(spark, sf_dir).select("g").distinct()
+    # Hash BEFORE the distinct: hex64 is deterministic per shingle, so
+    # distinct-on-hash equals hash-of-distinct — one exchange keyed on
+    # 8-byte hashes instead of the r11 shape's TWO (a corpus-wide
+    # exchange of raw shingle strings followed by a hash exchange).
+    # Interleaved order-alternating paired reps at sf0.1: 1.16× in
+    # this shape's favor, results hash-identical (BENCHNOTES r12).
+    hs = (_shingled(spark, sf_dir)
           .select(hex64(F.col("g")).alias("h")).distinct())
     kth = (hs.orderBy("h").limit(KMV_K)          # TakeOrdered: per-partition
            .agg(F.max("h").alias("hk")))         # top-k, one tiny merge
