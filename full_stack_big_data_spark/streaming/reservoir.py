@@ -42,6 +42,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..engine.retention import _is_committed
 from ..engine.session import tune_session
 from ..functions.hashing import hex64, hex64_sql
 from ..operators.registry import register
@@ -49,6 +50,25 @@ from .joins import _registered_cache
 
 RESERVOIR_K = 64
 _R_SALT = "reservoir|"
+
+
+def _committed_versions(state_root: str,
+                        below: int | None = None) -> list[int]:
+    """Snapshot versions with a ``_SUCCESS`` commit record (the same
+    commit discipline engine.retention enforces — r12 ADVICE): a crash
+    mid-write of v=N leaves a torn directory that neither serving nor
+    the replay's prev-version scan may read; the replay of N rewrites
+    it from committed v<N inputs."""
+    out = []
+    for d in os.listdir(state_root):
+        if not d.startswith("v="):
+            continue
+        v = int(d.split("=", 1)[1])
+        if below is not None and v >= below:
+            continue
+        if _is_committed(os.path.join(state_root, d)):
+            out.append(v)
+    return sorted(out)
 
 # Enrolled in the gate-cache registry so fresh-dirs probe reps re-drain
 # the feed and re-fold the reservoir instead of timing a memoized read.
@@ -63,12 +83,21 @@ def _race_key_col() -> F.Column:
 
 def _merge_reservoir(prev: DataFrame, batch: DataFrame,
                      k: int = RESERVOIR_K) -> DataFrame:
-    """topk(prev ∪ batch) by (race_key desc, doc_id) — the semilattice
-    join. Inputs are ≤ k and ≤ batch rows; the merge materializes at
-    most k + batch rows, so a plain orderBy+limit is the right plan
-    (both sides are tiny by contract — prev is the k-row snapshot and
-    the batch side is pre-reduced to its own top-k map-side)."""
+    """topk(distinct(prev ∪ batch)) by (race_key desc, doc_id) — the
+    semilattice join. The ``dropDuplicates(["doc_id"])`` is what makes
+    the join a SET join rather than a bag union: a doc_id present in
+    both the previous snapshot and a later batch (source-level
+    duplicate, or a replayed row the reservoir already absorbed) ties
+    on its deterministic (race_key, doc_id) and would otherwise occupy
+    two of the k slots — the idempotence the module header claims holds
+    only with the dedup (r12 ADVICE, medium). Duplicate doc_ids carry
+    identical content-hash race keys, so which copy survives is
+    immaterial. Inputs are ≤ k and ≤ batch rows; the merge materializes
+    at most k + batch rows, so a plain dedup+orderBy+limit is the right
+    plan (both sides are tiny by contract — prev is the k-row snapshot
+    and the batch side is pre-reduced to its own top-k map-side)."""
     return (prev.unionByName(batch)
+            .dropDuplicates(["doc_id"])
             .orderBy(F.desc("race_key"), F.asc("doc_id"))
             .limit(k))
 
@@ -83,10 +112,7 @@ def _reservoir_body(state_root: str, k: int = RESERVOIR_K):
                  .withColumn("race_key", _race_key_col())
                  .orderBy(F.desc("race_key"), F.asc("doc_id"))
                  .limit(k))
-        versions = sorted(int(d.split("=", 1)[1])
-                          for d in os.listdir(state_root)
-                          if d.startswith("v=") and
-                          int(d.split("=", 1)[1]) < batch_id)
+        versions = _committed_versions(state_root, below=batch_id)
         if versions:
             prev = ss.read.parquet(
                 os.path.join(state_root, f"v={versions[-1]}"))
@@ -100,10 +126,10 @@ def _reservoir_body(state_root: str, k: int = RESERVOIR_K):
 
 
 def read_reservoir(spark: SparkSession, state_root: str) -> DataFrame:
-    """The served sample: the newest snapshot, ranked."""
-    versions = sorted(int(d.split("=", 1)[1])
-                      for d in os.listdir(state_root)
-                      if d.startswith("v="))
+    """The served sample: the newest COMMITTED snapshot, ranked (a
+    torn v=N from a crash mid-write is invisible to serving until its
+    replay rewrites and commits it)."""
+    versions = _committed_versions(state_root)
     cur = spark.read.parquet(os.path.join(state_root, f"v={versions[-1]}"))
     from pyspark.sql.window import Window
     w = Window.orderBy(F.desc("race_key"), F.asc("doc_id"))
@@ -206,10 +232,7 @@ def _weighted_reservoir_body(state_root: str, k: int = WEIGHTED_RES_K):
                  .withColumn("race_key", _weighted_race_key_col())
                  .orderBy(F.desc("race_key"), F.asc("doc_id"))
                  .limit(k))
-        versions = sorted(int(d.split("=", 1)[1])
-                          for d in os.listdir(state_root)
-                          if d.startswith("v=") and
-                          int(d.split("=", 1)[1]) < batch_id)
+        versions = _committed_versions(state_root, below=batch_id)
         if versions:
             prev = ss.read.parquet(
                 os.path.join(state_root, f"v={versions[-1]}"))

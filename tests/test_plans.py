@@ -532,6 +532,28 @@ def test_gate_verify_fetches_never_scan_the_corpus(spark):
     assert "PartitionFilters" in eplan and "pk" in eplan.split(
         "PartitionFilters")[1][:300], eplan[:2000]
 
+    # Two-tier path (r12 verdict item 2): the quantized int16 screen
+    # tier and the float tier are BOTH point fetches — still no corpus
+    # scan anywhere in the verify, and the tier-1 screen runs pk-pruned.
+    from full_stack_big_data_spark.operators.similarity import \
+        srp_quant_payload_dir
+    eqpay = srp_quant_payload_dir(spark, SF)
+    escope = []
+    try:
+        ehits2 = _cosine_verify_hits(spark, ecand, batch, emb_payload,
+                                     quant_payload_path=eqpay,
+                                     scope=escope)
+        eplan2 = ehits2._jdf.queryExecution().executedPlan().toString()
+        assert "embeddings.parquet" not in eplan2, eplan2[:2000]
+        assert escope, "tier-1 screen did not run"
+        esplan = escope[0]._jdf.queryExecution().executedPlan().toString()
+        assert "embeddings.parquet" not in esplan, esplan[:2000]
+        assert "PartitionFilters" in esplan and "pk" in esplan.split(
+            "PartitionFilters")[1][:300], esplan[:2000]
+    finally:
+        for df in escope:
+            df.unpersist()
+
 
 def test_fetch_payload_falls_back_past_the_id_gate(spark):
     """fetch_payload's two regimes return the same rows: the pushed-

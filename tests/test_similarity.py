@@ -377,3 +377,84 @@ def test_semdedup_multiprobe_strictly_recovers_boundary_pairs(spark):
     assert r1 <= r2, "multiprobe dropped a within-cell pair"
     assert r2 <= exact, "a multiprobe pair failed the exact verify"
     assert len(r2) > len(r1), "multiprobe recovered nothing — vacuous"
+
+
+def test_quantized_screen_no_false_drops(spark, tmp_path):
+    """The embedding verify's tier-1 bound (r12 verdict item 2,
+    similarity.quantized_vec_cols): the packed-int16 screen must keep
+    every exact-passing pair — two-tier hits ≡ one-tier exact hits —
+    under adversarial geometry: near-zero vectors, one-hots, huge
+    dynamic range, and mixtures engineered to land cosines densely
+    AROUND the 0.40 threshold where a loose bound flips decisions."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+    from full_stack_big_data_spark.engine.pointfetch import write_payload
+    from full_stack_big_data_spark.operators.similarity import (
+        NEARDUP_COS, quantized_vec_cols)
+    from full_stack_big_data_spark.streaming.joins import \
+        _cosine_verify_hits
+
+    rng = random.Random(13)
+    d = 64
+
+    def rand_unit():
+        v = [rng.gauss(0, 1) for _ in range(d)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    old_rows = []
+    for i in range(30):
+        u = rand_unit()
+        scale = 10.0 ** rng.uniform(-6, 4)      # huge dynamic range
+        old_rows.append((i, [x * scale for x in u]))
+    old_rows += [(100, [0.0] * d),              # zero vector
+                 (101, [1.0] + [0.0] * (d - 1)),          # one-hot
+                 (102, [1e-30] * d)]            # denormal-ish tiny
+    new_rows = []
+    nid = 1000
+    for i in range(30):                         # near-threshold mixes
+        u = old_rows[i][1]
+        un = math.sqrt(sum(x * x for x in u))
+        uhat = [x / un for x in u]
+        w = rand_unit()
+        proj = sum(a * b for a, b in zip(w, uhat))
+        w = [a - proj * b for a, b in zip(w, uhat)]
+        wn = math.sqrt(sum(x * x for x in w))
+        w = [x / wn for x in w]
+        for c in (0.390, 0.399, 0.4000001, 0.401, 0.410):
+            s = math.sqrt(1 - c * c)
+            new_rows.append((nid, [c * a + s * b
+                                   for a, b in zip(uhat, w)]))
+            nid += 1
+    new_rows += [(nid, [0.0] * d), (nid + 1, [-1.0] + [0.0] * (d - 1))]
+
+    old = spark.createDataFrame(old_rows, "vec_id long, embedding array<float>")
+    new = spark.createDataFrame(new_rows, "vec_id long, embedding array<float>")
+    pay = str(tmp_path / "float_pay")
+    qpay = str(tmp_path / "quant_pay")
+    write_payload(old, "vec_id", pay)
+    write_payload(quantized_vec_cols(old), "vec_id", qpay)
+
+    cand = (new.select("vec_id")
+            .crossJoin(old.select(F.col("vec_id").alias("old_id"))))
+    exact = {r.vec_id
+             for r in _cosine_verify_hits(spark, cand, new, pay).collect()}
+    scope = []
+    try:
+        two = {r.vec_id
+               for r in _cosine_verify_hits(
+                   spark, cand, new, pay, quant_payload_path=qpay,
+                   scope=scope).collect()}
+        survivors = scope[0].count()
+    finally:
+        for df in scope:
+            df.unpersist()
+    assert exact, "exact hit set empty — test vacuous"
+    assert two == exact, (
+        f"two-tier decision diverged: only-exact={exact - two}, "
+        f"only-two-tier={two - exact}")
+    # the screen must actually screen (int16 is tight: the non-hit
+    # near-threshold pairs and the random-geometry bulk drop early)
+    assert survivors < cand.count(), "screen kept everything — vacuous"

@@ -1199,3 +1199,85 @@ def test_stream_reservoir_weighted_matches_batch_race(spark, tmp_path):
     got = sorted((r.doc_id, r.n_chars, r.race_key)
                  for r in read_reservoir(spark, state).collect())
     assert got == want
+
+
+def test_stream_reservoir_dup_docids_occupy_one_slot(spark, tmp_path):
+    """r12 ADVICE (medium): a doc_id present in BOTH the previous
+    snapshot and a later batch (source-level duplicate / re-ingested
+    doc) must occupy ONE of the k slots, not two — the semilattice
+    join is a SET join. Feed every doc twice across overlapping
+    batches; the served sample must hold k DISTINCT doc_ids and equal
+    the one-shot top-k over the distinct corpus exactly."""
+    import os
+
+    from full_stack_big_data_spark.streaming.reservoir import (
+        RESERVOIR_K, _race_key_col, _reservoir_body, read_reservoir)
+
+    docs = (spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+            .select("doc_id", "n_chars"))
+    want = sorted(
+        map(tuple,
+            docs.withColumn("race_key", _race_key_col())
+            .orderBy(F.desc("race_key"), F.asc("doc_id"))
+            .limit(RESERVOIR_K).collect()))
+
+    state = str(tmp_path / "res_dup_state")
+    os.makedirs(state)
+    body = _reservoir_body(state)
+    # every doc streams in at least twice: batch 0 = full corpus,
+    # batch 1 = an overlapping half, batch 2 = full corpus again (the
+    # worst case: the entire previous snapshot re-arrives)
+    body(docs, 0)
+    body(docs.where(F.col("doc_id") % 2 == 0), 1)
+    body(docs, 2)
+    served = read_reservoir(spark, state).collect()
+    ids = [r.doc_id for r in served]
+    assert len(ids) == len(set(ids)) == RESERVOIR_K
+    got = sorted((r.doc_id, r.n_chars, r.race_key) for r in served)
+    assert got == want
+
+
+def test_stream_reservoir_torn_snapshot_invisible(spark, tmp_path):
+    """r12 ADVICE (low): a crash mid-write of v=N leaves a directory
+    without _SUCCESS; serving and the replay's prev-version scan must
+    both skip it — serving stays on the last committed version until
+    the replay rewrites (and commits) N from committed inputs."""
+    import os
+
+    from full_stack_big_data_spark.streaming.reservoir import (
+        RESERVOIR_K, _committed_versions, _race_key_col,
+        _reservoir_body, read_reservoir)
+
+    docs = (spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+            .select("doc_id", "n_chars"))
+    state = str(tmp_path / "res_torn_state")
+    os.makedirs(state)
+    body = _reservoir_body(state)
+    body(docs.where(F.col("doc_id") % 2 == 0), 0)
+    committed = sorted((r.doc_id, r.n_chars, r.race_key)
+                       for r in read_reservoir(spark, state).collect())
+
+    # simulate a torn v=1: directory + a part file, no _SUCCESS
+    torn = f"{state}/v=1"
+    os.makedirs(torn)
+    with open(f"{torn}/part-00000.parquet", "wb") as fh:
+        fh.write(b"\x00torn")
+    assert _committed_versions(state) == [0]
+
+    # serving skips the torn version
+    got = sorted((r.doc_id, r.n_chars, r.race_key)
+                 for r in read_reservoir(spark, state).collect())
+    assert got == committed
+
+    # the replay of batch 1 reads committed v=0 (not its own torn
+    # output), rewrites v=1 whole, and serving advances to the full
+    # one-shot top-k
+    body(docs.where(F.col("doc_id") % 2 == 1), 1)
+    want = sorted(
+        map(tuple,
+            docs.withColumn("race_key", _race_key_col())
+            .orderBy(F.desc("race_key"), F.asc("doc_id"))
+            .limit(RESERVOIR_K).collect()))
+    got2 = sorted((r.doc_id, r.n_chars, r.race_key)
+                  for r in read_reservoir(spark, state).collect())
+    assert got2 == want
