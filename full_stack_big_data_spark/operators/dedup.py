@@ -290,8 +290,14 @@ INCR_MOD, INCR_REM = 4, 3  # doc_id % 4 == 3 → the "newly arrived" batch
                    f"AND b.doc_id % {INCR_MOD} = {INCR_REM}"),
         head_cols="doc_a AS old_doc, doc_b AS new_doc",
     ),
-    description="incremental dedup: 75% corpus index vs 25% new batch, bipartite LSH bucket join",
-    tags=("dedup", "lsh", "incremental"),
+    description="incremental dedup: 75% corpus index vs 25% new batch, "
+                "bipartite LSH bucket join against the STORED band "
+                "index, two-tier point-fetched verify",
+    # "storage" since r13: the entry reads the hive-partitioned band
+    # index + payload artifacts (the streaming gate's at-rest state),
+    # which a zero-row corpus writes as schema-less empty dirs — the
+    # empty-corpus gauntlet's documented exclusion class.
+    tags=("dedup", "lsh", "incremental", "storage"),
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup a NEWLY ARRIVED batch against the existing corpus — the
@@ -299,36 +305,79 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole corpus). The fixture carves the batch out of the documents
     table by ``doc_id % 4 == 3``.
 
-    Same signature family and band layout as ``dedup_minhash_lsh``
-    (shared :func:`_band_rows`), so the corpus side IS a reusable index:
-    at scale its (band, bucket) rows are computed once per dump and
-    persisted, and each new batch joins its own (tiny) band rows against
-    the index — candidate generation cost ∝ new-batch size, never
-    corpus², and verification joins touch only candidate pairs.
+    Since r13 (r12 verdict item 7) the entry runs against the SAME
+    at-scale artifacts the streaming gate reads, so batch and stream
+    share one verify I/O discipline: candidates come from the STORED
+    band index (:func:`minhash_index_dir` — the corpus is bucketed
+    once per dump, never re-shingled here), the verify is two-tier —
+    tier 1 screens candidate pairs on point-fetched int32 shingle
+    hashes (:func:`minhash_hash_payload_dir`; hash-jaccard at the same
+    threshold is provably drop-free, :func:`hashed_shingle_cols`), and
+    only screen survivors (≈ true near-dups) point-fetch tier-2 raw
+    text (:func:`doc_text_payload_dir`) to re-shingle with the index
+    build's own kernel and decide on exact jaccard. Candidate
+    generation cost ∝ new-batch size, never corpus²; verify I/O ∝
+    candidate pk directories, never a corpus pass. The r11-era
+    pre-exploded shingle-string payload (``minhash_payload_dir``) is
+    no longer on any registered path — it survives for plan-pin tests
+    and the probe baseline only.
     """
-    sh = _shingle_sets(spark, sf_dir).persist()
-    is_new = F.col("doc_id") % INCR_MOD == INCR_REM
-    bands_old = _band_rows(sh.where(~is_new))
-    bands_new = _band_rows(sh.where(is_new))
+    from ..engine.pointfetch import fetch_payload
+
+    index_path = minhash_index_dir(spark, sf_dir)
+    hpay = minhash_hash_payload_dir(spark, sf_dir)
+    tpay = doc_text_payload_dir(spark, sf_dir)
+
+    sh_new = (_shingle_sets(spark, sf_dir)
+              .where(F.col("doc_id") % INCR_MOD == INCR_REM).persist())
+    bands_new = _band_rows(sh_new)
+    idx = spark.read.parquet(index_path)
     cand = (
-        bands_old.alias("a").join(
+        idx.alias("a").join(
             bands_new.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(F.col("a.doc_id").alias("old_doc"),
+                F.col("b.doc_id").alias("new_doc"))
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
-    i = F.size(F.array_intersect("sa", "sb"))
-    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    # tier 1: hash screen over point-fetched corpus shingle hashes
+    hp = (fetch_payload(spark, hpay, "doc_id",
+                        cand.select(F.col("old_doc").alias("doc_id")))
+          .select(F.col("doc_id").alias("old_doc"),
+                  F.col("hs").alias("ho"), F.col("n").alias("no"),
+                  F.col("collide").alias("coll_o")))
+    nh = (hashed_shingle_cols(sh_new)
+          .select(F.col("doc_id").alias("new_doc"),
+                  F.col("hs").alias("hn"), F.col("n").alias("nn"),
+                  F.col("collide").alias("coll_n")))
+    ih = F.size(F.array_intersect("ho", "hn"))
+    keep = (F.col("coll_o") | F.col("coll_n")
+            | (F.col("ih") / (F.col("no") + F.col("nn") - F.col("ih"))
+               >= JACCARD_THRESHOLD))
+    screened = (cand.join(hp, "old_doc").join(nh, "new_doc")
+                .select("old_doc", "new_doc", ih.alias("ih"),
+                        "no", "nn", "coll_o", "coll_n")
+                .where(keep)
+                .select("old_doc", "new_doc")
+                .persist())   # feeds the tier-2 id fetch AND the exact join
+    # tier 2: exact jaccard over re-shingled point-fetched raw text
+    so = (fetch_payload(spark, tpay, "doc_id",
+                        screened.select(F.col("old_doc").alias("doc_id")))
+          .select("doc_id", tokens("text").alias("toks"))
+          .select(F.col("doc_id").alias("old_doc"),
+                  F.array_distinct(token_ngrams(F.col("toks"), SHINGLE_N))
+                  .alias("so")))
+    sn = sh_new.select(F.col("doc_id").alias("new_doc"),
+                       F.col("s").alias("sn"))
+    i = F.size(F.array_intersect("so", "sn"))
+    jac = F.col("i") / (F.col("no") + F.col("nn") - F.col("i"))
     return (
-        cand.join(sa, "doc_a").join(sb, "doc_b")
-        .select("doc_a", "doc_b", i.alias("i"),
-                F.size("sa").alias("na"), F.size("sb").alias("nb"))
+        screened.join(so, "old_doc").join(sn, "new_doc")
+        .select("old_doc", "new_doc", i.alias("i"),
+                F.size("so").alias("no"), F.size("sn").alias("nn"))
         .where(jac >= JACCARD_THRESHOLD)
-        .select(F.col("doc_a").alias("old_doc"), F.col("doc_b").alias("new_doc"),
-                F.round(jac, 6).alias("jaccard"))
+        .select("old_doc", "new_doc", F.round(jac, 6).alias("jaccard"))
     )
 
 

@@ -1580,7 +1580,16 @@ def embedding_semdedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SEMDEDUP_PROBES = 2   # multiprobe: each vector joins its 2 nearest cells
+# Multiprobe operating point, CHOSEN from the measured recall/cost
+# curve (r12 verdict item 5; scripts/semdedup_recall_curve.py, table in
+# BENCHNOTES r13): pair recall at sf0.1 climbs 0.049 → 0.138 → 0.271 →
+# 0.372 for r = 1..4 with NO flattening (at this fixture's wide
+# cos ≥ 0.40 ball the within-cell formulation cannot saturate), so the
+# knee is in MARGINAL efficiency: pairs recovered per 1k extra
+# candidates hold ~3.5 → 3.1 through r = 3 then halve to 1.7 at r = 4
+# (sf1.0 ranks the same way: 3.9 → 2.8 → 2.2). r = 3 is the last step
+# that buys recall at near-constant candidate cost.
+SEMDEDUP_PROBES = 3   # each vector joins its 3 nearest cells
 
 
 def _semdedup_mp_pairs_oracle() -> str:
@@ -1651,10 +1660,11 @@ def embedding_semdedup_multiprobe(spark: SparkSession,
     vector to its ``SEMDEDUP_PROBES`` nearest codebook cells and admit
     a pair when ANY probed cell is shared. Measured against the exact
     all-pairs set (tests/test_similarity.py pins the containment chain
-    r=1 ⊂ r=2 ⊆ exact and the strict recovery): pair recall 0.049 →
-    0.138 at sf0.1 (45 → 127 of 920 exact pairs), 0.030 → 0.106 at
-    sf0.001 — multiprobe recovers ~3× the pairs at ≤ probes² the
-    candidates. Absolute recall is low BY THE FIXTURE'S BALL: at
+    r=1 ⊂ r=2 ⊂ r=3 ⊆ exact and the strict recovery): pair recall
+    0.049 → 0.138 → 0.271 at sf0.1 for r = 1/2/3 (45 → 127 → 249 of
+    920 exact pairs) — r = 3 is the measured marginal-efficiency knee
+    (see the ``SEMDEDUP_PROBES`` curve note; full table in BENCHNOTES
+    r13). Absolute recall is low BY THE FIXTURE'S BALL: at
     cosine ≥ 0.40 "near-dups" span the sphere far wider than one
     256-cell Voronoi cell; a production SemDeDup ball (≥ 0.9) puts a
     pair's members nearly colinear, where a shared top-probe cell is
@@ -1664,7 +1674,8 @@ def embedding_semdedup_multiprobe(spark: SparkSession,
 
     Scale: candidates stay occupancy-bounded — each vector joins
     ``probes`` cells, so raw collisions ≤ probes² × the r=1 volume in
-    the worst case (measured ~4× on the fixture; ceiling in
+    the worst case (measured ~8.9× at r=3 on sf0.1 vs the 9× ceiling
+    arithmetic — the bound is tight; ceiling in
     scale_probe_sf1.CAND_CEIL rides the ``semdedup_mp2_cells256``
     sensor); assignment is the same single Arrow matmul (top-2 instead
     of top-1 of an already-computed argsort), everything downstream is

@@ -178,11 +178,14 @@ def main() -> int:
     # --- embedding gate ----------------------------------------------
     from full_stack_big_data_spark.operators.similarity import (
         ANN_INCR_MOD, ANN_INCR_REM, srp_buckets, srp_index_dir,
-        srp_payload_dir)
+        srp_payload_dir, srp_quant_payload_dir)
+    from full_stack_big_data_spark.streaming.joins import \
+        _cosine_verify_hits
 
     eidx = (spark.read.parquet(srp_index_dir(spark, sf))
             .withColumnRenamed("vec_id", "old_id"))
     epay = srp_payload_dir(spark, sf)
+    eqpay = srp_quant_payload_dir(spark, sf)
     ebatch = (Catalog(spark, sf).embeddings
               .where(F.col("vec_id") % ANN_INCR_MOD == ANN_INCR_REM)
               .select("vec_id", "embedding"))
@@ -197,10 +200,44 @@ def main() -> int:
     assert egot == len(eids), (egot, len(eids))
     efb, efrg, epb, eprg = _touched_bytes(epay, "vec_id", eids)
     ecb = _corpus_bytes(os.path.join(sf, "embeddings.parquet"))
-    print(f"| stream_embedding_admit (fixture 16×4 — sensor contrast) "
-          f"| {en_cand} | {len(eids)} | {epb} "
+    print(f"| stream_embedding_admit (fixture 16×4 — sensor contrast; "
+          f"one-tier float fetch) | {en_cand} | {len(eids)} | {epb} "
           f"({eprg}) | {efb} ({efrg}) | {ecb} | {efb / epb:.3f} "
           f"| {efb / ecb:.3f} |")
+
+    def _emb_two_tier_rows(label: str, cand_df, cand_ids,
+                           one_tier_bytes: int) -> list[int]:
+        """The r13 two-tier verify I/O: tier 1 fetches packed-int16
+        quantizations for every candidate; only bound-screen survivors
+        (≈ true near-dups) open tier-2 float row groups. Returns the
+        survivor ids so the per-k curve can price the combined tiers."""
+        scope: list = []
+        try:
+            _cosine_verify_hits(spark, cand_df, ebatch, epay,
+                                quant_payload_path=eqpay, scope=scope)
+            surv = fetch_ids(scope[0].select(F.col("old_id")
+                                             .alias("vec_id")), "vec_id")
+        finally:
+            for df in scope:
+                df.unpersist()
+        t1b, t1rg, qpb, qprg = _touched_bytes(eqpay, "vec_id", cand_ids)
+        t2b, t2rg, fpb, fprg = _touched_bytes(epay, "vec_id", surv)
+        print(f"| {label} tier-1 (packed int16 screen) | {len(cand_ids)} "
+              f"ids | {len(cand_ids)} | {qpb} ({qprg}) | {t1b} ({t1rg}) "
+              f"| {ecb} | {t1b / qpb:.3f} | {t1b / ecb:.3f} |")
+        print(f"| {label} tier-2 (float, screen survivors) "
+              f"| {len(cand_ids)} ids | {len(surv)} | {fpb} ({fprg}) "
+              f"| {t2b} ({t2rg}) | {ecb} | {t2b / fpb:.3f} "
+              f"| {t2b / ecb:.3f} |")
+        print(f"| {label} two-tier total (vs one-tier float fetch "
+              f"{one_tier_bytes}) | {len(cand_ids)} ids | {len(surv)} "
+              f"| {qpb + fpb} | {t1b + t2b} | {ecb} "
+              f"| {(t1b + t2b) / max(one_tier_bytes, 1):.3f} of one-tier "
+              f"| {(t1b + t2b) / ecb:.3f} |")
+        return surv
+
+    _emb_two_tier_rows("stream_embedding_admit (fixture)", ecand, eids,
+                       efb)
 
     # The DEPLOYMENT row (r12): the scaled gate's candidate set at the
     # N/64 geometry is ~3 orders smaller, so its verify fetch rides the
@@ -223,9 +260,11 @@ def main() -> int:
     assert sgot == len(sids), (sgot, len(sids))
     sfb, sfrg, _, _ = _touched_bytes(epay, "vec_id", sids)
     print(f"| stream_embedding_admit_scaled (16×{SRP_BITS_WIDE}, "
-          f"deployment) | {sn_cand} | {len(sids)} | {epb} ({eprg}) "
-          f"| {sfb} ({sfrg}) | {ecb} | {sfb / epb:.3f} "
+          f"deployment; one-tier float fetch) | {sn_cand} | {len(sids)} "
+          f"| {epb} ({eprg}) | {sfb} ({sfrg}) | {ecb} | {sfb / epb:.3f} "
           f"| {sfb / ecb:.3f} |")
+    s_surv = _emb_two_tier_rows("stream_embedding_admit_scaled "
+                                "(deployment)", scand, sids, sfb)
 
     # The proportionality curve: fetched bytes for id SUBSETS of the
     # text gate's candidates — a production micro-batch is minutes of
@@ -243,13 +282,32 @@ def main() -> int:
     # Embedding payload curve: the fixture's one-shot batch is 10% of
     # the corpus, so even the scaled gate's distinct-id set saturates
     # the 1800-vector corpus — a production micro-batch is a few
-    # vectors, and THIS curve is its verify I/O (∝ ids, ≈52 KB of
-    # pk-pruned row groups for a 4-id batch vs the 472 KB payload).
+    # vectors, and THIS curve is its verify I/O. Since r13 the
+    # per-candidate fetch rides the packed-int16 QUANT tier (float row
+    # groups open only for bound-screen survivors), so that's the
+    # payload the curve measures.
+    surv_set = set(s_surv)
     for k in (4, 16, 64, 256):
         sub = sids[:: max(1, len(sids) // k)][:k]
-        b, rg, pb2, _ = _touched_bytes(epay, "vec_id", sub)
-        print(f"| stream_embedding_admit_scaled | {len(sub)} | {b} "
-              f"| {rg} | {b / pb2:.3f} |")
+        b, rg, pb2, _ = _touched_bytes(eqpay, "vec_id", sub)
+        print(f"| stream_embedding_admit_scaled tier-1 | {len(sub)} "
+              f"| {b} | {rg} | {b / pb2:.3f} |")
+    # Combined two-tier per-k (the production per-batch number): tier-1
+    # quant bytes for the k candidates + tier-2 FLOAT bytes for the
+    # bound-screen survivors among them, vs the one-tier float fetch
+    # for the same k — the ~0.5× claim priced at real batch sizes
+    # instead of the corpus-saturating fixture one-shot.
+    print("\n| k (ids) | tier-1 bytes | survivors | tier-2 bytes "
+          "| two-tier total | one-tier float | two/one |")
+    print("|---|---|---|---|---|---|---|")
+    for k in (4, 16, 64, 256):
+        sub = sids[:: max(1, len(sids) // k)][:k]
+        b1, _, _, _ = _touched_bytes(eqpay, "vec_id", sub)
+        sub_surv = sorted(i for i in sub if i in surv_set)
+        b2, _, _, _ = _touched_bytes(epay, "vec_id", sub_surv)
+        bf, _, _, _ = _touched_bytes(epay, "vec_id", sub)
+        print(f"| {len(sub)} | {b1} | {len(sub_surv)} | {b2} "
+              f"| {b1 + b2} | {bf} | {(b1 + b2) / max(bf, 1):.3f} |")
     spark.stop()
     return 0
 

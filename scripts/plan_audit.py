@@ -209,6 +209,13 @@ STREAM_STATE_BOUNDS = {
     "stream_reservoir_weighted": "no store state: the same versioned "
                                  "k-row semilattice fold with the "
                                  "exponential-race key — O(k) state",
+    "text_index_vacuum": "zero store state in BOTH drains (ingest + "
+                         "post-vacuum serve are the stateless per-doc "
+                         "text gate); the lifecycle's only state is "
+                         "ON DISK — private base/epoch/payload "
+                         "generations folded to gen2 and then "
+                         "RECLAIMED (engine.retention, completeness-"
+                         "gated), checkpoint preserved",
 }
 
 

@@ -244,8 +244,10 @@ CAND_CEIL = {
     "embedding_semdedup_apply": ("embeddings", 256.0, False),
     # r11 (r10 verdict items 2+4): the gate sensors get ceilings AND
     # probe rows (a ceiling without a PROBES row never runs).
-    # Multiprobe: raw collisions ≤ probes² × the r=1 volume → 4 × 256.
-    "embedding_semdedup_multiprobe": ("embeddings", 1024.0, False),
+    # Multiprobe: raw collisions ≤ probes² × the r=1 volume → 9 × 256
+    # at the r13 measured operating point SEMDEDUP_PROBES = 3 (the
+    # recall-curve knee, scripts/semdedup_recall_curve.py).
+    "embedding_semdedup_multiprobe": ("embeddings", 2304.0, False),
     # text gate + composed curation: the bipartite minhash adjudication
     # (unbounded md5 buckets, occupancy tracks true duplicates) — the
     # dedup_incremental ceiling.

@@ -126,6 +126,12 @@ UNBOUNDED_BUCKET_SPACE = {
                                  # (same persisted index, same md5
                                  # buckets) behind the quality/decontam
                                  # stages — no new geometry
+    "text_index_vacuum",         # the retention lifecycle: both its
+                                 # drains are the text gate's banding
+                                 # over the same unbounded md5 buckets
+                                 # (private generations, same geometry)
+                                 # — no new knob, occupancy tracks true
+                                 # duplicates as for the whole family
 }
 
 

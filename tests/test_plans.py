@@ -579,3 +579,23 @@ def test_fetch_payload_falls_back_past_the_id_gate(spark):
         spark, path, "k", [i * 5 for i in range(100)])
     assert (sorted(map(tuple, via_join.collect()))
             == sorted(map(tuple, via_literal.collect())))
+
+
+def test_dedup_incremental_two_tier_artifacts(spark):
+    """r12 verdict item 7: the batch incremental-dedup entry shares
+    the streaming gate's verify I/O discipline — candidates from the
+    STORED band index, tier-1 int32-hash screen + tier-2 raw-text
+    point fetches (both pk-pruned), and the retired one-tier
+    pre-exploded shingle-string payload nowhere in the plan."""
+    from full_stack_big_data_spark.operators.registry import load_all
+
+    reg = load_all()
+    df = reg["dedup_incremental"].builder(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "fsbd_minhash_index_" in plan, plan[:2000]      # stored index
+    assert "fsbd_minhash_hash_payload_" in plan, plan[:2000]   # tier 1
+    assert "fsbd_doc_text_payload_" in plan, plan[:2000]       # tier 2
+    assert "fsbd_minhash_payload_" not in plan, \
+        "one-tier shingle-string payload back on a registered path"
+    # both payload fetches ride the pk-partitioned point-fetch layout
+    assert plan.count("PartitionFilters") >= 2, plan[:2000]

@@ -365,18 +365,27 @@ def test_semdedup_multiprobe_strictly_recovers_boundary_pairs(spark):
     from full_stack_big_data_spark.operators.similarity import (
         SEMDEDUP_COS, embedding_neardup, semdedup_pairs_multiprobe)
 
+    from full_stack_big_data_spark.operators.similarity import \
+        SEMDEDUP_PROBES
+
     e = Catalog(spark, SF_SMOKE).embeddings
     r1 = {(r.vec_a, r.vec_b)
           for r in semdedup_pairs_multiprobe(e, probes=1).collect()}
     r2 = {(r.vec_a, r.vec_b)
           for r in semdedup_pairs_multiprobe(e, probes=2).collect()}
+    r3 = {(r.vec_a, r.vec_b)
+          for r in semdedup_pairs_multiprobe(e, probes=3).collect()}
     exact = {(r.vec_a, r.vec_b)
              for r in embedding_neardup(spark, SF_SMOKE).collect()
              if r.cosine >= SEMDEDUP_COS}
     assert r1, "r=1 pair set empty at sf0.001 — vacuous"
-    assert r1 <= r2, "multiprobe dropped a within-cell pair"
-    assert r2 <= exact, "a multiprobe pair failed the exact verify"
+    assert r1 <= r2 <= r3, "multiprobe dropped a within-cell pair"
+    assert r3 <= exact, "a multiprobe pair failed the exact verify"
     assert len(r2) > len(r1), "multiprobe recovered nothing — vacuous"
+    assert len(r3) > len(r2), "r=3 recovered nothing over r=2 — vacuous"
+    # the REGISTERED operating point is the measured recall-curve knee
+    # (scripts/semdedup_recall_curve.py; BENCHNOTES r13)
+    assert SEMDEDUP_PROBES == 3
 
 
 def test_quantized_screen_no_false_drops(spark, tmp_path):
