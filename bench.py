@@ -71,6 +71,27 @@ HEADLINE = [
     "multimodal_phash_clusters",
 ]
 
+# r13 (r12 verdict item 4): streaming representatives — the per-batch
+# operators a 100 TB ingest actually runs (text gate, self-growing
+# embedding index at deployment geometry, bounded-state reservoir) now
+# have round-over-round wall-time tracking, not just probe rows. Each
+# rep runs FRESH sink/checkpoint dirs (reset_gate_dirs) so the timing
+# is a real drain, never a memoized availableNow no-op; the shared
+# corpus-side index/payload artifacts stay memoized (paid once, like
+# production). Recorded in the same queries map; the labeled
+# like-for-like subtotal (subtotal_prev_round) keeps totals comparable.
+STREAMING_HEADLINE = [
+    "stream_text_admit",
+    "stream_embedding_ingest_scaled",
+    "stream_reservoir_sample",
+]
+
+# Fixed sub-second canary timed once per pass: band_spread = max/min of
+# its per-pass times, so the artifact self-reports ambient host noise
+# (r12 verdict item 6 — every round since r10 needed manual band
+# re-attribution of the headline number).
+CANARY = "q2_filter_project"
+
 
 def _prev_round_queries() -> tuple[list[str], int | None]:
     """(query keys, round) of the newest committed BENCH_r{N}.json that
@@ -149,19 +170,41 @@ def main() -> None:
     # the standard estimator for "what the plan costs"; N via env.
     # reps default 2→3 after r4: the driver's single sweep landed mid-
     # contention and read 2-3× on two untouched plans; a third rep gives
-    # the min one more chance to land in a quiet scheduler window at the
-    # cost of ~30 s wall (r5 paired-idle evidence in BENCHNOTES.md).
+    # the min one more chance to land in a quiet scheduler window.
+    #
+    # INTERLEAVED schedule since r13 (r12 verdict item 6): reps of one
+    # query back-to-back all land in the same thermal/contention window,
+    # so a cooling host inflated whole artifacts (r12 read 1.31× hot vs
+    # 0.99× idle over identical plans). Running the FULL list per pass
+    # and taking per-query minima across passes decorrelates the band
+    # from any one query — each query gets three shots spread minutes
+    # apart instead of three within the same second.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    times: dict[str, float] = {}
+    all_queries = HEADLINE + STREAMING_HEADLINE
+    times: dict[str, float] = {n: float("inf") for n in all_queries}
     components: dict[str, dict[str, float]] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        comp_best: dict[str, float] = {}
-        for _ in range(reps):
-            # Each rep re-persists any operator-level caches; release
-            # between reps so rep N's timing is the cold plan cost, not
-            # a read of rep N-1's cache, and the sweep doesn't accumulate.
+    canary_times: list[float] = []
+
+    def run_noop(name: str) -> float:
+        t0 = time.perf_counter()
+        reg[name].builder(spark, SF_DIR) \
+            .write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    for _pass in range(reps):
+        canary_times.append(run_noop(CANARY))
+        for name in all_queries:
+            # Each pass re-persists any operator-level caches; release
+            # between queries so a timing is the cold plan cost, not a
+            # read of the previous pass's cache.
             release_scoped_cache(spark)
+            if name in STREAMING_HEADLINE:
+                # fresh sink/checkpoint dirs per rep — a re-drain, not
+                # a memoized availableNow no-op (shared index/payload
+                # artifacts stay, the production steady state)
+                from full_stack_big_data_spark.streaming.joins import \
+                    reset_gate_dirs
+                reset_gate_dirs()
             if name == "ann_ivf_index_persist":
                 # Timed in its two lifecycle halves (r8 verdict item 3):
                 # the write-dominated index build would otherwise mask a
@@ -178,20 +221,16 @@ def main() -> None:
                 ivf_index_serve(spark, SF_DIR, path) \
                     .write.format("noop").mode("overwrite").save()
                 serve_s = time.perf_counter() - t0
-                if build_s + serve_s < best:
-                    best = build_s + serve_s
-                    comp_best = {"build_s": round(build_s, 3),
-                                 "serve_s": round(serve_s, 3)}
+                if build_s + serve_s < times[name]:
+                    times[name] = build_s + serve_s
+                    components[name] = {"build_s": round(build_s, 3),
+                                        "serve_s": round(serve_s, 3)}
                 continue
-            t0 = time.perf_counter()
-            df = reg[name].builder(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
-        if comp_best:
-            components[name] = comp_best
+            times[name] = min(times[name], run_noop(name))
+    times = {n: round(t, 3) for n, t in times.items()}
 
     total = round(sum(times.values()), 3)
+    batch_total = round(sum(times[n] for n in HEADLINE), 3)
     prev_all, prev_src = _prev_round_queries()
     prev_set = [n for n in prev_all if n in times]
     # Queries the previous round benched but this run didn't are
@@ -207,6 +246,17 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "components": components,
+        # batch-only subtotal + the streaming additions listed, so the
+        # grown r13 headline stays attributable at a glance
+        "batch_subtotal": batch_total,
+        "streaming_queries": STREAMING_HEADLINE,
+        # ambient-noise self-report: max/min of the fixed sub-second
+        # canary across interleaved passes (1.0 = quiet host; the
+        # known band reaches ~3). Per-pass raw times included.
+        "band_spread": round(max(canary_times) / max(min(canary_times),
+                                                     1e-9), 3),
+        "canary_secs": [round(t, 3) for t in canary_times],
+        "bench_schedule": "interleaved",
         "subtotal_prev_round": round(sum(times[n] for n in prev_set), 3)
         if prev_set else None,
         # Per-query table of the previous round's set under THIS run's

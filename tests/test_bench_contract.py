@@ -19,8 +19,10 @@ def test_headline_queries_exist():
     import importlib
     bench = importlib.import_module("bench")
     reg = load_all()
-    missing = [n for n in bench.HEADLINE if n not in reg]
+    missing = [n for n in bench.HEADLINE + bench.STREAMING_HEADLINE
+               if n not in reg]
     assert not missing, missing
+    assert bench.CANARY in reg
 
 
 def test_bench_emits_one_json_line():
@@ -34,9 +36,19 @@ def test_bench_emits_one_json_line():
     lines = [ln for ln in out.stdout.splitlines() if ln.strip()]
     assert len(lines) == 1, f"expected exactly one stdout line, got {lines}"
     rec = json.loads(lines[0])
+    bench = __import__("bench")
     assert rec["unit"] == "sec" and rec["value"] > 0
-    assert set(rec["queries"]) == set(__import__("bench").HEADLINE)
+    assert set(rec["queries"]) == set(bench.HEADLINE
+                                      + bench.STREAMING_HEADLINE)
     assert all(v >= 0 for v in rec["queries"].values())
+    # r12 verdict items 4+6: streaming additions labeled, batch-only
+    # subtotal present, and the interleaved schedule's noise self-report
+    assert rec["streaming_queries"] == bench.STREAMING_HEADLINE
+    assert abs(rec["batch_subtotal"]
+               - sum(rec["queries"][n] for n in bench.HEADLINE)) < 1e-6
+    assert rec["bench_schedule"] == "interleaved"
+    assert rec["band_spread"] >= 1.0
+    assert len(rec["canary_secs"]) == 1  # REPS=1 in this test's env
     # Self-comparability fields (r8 verdict item 3): the like-for-like
     # subtotal over the previous round's headline set, and the
     # build/serve split of the write-dominated index-persist entry.
