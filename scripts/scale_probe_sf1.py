@@ -141,8 +141,9 @@ PROBES = [
     # shape re-drains zero batches on rep 2, hiding both wall time and
     # the candidate sensors), plus the new multiprobe SemDeDup point.
     ("embedding_semdedup_multiprobe", "output",
-     "r=2 probed cells: raw collisions ≤ probes² × the r=1 within-cell "
-     "volume; verify ∝ candidates, component loop ∝ true pairs"),
+     "r=3 probed cells (the r13 measured recall-curve knee): raw "
+     "collisions ≤ probes² × the r=1 within-cell volume; verify ∝ "
+     "candidates, component loop ∝ true pairs"),
     ("stream_text_admit", "output",
      "fresh-dirs drain: bipartite minhash bucket join vs the stored "
      "band index (unbounded md5 buckets), jaccard verify point-fetch "
@@ -182,6 +183,14 @@ PROBES = [
      "snapshot merge; state O(k), scan is the only corpus-sized term"),
     ("stream_reservoir_weighted", "linear",
      "same fold, exponential-race key (A-Res, weight = n_chars)"),
+    # r13: the registered vacuum lifecycle — base build + ingest drain
+    # + fold + reclaim + post-vacuum serve drain, all linear passes;
+    # vacuum itself is driver-side directory ops on superseded paths.
+    ("text_index_vacuum", "linear",
+     "full retention lifecycle per rep (private dirs re-created by the "
+     "enrolled caches): base index/payload build (linear) + ingest "
+     "drain + one fold exchange + payload rebuild + driver-side "
+     "reclaim + post-vacuum admit drain (unbounded md5 buckets)"),
 ]
 
 # Candidate-volume ceilings for the banded families (r7 verdict item 4):
@@ -350,6 +359,10 @@ BUILDER_OVERRIDES = {
     "embedding_index_compact": _fresh_gate("embedding_index_compact"),
     "stream_reservoir_sample": _fresh_gate("stream_reservoir_sample"),
     "stream_reservoir_weighted": _fresh_gate("stream_reservoir_weighted"),
+    # r13: the vacuum lifecycle memoizes its gen2 + serve dirs — probe
+    # fresh-dirs so every rep re-runs build + drain + fold + reclaim +
+    # serve, not a memoized gen2 read.
+    "text_index_vacuum": _fresh_gate("text_index_vacuum"),
 }
 
 

@@ -223,3 +223,76 @@ def test_phash_candidate_sensor_contrast(spark):
     finally:
         obs.disable()
     assert counts["phash_bits60_band12"] < counts["phash_bits60_band6"], counts
+
+
+def test_png_codec_cross_codec_parity_and_filters():
+    """The r13 PNG codec's three load-bearing claims: (1) CROSS-CODEC
+    parity — decode_png(encode_png(t)) equals decode_bmp(encode_bmp(t))
+    for the same source bytes (two disjoint container formats and two
+    disjoint decoders inverting to the same pixels), (2) the corpus's
+    deterministic filter mix really exercises ALL FIVE scanline filter
+    types (a decoder that only handled None/Up would still round-trip a
+    lazy encoder), (3) integrity is enforced — a flipped byte fails the
+    CRC walk, an unsupported variant raises rather than guesses."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+    from full_stack_big_data_spark.operators.multimodal import (
+        _bmp_geometry, _PNG_SIG, decode_bmp, decode_png, encode_bmp,
+        encode_png)
+
+    seen_filters: set[int] = set()
+    for n in (0, 1, 7, 29, 64, 131, 256, 313):
+        text = bytes((i * 37 + n) % 256 for i in range(n))
+        png = encode_png(text)
+        assert png[:8] == _PNG_SIG
+        assert decode_png(png) == decode_bmp(encode_bmp(text))
+        # collect the filter bytes actually stored
+        pos, idat = 8, b""
+        while pos + 8 <= len(png):
+            (length,) = struct.unpack_from(">I", png, pos)
+            if png[pos + 4:pos + 8] == b"IDAT":
+                idat += png[pos + 8:pos + 8 + length]
+            pos += 12 + length
+        w, h = _bmp_geometry(n)
+        stride = w * 3
+        flat = zlib.decompress(idat)
+        seen_filters |= {flat[r * (1 + stride)] for r in range(h)}
+    assert seen_filters == {0, 1, 2, 3, 4}, seen_filters
+
+    # integrity: one flipped byte anywhere in a chunk fails its CRC
+    buf = bytearray(encode_png(b"integrity matters"))
+    buf[30] ^= 0x40
+    with _pytest.raises(ValueError):
+        decode_png(bytes(buf))
+    # unsupported variant (16-bit depth) raises, never guesses
+    good = encode_png(b"depth check")
+    hdr = bytearray(good[8:8 + 25])            # IHDR chunk incl len/type/crc
+    hdr[4 + 4 + 8] = 16                        # bit depth field
+    crc = zlib.crc32(bytes(hdr[4:4 + 4 + 13])) & 0xFFFFFFFF
+    struct.pack_into(">I", hdr, 21, crc)       # re-CRC so depth gate trips
+    with _pytest.raises(ValueError):
+        decode_png(bytes(good[:8] + bytes(hdr) + good[33:]))
+
+
+def test_decode_payload_sniffs_png_signature():
+    """The r13 sniff route: the 8-byte PNG signature goes to the REAL
+    inflate+unfilter decode (true geometry, mode RGB24, distinct from
+    BMP's BGR24); a corrupt PNG falls through to the fake exactly like
+    a spoofed BMP magic."""
+    from full_stack_big_data_spark.operators.multimodal import (
+        _bmp_geometry, _decode_payload_fake, _PNG_SIG, decode_payload,
+        encode_png)
+
+    data = b"a png is just zlib wearing a chunked coat"
+    png = encode_png(data)
+    w, h = _bmp_geometry(len(data))
+    assert decode_payload(png) == (w, h, "RGB24")
+
+    corrupt = bytearray(png)
+    corrupt[20] ^= 0xFF                        # breaks the IHDR CRC
+    assert decode_payload(bytes(corrupt)) \
+        == _decode_payload_fake(bytes(corrupt))
+    truncated = _PNG_SIG + b"\x00\x01"
+    assert decode_payload(truncated) == _decode_payload_fake(truncated)
