@@ -2287,6 +2287,177 @@ def ann_pq_adc_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _adc_search(spark, sf_dir, cb, pq_codes(spark, sf_dir, cb))
 
 
+def _ivfpq_oracle(cells: int = IVF_CELLS_WIDE,
+                  probes: int = IVF_PROBES_WIDE) -> str:
+    """DuckDB twin of the composed IVF-PQ (IVFADC) pipeline: sign-
+    codebook coarse assignment + probe sets (the ``ann_ivf_scaled``
+    chain), PQ code assignment + per-query integer LUT (the
+    ``ann_pq_adc`` chain, CTEs renamed to coexist), candidates
+    restricted to probed cells, ADC sum, top-k."""
+    iw = _ivf_sign_centroids(cells)
+    irows = ",\n".join(
+        f"  ({j}, [{', '.join(str(int(x)) for x in iw[j])}]::DOUBLE[])"
+        for j in range(cells))
+    cb = _pq_codebooks()
+    n2 = (cb * cb).sum(axis=2)
+    prows = ",\n".join(
+        f"  ({s}, {j}, [{', '.join(str(int(x)) for x in cb[s, j])}]::DOUBLE[], "
+        f"{int(n2[s, j])}::BIGINT)"
+        for s in range(PQ_SUBSPACES) for j in range(PQ_CELLS))
+    return f"""
+WITH icents(cell, w) AS (VALUES
+{irows}
+), eq AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> FLOOR(x * 100)) AS v
+  FROM embeddings
+), idots AS (
+  SELECT e.vec_id, c.cell, CAST(list_dot_product(e.v, c.w) AS BIGINT) AS d
+  FROM eq e CROSS JOIN icents c
+), ranked_cells AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS r
+  FROM idots
+), corpus AS (
+  SELECT vec_id, cell FROM ranked_cells WHERE r = 1
+), qcells AS (
+  SELECT vec_id AS query_id, cell FROM ranked_cells
+  WHERE vec_id < {N_QUERIES} AND r <= {probes}
+), pcents(sub, pcell, w, n2) AS (VALUES
+{prows}
+), pcosts AS (
+  SELECT e.vec_id, c.sub, c.pcell,
+         c.n2 - 2 * CAST(list_dot_product(
+           list_slice(e.v, c.sub * {PQ_SUBDIM} + 1,
+                      c.sub * {PQ_SUBDIM} + {PQ_SUBDIM}), c.w) AS BIGINT) AS cost
+  FROM eq e CROSS JOIN pcents c
+), pbest AS (
+  SELECT vec_id, sub, pcell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                            ORDER BY cost, pcell) AS r
+  FROM pcosts
+), lut AS (
+  SELECT e.vec_id AS query_id, c.sub, c.pcell,
+         c.n2
+         - 2 * CAST(list_dot_product(
+             list_slice(e.v, c.sub * {PQ_SUBDIM} + 1,
+                        c.sub * {PQ_SUBDIM} + {PQ_SUBDIM}), c.w) AS BIGINT)
+         + CAST(list_dot_product(
+             list_slice(e.v, c.sub * {PQ_SUBDIM} + 1,
+                        c.sub * {PQ_SUBDIM} + {PQ_SUBDIM}),
+             list_slice(e.v, c.sub * {PQ_SUBDIM} + 1,
+                        c.sub * {PQ_SUBDIM} + {PQ_SUBDIM})) AS BIGINT) AS cost
+  FROM eq e CROSS JOIN pcents c
+  WHERE e.vec_id < {N_QUERIES}
+), cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id
+  FROM qcells q JOIN corpus c USING (cell)
+  WHERE c.vec_id <> q.query_id
+), adc AS (
+  SELECT ca.query_id, ca.vec_id, CAST(SUM(l.cost) AS BIGINT) AS adc_x
+  FROM cand ca
+  JOIN pbest b ON b.vec_id = ca.vec_id AND b.r = 1
+  JOIN lut l ON l.query_id = ca.query_id
+            AND l.sub = b.sub AND l.pcell = b.pcell
+  GROUP BY ca.query_id, ca.vec_id
+), ranked AS (
+  SELECT query_id, vec_id, adc_x,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_x, vec_id) AS rank
+  FROM adc
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id, adc_x
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "ann_ivfpq_adc",
+    oracle=_ivfpq_oracle(),
+    description=f"composed IVF-PQ (IVFADC): {IVF_CELLS_WIDE}-cell coarse "
+                f"quantizer prunes the scan to {IVF_PROBES_WIDE} probed "
+                f"cells per query, {PQ_SUBSPACES}x{PQ_CELLS}-cell PQ codes "
+                f"+ integer ADC LUT score only the candidates — the "
+                "billion-vector serving index (I/O pruned by IVF, "
+                "residency compressed by PQ) as one oracle-hashed entry",
+    tags=("similarity", "ann", "ivf", "pq"),
+)
+def ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed index every billion-vector deployment actually
+    ships (FAISS's IVFADC): ``ann_ivf_scaled``'s coarse quantizer
+    bounds WHAT IS READ (a query touches probes/cells of the corpus —
+    here 24/256 ≈ 9%), and ``ann_pq_adc``'s asymmetric-distance codes
+    bound WHAT IS RESIDENT (4 bytes/vector vs 256). The two families
+    existed separately since r7; this entry closes the composition:
+    index = one Arrow pass emitting (cell, codes) per vector, query =
+    probe-set build + integer LUT, candidates = a broadcast equi-join
+    on cell (never a corpus scan), ADC = eight LUT lookups per
+    candidate summed in one exchange.
+
+    Exactness discipline: every stage is the families' shared integer
+    arithmetic (floor(x·100) quantization, BIGINT dots, ties by id),
+    so the oracle — which replays coarse assignment, code assignment,
+    LUT build, cell-pruned candidate join, and ranking in SQL —
+    hash-matches exactly; the approximation vs exact cosine is the
+    DESIGN trade (probe recall × codebook quality), both knobs
+    measured on their own entries (``ann_ivf_scaled`` recall,
+    ``emb_pq_train``'s >20%-error-cut Lloyd step).
+    tests/test_similarity.py pins the composition laws: every returned
+    neighbor lies in a probed cell of its query, and each (query,
+    neighbor) ADC distance equals the full-scan ``ann_pq_adc`` LUT
+    distance for the same pair — IVF changes WHICH pairs are scored,
+    never their score.
+
+    Scale: the probe-set frame is queries × probes rows (broadcast);
+    the (cell, codes) index joins it map-side after a scan-level DPP
+    opportunity on a cell-partitioned store (``ann_ivf_index_persist``
+    pins that layout); the only exchange is the per-(query, candidate)
+    ADC partial-sum, ∝ candidates = probes × occupancy per query —
+    corpus-size-free at fixed geometry under the N/64 sizing rule."""
+    e = Catalog(spark, sf_dir).embeddings
+    idx = (ivf_cells_scaled(e)
+           .select("vec_id", F.element_at("cells", 1).alias("cell"),
+                   F.slice(_pq_encode_udf()("embedding"), 1, PQ_SUBSPACES)
+                   .alias("codes")))
+    qp = (ivf_cells_scaled(e.where(F.col("vec_id") < N_QUERIES),
+                           probes=IVF_PROBES_WIDE)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.explode("cells").alias("cell")))
+
+    cb = _pq_codebooks()
+    n2 = (cb * cb).sum(axis=2)
+    cents = spark.createDataFrame(
+        [(s, j, [int(x) for x in cb[s, j]], int(n2[s, j]))
+         for s in range(PQ_SUBSPACES) for j in range(PQ_CELLS)],
+        "sub int, pcell int, w array<bigint>, n2 bigint")
+    q = (e.where(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.transform("embedding",
+                             lambda x: F.floor(x * 100).cast("bigint"))
+                 .alias("qv")))
+    qs = F.slice("qv", F.col("sub") * PQ_SUBDIM + 1, PQ_SUBDIM)
+    dot = F.aggregate(F.zip_with(qs, "w", lambda a, b: a * b),
+                      F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    qn = F.aggregate(F.zip_with(qs, qs, lambda a, b: a * b),
+                     F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    lut = (q.crossJoin(cents)
+           .select("query_id", "sub", "pcell",
+                   (F.col("n2") - 2 * dot + qn).alias("cost")))
+
+    cand = (idx.join(F.broadcast(qp), "cell")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id",
+                    F.posexplode("codes").alias("sub", "pcell")))
+    adc = (cand.join(F.broadcast(lut), ["query_id", "sub", "pcell"])
+           .groupBy("query_id", "vec_id")
+           .agg(F.sum("cost").cast("bigint").alias("adc_x")))
+    return (grouped_topk(adc, ["query_id"],
+                         [F.asc("adc_x"), F.asc("vec_id")],
+                         TOP_K, F.col("vec_id"))
+            .select("query_id", F.col("rank").cast("bigint").alias("rank"),
+                    F.col("vec_id").alias("neighbor_id"), "adc_x"))
+
+
 # Train-once/serve-many artifact store: (sf_dir → scratch path holding
 # codebook/ + codes/ parquet). Process-scoped like the ann_index scratch
 # dirs; keyed by corpus dir so a multi-SF sweep cannot cross-serve.

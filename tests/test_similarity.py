@@ -467,3 +467,39 @@ def test_quantized_screen_no_false_drops(spark, tmp_path):
     # the screen must actually screen (int16 is tight: the non-hit
     # near-threshold pairs and the random-geometry bulk drop early)
     assert survivors < cand.count(), "screen kept everything — vacuous"
+
+
+def test_ivfpq_composition_laws(spark):
+    """The composed IVFADC entry's two invariants (r13): IVF changes
+    WHICH pairs are scored, never their score — (1) every returned
+    neighbor lies in a probed cell of its query; (2) each returned
+    (query, neighbor) ADC distance equals the full-scan ann_pq_adc
+    distance for the same pair. Plus the non-vacuity floor: the pruned
+    index must still recover a nonzero share of the full-scan top-k
+    (recall here is the corpus's documented near-random-embedding
+    ceiling, ~the 24/256 scan fraction — the probes knob, not a bug)."""
+    from pyspark.sql import functions as F
+    from full_stack_big_data_spark.engine.catalog import Catalog
+    from full_stack_big_data_spark.operators.registry import load_all
+    from full_stack_big_data_spark.operators.similarity import (
+        IVF_PROBES_WIDE, N_QUERIES, ivf_cells_scaled)
+
+    reg = load_all()
+    ivfpq = {(r.query_id, r.neighbor_id): r.adc_x
+             for r in reg["ann_ivfpq_adc"].builder(spark, SF_SMOKE).collect()}
+    full = {(r.query_id, r.neighbor_id): r.adc_x
+            for r in reg["ann_pq_adc"].builder(spark, SF_SMOKE).collect()}
+    e = Catalog(spark, SF_SMOKE).embeddings
+    probed = {r.vec_id: set(r.cells)
+              for r in ivf_cells_scaled(
+                  e.where(F.col("vec_id") < N_QUERIES),
+                  probes=IVF_PROBES_WIDE).collect()}
+    cellof = {r.vec_id: r.cells[0] for r in ivf_cells_scaled(e).collect()}
+
+    assert ivfpq, "ivfpq result empty — vacuous"
+    outside = [(q, n) for (q, n) in ivfpq if cellof[n] not in probed[q]]
+    assert not outside, outside[:5]
+    overlap = [k for k in ivfpq if k in full]
+    assert overlap, "no overlap with the full-scan top-k — vacuous"
+    mism = [k for k in overlap if ivfpq[k] != full[k]]
+    assert not mism, mism[:5]
