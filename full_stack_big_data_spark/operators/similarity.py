@@ -1378,9 +1378,14 @@ def quantized_vec_cols(e: DataFrame,
     (the exact-passing case has x·v ≥ θ|x||v| > 0, so dividing by the
     smaller positive denominator only raises the bound). Screening
     with ``x·ũ + |x|r ≥ θ·|x|(|ũ| − r)`` therefore keeps a SUPERSET of
-    the pairs exact cosine ≥ θ keeps, for any θ > 0. Degenerate rows
-    (|ũ| ≤ r, i.e. near-zero vectors) bypass the screen straight to
-    the exact tier — mirroring the text screen's ``collide`` flag."""
+    the pairs exact cosine ≥ θ keeps, for any θ > 0. The θ > 0
+    restriction is load-bearing: with a NEGATIVE exact cosine the same
+    algebra flips (smaller denominator pushes a negative bound further
+    down) — property-swept in tests/test_codec_properties.py, where
+    hypothesis falsifies the unrestricted form and confirms the
+    positive-threshold form. Degenerate rows (|ũ| ≤ r, i.e. near-zero
+    vectors) bypass the screen straight to the exact tier — mirroring
+    the text screen's ``collide`` flag."""
     vd = e.select("vec_id",
                   F.transform(vec_col, lambda x: x.cast("double"))
                   .alias("v"))

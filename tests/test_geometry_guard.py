@@ -91,6 +91,13 @@ SCALED = {
     "embedding_index_compact",        # fold + checksum of the SCALED
                                       # ingest's grown index — runs AT
                                       # the graduated geometry end-to-end
+    "ann_ivfpq_adc",                  # composed IVFADC runs AT the
+                                      # graduated coarse geometry
+                                      # (IVF_CELLS_WIDE, the N/64 rule —
+                                      # ann_ivf_scaled's knob); the PQ
+                                      # half has no bucket geometry
+                                      # (fixed S×C codebook, candidates
+                                      # come from the IVF side only)
 }
 
 # Entries that reuse a knob whose graduation is already pinned by a
