@@ -191,6 +191,12 @@ PROBES = [
      "enrolled caches): base index/payload build (linear) + ingest "
      "drain + one fold exchange + payload rebuild + driver-side "
      "reclaim + post-vacuum admit drain (unbounded md5 buckets)"),
+    # r13: the composed IVFADC — index is two map-only Arrow
+    # projections; per-query work is probes × occupancy candidates ×
+    # 8 LUT lookups, occupancy held by the N/64 sizing rule.
+    ("ann_ivfpq_adc", "linear",
+     "coarse cells prune the scan to probes/cells; ADC sum is the one "
+     "exchange, ∝ candidates = probes × occupancy per query"),
 ]
 
 # Candidate-volume ceilings for the banded families (r7 verdict item 4):
@@ -364,6 +370,12 @@ BUILDER_OVERRIDES = {
     # serve, not a memoized gen2 read.
     "text_index_vacuum": _fresh_gate("text_index_vacuum"),
 }
+
+# NOTE: ann_ivfpq_adc enrolls in PROBES with the "linear" model — at
+# the fixed N/64-rule geometry its candidate volume is probes ×
+# occupancy per query, and occupancy is held ≈ constant by the sizing
+# rule, so the decade's only corpus-sized terms are the index pass's
+# two Arrow projections.
 
 
 def _timed(spark, builder, sf, reps):
