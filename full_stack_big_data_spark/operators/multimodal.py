@@ -770,11 +770,20 @@ def multimodal_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             decoded = pdf["payload"].map(
                 lambda b: decode_payload(bytes(b)) if b is not None
                 else (None, None, None))
+            # payload_bytes is the entry's UNCOMPRESSED-routes-only
+            # surface; which routes those are is decided by the same
+            # doc_id residue that routed the ENCODE, not by sniffing
+            # the payload content — a raw-route payload that happens to
+            # start with a container signature must still report its
+            # length (r13 ADVICE: the content sniff rode an implicit
+            # UTF-8-never-starts-with-0x89 fixture assumption). Only
+            # the DECODER itself stays hint-free by design.
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
-                "payload_bytes": pd.array(pdf["payload"].map(
-                    lambda b: None if b is None
-                    or bytes(b[:8]) == _PNG_SIG else len(b)), dtype="Int32"),
+                "payload_bytes": pd.array(
+                    [None if b is None or did % 3 == 1 else len(b)
+                     for did, b in zip(pdf["doc_id"], pdf["payload"])],
+                    dtype="Int32"),
                 "width": pd.array(decoded.map(lambda t: t[0]), dtype="Int32"),
                 "height": pd.array(decoded.map(lambda t: t[1]), dtype="Int32"),
                 "mode": decoded.map(lambda t: t[2]),

@@ -1357,8 +1357,9 @@ def quantized_vec_cols(e: DataFrame,
     """(vec_id, w32, s) from a (vec_id, embedding) frame — the tier-1
     screen representation of the vector verify payload.
 
-    ``s`` = max|v_i| / 32767 (per-vector scale), ``w32`` = the int16
-    codes q_i = round(v_i / s) packed two per int32 word
+    ``s`` = float32(max|v_i| / 32767) (per-vector scale — stored AND
+    quantized-against as float32, see the cast note below), ``w32`` =
+    the int16 codes q_i = round(v_i / s) packed two per int32 word
     (lo = q_{2i}, hi = q_{2i+1}) — 128 B/vec at dim 64 vs the float
     tier's 256 B. Parquet has no 2-byte physical type (INT_16 rides
     INT32 pages), so the packing is what actually halves the bytes;
@@ -1391,14 +1392,22 @@ def quantized_vec_cols(e: DataFrame,
                   .alias("v"))
     # Project s into a real column before the quantizing transform():
     # a non-attribute expression in a lambda body re-evaluates per
-    # ELEMENT (the _shingle_sets note).
+    # ELEMENT (the _shingle_sets note). The cast to FLOAT happens HERE,
+    # before the round — the screen reconstructs ũ = s_f·q from the
+    # STORED (float32) scale, so the |v_i − s_f·q_i| ≤ s_f/2 bound only
+    # holds if q was rounded against s_f itself. Quantizing against the
+    # double s and storing float(s) leaks up to s·32767·2⁻²⁴ extra
+    # error per component — enough to exceed the claimed radius (r13
+    # ADVICE, worst measured error/bound 1.003) and silently drop an
+    # exact-passing borderline pair. Float→double widening is exact, so
+    # using the float column inside the double division is safe.
     ws = vd.select("vec_id", "v",
                    (F.aggregate(F.transform("v", lambda x: F.abs(x)),
                                 F.lit(0.0),
                                 lambda acc, x: F.greatest(acc, x))
-                    / F.lit(float(QUANT_LEVELS))).alias("s"))
+                    / F.lit(float(QUANT_LEVELS))).cast("float").alias("s"))
     q = ws.select(
-        "vec_id", F.col("s").cast("float").alias("s"),
+        "vec_id", "s",
         F.when(F.col("s") > 0,
                F.transform("v", lambda x: F.round(x / F.col("s"), 0)
                            .cast("int")))

@@ -130,6 +130,14 @@ def read_reservoir(spark: SparkSession, state_root: str) -> DataFrame:
     torn v=N from a crash mid-write is invisible to serving until its
     replay rewrites and commits it)."""
     versions = _committed_versions(state_root)
+    if not versions:
+        # A root holding only torn (uncommitted) v= dirs — e.g. every
+        # write so far crashed mid-commit — must fail with the story,
+        # not the IndexError the r13 committed-only filter left behind.
+        raise FileNotFoundError(
+            f"no committed reservoir snapshot under {state_root}: "
+            "either no drain has completed or every version is torn "
+            "(missing _SUCCESS); re-run the drain to repair")
     cur = spark.read.parquet(os.path.join(state_root, f"v={versions[-1]}"))
     from pyspark.sql.window import Window
     w = Window.orderBy(F.desc("race_key"), F.asc("doc_id"))

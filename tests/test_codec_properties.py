@@ -25,6 +25,8 @@ import math
 import struct
 import zlib
 
+import numpy as np
+
 from hypothesis import given, settings, strategies as st
 
 from full_stack_big_data_spark.operators.multimodal import (
@@ -124,7 +126,16 @@ def test_quant_screen_bound_dominates_exact_cosine(v, draw):
     nx = math.sqrt(sum(c * c for c in x))
     if nv == 0 or nx == 0:
         return  # exact cosine undefined (NULL both sides) — no claim
-    s = amax / 32767.0
+    # The scale is stored as FLOAT32 and — since the r13 ADVICE fix —
+    # quantized-against as float32 too. Replaying the cast here is the
+    # point: the r13 version of this test swept pure doubles and so
+    # could never catch the round-against-double / reconstruct-against-
+    # float mismatch (worst measured error/bound 1.003). If s underflows
+    # to 0.0f the engine emits all-zero codes, which the degenerate
+    # bypass (nu <= r, both 0) keeps safe — mirrored by the s > 0 guard.
+    s = float(np.float32(amax / 32767.0))
+    if s == 0:
+        return  # float32 underflow → all-zero codes → bypass tier
     q = [_round_half_up(c / s) for c in v]
     u = [s * c for c in q]
     nu = math.sqrt(sum(c * c for c in u))

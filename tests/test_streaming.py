@@ -1281,3 +1281,28 @@ def test_stream_reservoir_torn_snapshot_invisible(spark, tmp_path):
     got2 = sorted((r.doc_id, r.n_chars, r.race_key)
                   for r in read_reservoir(spark, state).collect())
     assert got2 == want
+
+
+def test_stream_reservoir_all_torn_raises_descriptive(spark, tmp_path):
+    """r13 ADVICE (low): a state root holding ONLY torn v= dirs (every
+    write so far crashed mid-commit) must fail with the no-committed-
+    snapshot story, not the bare IndexError the committed-only filter
+    left behind."""
+    import os
+
+    import pytest
+
+    from full_stack_big_data_spark.streaming.reservoir import read_reservoir
+
+    state = str(tmp_path / "res_all_torn")
+    torn = f"{state}/v=0"
+    os.makedirs(torn)
+    with open(f"{torn}/part-00000.parquet", "wb") as fh:
+        fh.write(b"\x00torn")
+    with pytest.raises(FileNotFoundError, match="no committed reservoir"):
+        read_reservoir(spark, state)
+    # an empty root (no drain ever ran) gets the same story
+    empty = str(tmp_path / "res_empty")
+    os.makedirs(empty)
+    with pytest.raises(FileNotFoundError, match="no committed reservoir"):
+        read_reservoir(spark, empty)
