@@ -2385,15 +2385,191 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+def _ivfpq_corpus_index(spark: SparkSession, sf_dir: str,
+                        cb: np.ndarray) -> DataFrame:
+    """(vec_id, cell, codes) — the IVFADC index payload: r=1 coarse
+    assignment + PQ codes, both Arrow passes over one corpus scan, no
+    exchange. What ``ann_ivfpq_adc`` scores in-query and
+    ``ann_ivfpq_index_persist`` writes cell-partitioned to disk."""
+    e = Catalog(spark, sf_dir).embeddings
+    return (ivf_cells_scaled(e)
+            .select("vec_id", F.element_at("cells", 1).alias("cell"),
+                    F.slice(_pq_encode_udf(cb)("embedding"), 1, PQ_SUBSPACES)
+                    .alias("codes")))
+
+
+def _ivfpq_probe_luts(spark: SparkSession, sf_dir: str,
+                      cb: np.ndarray) -> DataFrame:
+    """(query_id, cell, lut) — the query batch's probe set with each
+    query's FLATTENED ADC lookup table (array<bigint>, entry
+    sub·C + pcell) attached to every probe row. queries × probes rows
+    with a (S·C)-long array each — broadcast-sized by construction, so
+    the candidate join ships LUTs to the data and scoring needs no
+    LUT join at all (the r13 posexplode formulation's exchange,
+    deleted on measurement — BENCHNOTES r14)."""
+    n2 = (cb * cb).sum(axis=2)
+    cents = spark.createDataFrame(
+        [(s, j, [int(x) for x in cb[s, j]], int(n2[s, j]))
+         for s in range(PQ_SUBSPACES) for j in range(PQ_CELLS)],
+        "sub int, pcell int, w array<bigint>, n2 bigint")
+    e = Catalog(spark, sf_dir).embeddings
+    q = (e.where(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.transform("embedding",
+                             lambda x: F.floor(x * 100).cast("bigint"))
+                 .alias("qv")))
+    qs = F.slice("qv", F.col("sub") * PQ_SUBDIM + 1, PQ_SUBDIM)
+    dot = F.aggregate(F.zip_with(qs, "w", lambda a, b: a * b),
+                      F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    qn = F.aggregate(F.zip_with(qs, qs, lambda a, b: a * b),
+                     F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    # queries × S·C cost rows folded to one array per query: array_sort
+    # on struct(i, cost) orders by the unique flat index i, so the
+    # transform projects costs in LUT order deterministically.
+    lut = (q.crossJoin(cents)
+           .select("query_id", "sub", "pcell",
+                   (F.col("n2") - 2 * dot + qn).alias("cost"))
+           .groupBy("query_id")
+           .agg(F.transform(
+               F.array_sort(F.collect_list(F.struct(
+                   (F.col("sub") * PQ_CELLS + F.col("pcell")).alias("i"),
+                   F.col("cost")))),
+               lambda s: s.getField("cost")).alias("lut")))
+    qp = (ivf_cells_scaled(e.where(F.col("vec_id") < N_QUERIES),
+                           probes=IVF_PROBES_WIDE)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.explode("cells").alias("cell")))
+    return qp.join(lut, "query_id")
+
+
+def _adc_fold(codes_col, lut_col) -> F.Column:
+    """Map-side ADC: Σ_s lut[s·C + codes[s]] as one codegen'd array
+    fold — eight element_at lookups summed per candidate row, zero
+    fan-out, zero exchange (vs the r13 posexplode→LUT-join→groupBy
+    shape, which fanned every candidate to S rows through an exchange;
+    the paired sf0.1 adjudication in BENCHNOTES r14 retired it)."""
+    return F.aggregate(
+        F.zip_with(codes_col, F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1)),
+                   lambda c, s: F.element_at(
+                       lut_col, (s * PQ_CELLS + c + 1).cast("int"))),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def _ivfpq_serve(idx: DataFrame, probes: DataFrame) -> DataFrame:
+    """Shared IVFADC serve plan over any (vec_id, cell, codes) index
+    frame: broadcast probe-set equi-join on cell (DPP-prunable when the
+    index is the cell-partitioned store), map-side ADC fold, salted
+    top-k — the only exchange is the top-k's."""
+    cand = (idx.join(F.broadcast(probes), "cell")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id",
+                    _adc_fold(F.col("codes"), F.col("lut")).alias("adc_x")))
+    return (grouped_topk(cand, ["query_id"],
+                         [F.asc("adc_x"), F.asc("vec_id")],
+                         TOP_K, F.col("vec_id"))
+            .select("query_id", F.col("rank").cast("bigint").alias("rank"),
+                    F.col("vec_id").alias("neighbor_id"), "adc_x"))
+
+
+def _ivfpq_trained_oracle(cells: int = IVF_CELLS_WIDE,
+                          probes: int = IVF_PROBES_WIDE) -> str:
+    """DuckDB twin of the TRAINED IVFADC composition: the literal
+    codebooks trained one Lloyd step (the ``_pq_adc_trained_oracle``
+    chain, CTEs copied verbatim — kept self-contained so this function
+    is not in that entry's fingerprint closure), corpus re-encoded
+    against the trained cells, candidates restricted to the sign-
+    codebook probe sets, ADC over the trained LUT."""
+    iw = _ivf_sign_centroids(cells)
+    irows = ",\n".join(
+        f"  ({j}, [{', '.join(str(int(x)) for x in iw[j])}]::DOUBLE[])"
+        for j in range(cells))
+    s_cols = ", ".join(f"SUM(sv[{d + 1}]) AS s{d}" for d in range(PQ_SUBDIM))
+    cent = ", ".join(f"FLOOR(s{d} * 1.0 / n + 0.5)" for d in range(PQ_SUBDIM))
+    return _pq_code_prefix() + f""", tragg AS (
+  SELECT b.sub, b.cell, COUNT(*) AS n, {s_cols}
+  FROM best b JOIN eq e USING (vec_id),
+       LATERAL (SELECT list_slice(e.v, b.sub * {PQ_SUBDIM} + 1,
+                                  b.sub * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv) l
+  WHERE b.r = 1
+  GROUP BY b.sub, b.cell
+), tr AS (
+  SELECT sub, cell, [{cent}]::DOUBLE[] AS w FROM tragg
+), cents2 AS (
+  SELECT c.sub, c.cell, COALESCE(t.w, c.w) AS w,
+         CAST(list_dot_product(COALESCE(t.w, c.w),
+                               COALESCE(t.w, c.w)) AS BIGINT) AS n2
+  FROM cents c LEFT JOIN tr t ON t.sub = c.sub AND t.cell = c.cell
+), costs2 AS (
+  SELECT e.vec_id, c.sub, c.cell,
+         c.n2 - 2 * CAST(list_dot_product(
+           list_slice(e.v, c.sub * {PQ_SUBDIM} + 1,
+                      c.sub * {PQ_SUBDIM} + {PQ_SUBDIM}), c.w) AS BIGINT) AS cost
+  FROM eq e CROSS JOIN cents2 c
+), best2 AS (
+  SELECT vec_id, sub, cell, cost,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                            ORDER BY cost, cell) AS r
+  FROM costs2
+), lut2 AS (
+  SELECT e.vec_id AS query_id, c.sub, c.cell,
+         c.n2
+         - 2 * CAST(list_dot_product(
+             list_slice(e.v, c.sub * {PQ_SUBDIM} + 1,
+                        c.sub * {PQ_SUBDIM} + {PQ_SUBDIM}), c.w) AS BIGINT)
+         + CAST(list_dot_product(
+             list_slice(e.v, c.sub * {PQ_SUBDIM} + 1,
+                        c.sub * {PQ_SUBDIM} + {PQ_SUBDIM}),
+             list_slice(e.v, c.sub * {PQ_SUBDIM} + 1,
+                        c.sub * {PQ_SUBDIM} + {PQ_SUBDIM})) AS BIGINT) AS cost
+  FROM eq e CROSS JOIN cents2 c
+  WHERE e.vec_id < {N_QUERIES}
+), icents(icell, iw) AS (VALUES
+{irows}
+), idots AS (
+  SELECT e.vec_id, c.icell, CAST(list_dot_product(e.v, c.iw) AS BIGINT) AS d
+  FROM eq e CROSS JOIN icents c
+), ranked_cells AS (
+  SELECT vec_id, icell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, icell) AS r
+  FROM idots
+), icorpus AS (
+  SELECT vec_id, icell FROM ranked_cells WHERE r = 1
+), qcells AS (
+  SELECT vec_id AS query_id, icell FROM ranked_cells
+  WHERE vec_id < {N_QUERIES} AND r <= {probes}
+), candi AS (
+  SELECT DISTINCT q.query_id, c.vec_id
+  FROM qcells q JOIN icorpus c USING (icell)
+  WHERE c.vec_id <> q.query_id
+), adc3 AS (
+  SELECT ca.query_id, ca.vec_id, CAST(SUM(l.cost) AS BIGINT) AS adc_x
+  FROM candi ca
+  JOIN best2 b ON b.vec_id = ca.vec_id AND b.r = 1
+  JOIN lut2 l ON l.query_id = ca.query_id
+             AND l.sub = b.sub AND l.cell = b.cell
+  GROUP BY ca.query_id, ca.vec_id
+), ranked3 AS (
+  SELECT query_id, vec_id, adc_x,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_x, vec_id) AS rank
+  FROM adc3
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id, adc_x
+FROM ranked3 WHERE rank <= {TOP_K}
+"""
+
+
 @register(
     "ann_ivfpq_adc",
-    oracle=_ivfpq_oracle(),
+    oracle=_ivfpq_trained_oracle(),
     description=f"composed IVF-PQ (IVFADC): {IVF_CELLS_WIDE}-cell coarse "
                 f"quantizer prunes the scan to {IVF_PROBES_WIDE} probed "
-                f"cells per query, {PQ_SUBSPACES}x{PQ_CELLS}-cell PQ codes "
-                f"+ integer ADC LUT score only the candidates — the "
-                "billion-vector serving index (I/O pruned by IVF, "
-                "residency compressed by PQ) as one oracle-hashed entry",
+                f"cells per query, {PQ_SUBSPACES}x{PQ_CELLS}-cell "
+                "ONE-LLOYD-STEP-TRAINED PQ codes + map-side integer ADC "
+                "fold score only the candidates — the billion-vector "
+                "serving index (I/O pruned by IVF, residency compressed "
+                "by PQ) as one oracle-hashed entry; the oracle replays "
+                "training, re-encoding, probe pruning and the fold",
     tags=("similarity", "ann", "ivf", "pq"),
 )
 def ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2408,68 +2584,39 @@ def ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     on cell (never a corpus scan), ADC = eight LUT lookups per
     candidate summed in one exchange.
 
+    r14 upgrades (VERDICT r13 items 3+4): the composition serves the
+    ONE-LLOYD-STEP-TRAINED codebooks (``_pq_trained_codebooks``, the
+    >20%-reconstruction-error-cut artifact ``ann_pq_adc_trained``
+    proved) instead of the shipped literals, and ADC is now a MAP-SIDE
+    fold (``_adc_fold``: eight ``element_at`` lookups over the
+    query's broadcast-flattened LUT array summed in codegen) — the r13
+    posexplode→LUT-join→groupBy shape's 8× fan-out exchange is gone
+    (paired adjudication in BENCHNOTES r14).
+
     Exactness discipline: every stage is the families' shared integer
-    arithmetic (floor(x·100) quantization, BIGINT dots, ties by id),
-    so the oracle — which replays coarse assignment, code assignment,
-    LUT build, cell-pruned candidate join, and ranking in SQL —
-    hash-matches exactly; the approximation vs exact cosine is the
-    DESIGN trade (probe recall × codebook quality), both knobs
-    measured on their own entries (``ann_ivf_scaled`` recall,
-    ``emb_pq_train``'s >20%-error-cut Lloyd step).
+    arithmetic (floor(x·100) quantization, BIGINT dots, integer Lloyd
+    means, ties by id), so the oracle — which replays training,
+    re-encoding, coarse assignment, LUT build, cell-pruned candidate
+    join, and the fold in SQL — hash-matches exactly; the
+    approximation vs exact cosine is the DESIGN trade (probe recall ×
+    codebook quality), both knobs measured on their own entries
+    (``ann_ivf_scaled`` recall, ``emb_pq_train``'s error cut).
     tests/test_similarity.py pins the composition laws: every returned
     neighbor lies in a probed cell of its query, and each (query,
-    neighbor) ADC distance equals the full-scan ``ann_pq_adc`` LUT
-    distance for the same pair — IVF changes WHICH pairs are scored,
-    never their score.
+    neighbor) ADC distance equals the full-scan ``ann_pq_adc_trained``
+    LUT distance for the same pair — IVF changes WHICH pairs are
+    scored, never their score.
 
-    Scale: the probe-set frame is queries × probes rows (broadcast);
-    the (cell, codes) index joins it map-side after a scan-level DPP
-    opportunity on a cell-partitioned store (``ann_ivf_index_persist``
-    pins that layout); the only exchange is the per-(query, candidate)
-    ADC partial-sum, ∝ candidates = probes × occupancy per query —
-    corpus-size-free at fixed geometry under the N/64 sizing rule."""
-    e = Catalog(spark, sf_dir).embeddings
-    idx = (ivf_cells_scaled(e)
-           .select("vec_id", F.element_at("cells", 1).alias("cell"),
-                   F.slice(_pq_encode_udf()("embedding"), 1, PQ_SUBSPACES)
-                   .alias("codes")))
-    qp = (ivf_cells_scaled(e.where(F.col("vec_id") < N_QUERIES),
-                           probes=IVF_PROBES_WIDE)
-          .select(F.col("vec_id").alias("query_id"),
-                  F.explode("cells").alias("cell")))
-
-    cb = _pq_codebooks()
-    n2 = (cb * cb).sum(axis=2)
-    cents = spark.createDataFrame(
-        [(s, j, [int(x) for x in cb[s, j]], int(n2[s, j]))
-         for s in range(PQ_SUBSPACES) for j in range(PQ_CELLS)],
-        "sub int, pcell int, w array<bigint>, n2 bigint")
-    q = (e.where(F.col("vec_id") < N_QUERIES)
-         .select(F.col("vec_id").alias("query_id"),
-                 F.transform("embedding",
-                             lambda x: F.floor(x * 100).cast("bigint"))
-                 .alias("qv")))
-    qs = F.slice("qv", F.col("sub") * PQ_SUBDIM + 1, PQ_SUBDIM)
-    dot = F.aggregate(F.zip_with(qs, "w", lambda a, b: a * b),
-                      F.lit(0).cast("bigint"), lambda acc, x: acc + x)
-    qn = F.aggregate(F.zip_with(qs, qs, lambda a, b: a * b),
-                     F.lit(0).cast("bigint"), lambda acc, x: acc + x)
-    lut = (q.crossJoin(cents)
-           .select("query_id", "sub", "pcell",
-                   (F.col("n2") - 2 * dot + qn).alias("cost")))
-
-    cand = (idx.join(F.broadcast(qp), "cell")
-            .where(F.col("vec_id") != F.col("query_id"))
-            .select("query_id", "vec_id",
-                    F.posexplode("codes").alias("sub", "pcell")))
-    adc = (cand.join(F.broadcast(lut), ["query_id", "sub", "pcell"])
-           .groupBy("query_id", "vec_id")
-           .agg(F.sum("cost").cast("bigint").alias("adc_x")))
-    return (grouped_topk(adc, ["query_id"],
-                         [F.asc("adc_x"), F.asc("vec_id")],
-                         TOP_K, F.col("vec_id"))
-            .select("query_id", F.col("rank").cast("bigint").alias("rank"),
-                    F.col("vec_id").alias("neighbor_id"), "adc_x"))
+    Scale: the probe-set frame is queries × probes rows, each carrying
+    its query's S·C-entry LUT array (broadcast); the (cell, codes)
+    index joins it map-side after a scan-level DPP opportunity on a
+    cell-partitioned store (``ann_ivfpq_index_persist`` pins that
+    layout); the only exchange left is the salted top-k over candidate
+    scores, ∝ probes × occupancy per query — corpus-size-free at fixed
+    geometry under the N/64 sizing rule."""
+    cb = _pq_trained_codebooks(spark, sf_dir)
+    return _ivfpq_serve(_ivfpq_corpus_index(spark, sf_dir, cb),
+                        _ivfpq_probe_luts(spark, sf_dir, cb))
 
 
 # Train-once/serve-many artifact store: (sf_dir → scratch path holding

@@ -470,14 +470,16 @@ def test_quantized_screen_no_false_drops(spark, tmp_path):
 
 
 def test_ivfpq_composition_laws(spark):
-    """The composed IVFADC entry's two invariants (r13): IVF changes
-    WHICH pairs are scored, never their score — (1) every returned
-    neighbor lies in a probed cell of its query; (2) each returned
-    (query, neighbor) ADC distance equals the full-scan ann_pq_adc
-    distance for the same pair. Plus the non-vacuity floor: the pruned
-    index must still recover a nonzero share of the full-scan top-k
-    (recall here is the corpus's documented near-random-embedding
-    ceiling, ~the 24/256 scan fraction — the probes knob, not a bug)."""
+    """The composed IVFADC entry's two invariants (r13, re-pinned r14
+    after the trained-codebook swap): IVF changes WHICH pairs are
+    scored, never their score — (1) every returned neighbor lies in a
+    probed cell of its query; (2) each returned (query, neighbor) ADC
+    distance equals the full-scan ann_pq_adc_trained distance for the
+    same pair (both serve the one-Lloyd-step codebooks now). Plus the
+    non-vacuity floor: the pruned index must still recover a nonzero
+    share of the full-scan top-k (recall here is the corpus's
+    documented near-random-embedding ceiling, ~the 24/256 scan
+    fraction — the probes knob, not a bug)."""
     from pyspark.sql import functions as F
     from full_stack_big_data_spark.engine.catalog import Catalog
     from full_stack_big_data_spark.operators.registry import load_all
@@ -488,7 +490,8 @@ def test_ivfpq_composition_laws(spark):
     ivfpq = {(r.query_id, r.neighbor_id): r.adc_x
              for r in reg["ann_ivfpq_adc"].builder(spark, SF_SMOKE).collect()}
     full = {(r.query_id, r.neighbor_id): r.adc_x
-            for r in reg["ann_pq_adc"].builder(spark, SF_SMOKE).collect()}
+            for r in reg["ann_pq_adc_trained"].builder(spark, SF_SMOKE)
+            .collect()}
     e = Catalog(spark, SF_SMOKE).embeddings
     probed = {r.vec_id: set(r.cells)
               for r in ivf_cells_scaled(
