@@ -69,6 +69,13 @@ HEADLINE = [
     # batch 6) — so the component-loop + banded-join composition is
     # driver-benched round-over-round, not just builder-probed.
     "multimodal_phash_clusters",
+    # r14 (r13 verdict item 7): the composed IVFADC family tracked from
+    # birth — the inline composition (trained codebooks + map-side ADC
+    # fold) and its persisted-generation twin (build/serve split like
+    # ann_ivf_index_persist, so the write-dominated build can't mask a
+    # serve regression).
+    "ann_ivfpq_adc",
+    "ann_ivfpq_index_persist",
 ]
 
 # r13 (r12 verdict item 4): streaming representatives — the per-batch
@@ -205,20 +212,27 @@ def main() -> None:
                 from full_stack_big_data_spark.streaming.joins import \
                     reset_gate_dirs
                 reset_gate_dirs()
-            if name == "ann_ivf_index_persist":
-                # Timed in its two lifecycle halves (r8 verdict item 3):
+            if name in ("ann_ivf_index_persist", "ann_ivfpq_index_persist"):
+                # Timed in the two lifecycle halves (r8 verdict item 3):
                 # the write-dominated index build would otherwise mask a
                 # serve-path regression inside one number. The sum is
                 # still recorded under the query name, so round-over-
                 # round totals stay comparable.
                 from full_stack_big_data_spark.operators.similarity import (
-                    ivf_index_build, ivf_index_serve)
+                    ivf_index_build, ivf_index_serve, ivfpq_index_build,
+                    ivfpq_index_serve)
+                build_fn, serve_fn = {
+                    "ann_ivf_index_persist": (ivf_index_build,
+                                              ivf_index_serve),
+                    "ann_ivfpq_index_persist": (ivfpq_index_build,
+                                                ivfpq_index_serve),
+                }[name]
 
                 t0 = time.perf_counter()
-                path = ivf_index_build(spark, SF_DIR)
+                path = build_fn(spark, SF_DIR)
                 build_s = time.perf_counter() - t0
                 t0 = time.perf_counter()
-                ivf_index_serve(spark, SF_DIR, path) \
+                serve_fn(spark, SF_DIR, path) \
                     .write.format("noop").mode("overwrite").save()
                 serve_s = time.perf_counter() - t0
                 if build_s + serve_s < times[name]:

@@ -2385,17 +2385,23 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-def _ivfpq_corpus_index(spark: SparkSession, sf_dir: str,
-                        cb: np.ndarray) -> DataFrame:
-    """(vec_id, cell, codes) — the IVFADC index payload: r=1 coarse
-    assignment + PQ codes, both Arrow passes over one corpus scan, no
-    exchange. What ``ann_ivfpq_adc`` scores in-query and
-    ``ann_ivfpq_index_persist`` writes cell-partitioned to disk."""
-    e = Catalog(spark, sf_dir).embeddings
+def _ivfpq_rows(e: DataFrame, cb: np.ndarray) -> DataFrame:
+    """(vec_id, cell, codes) over an arbitrary corpus frame: r=1 coarse
+    assignment + PQ codes, both Arrow passes over one scan, no
+    exchange — the frame-level kernel so the append lifecycle can
+    encode a dump subset with a STORED codebook."""
     return (ivf_cells_scaled(e)
             .select("vec_id", F.element_at("cells", 1).alias("cell"),
                     F.slice(_pq_encode_udf(cb)("embedding"), 1, PQ_SUBSPACES)
                     .alias("codes")))
+
+
+def _ivfpq_corpus_index(spark: SparkSession, sf_dir: str,
+                        cb: np.ndarray) -> DataFrame:
+    """The IVFADC index payload for the whole corpus. What
+    ``ann_ivfpq_adc`` scores in-query and ``ann_ivfpq_index_persist``
+    writes cell-partitioned to disk."""
+    return _ivfpq_rows(Catalog(spark, sf_dir).embeddings, cb)
 
 
 def _ivfpq_probe_luts(spark: SparkSession, sf_dir: str,
@@ -2472,13 +2478,17 @@ def _ivfpq_serve(idx: DataFrame, probes: DataFrame) -> DataFrame:
 
 
 def _ivfpq_trained_oracle(cells: int = IVF_CELLS_WIDE,
-                          probes: int = IVF_PROBES_WIDE) -> str:
+                          probes: int = IVF_PROBES_WIDE,
+                          train_where: str = "") -> str:
     """DuckDB twin of the TRAINED IVFADC composition: the literal
     codebooks trained one Lloyd step (the ``_pq_adc_trained_oracle``
     chain, CTEs copied verbatim — kept self-contained so this function
     is not in that entry's fingerprint closure), corpus re-encoded
     against the trained cells, candidates restricted to the sign-
-    codebook probe sets, ADC over the trained LUT."""
+    codebook probe sets, ADC over the trained LUT. ``train_where``
+    narrows WHICH rows train the Lloyd step (the append lifecycle
+    trains at base-generation time); encode/probe/serve always cover
+    the full corpus."""
     iw = _ivf_sign_centroids(cells)
     irows = ",\n".join(
         f"  ({j}, [{', '.join(str(int(x)) for x in iw[j])}]::DOUBLE[])"
@@ -2490,7 +2500,7 @@ def _ivfpq_trained_oracle(cells: int = IVF_CELLS_WIDE,
   FROM best b JOIN eq e USING (vec_id),
        LATERAL (SELECT list_slice(e.v, b.sub * {PQ_SUBDIM} + 1,
                                   b.sub * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv) l
-  WHERE b.r = 1
+  WHERE b.r = 1{train_where}
   GROUP BY b.sub, b.cell
 ), tr AS (
   SELECT sub, cell, [{cent}]::DOUBLE[] AS w FROM tragg
@@ -2689,6 +2699,191 @@ def ann_pq_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         cb[int(r.sub), int(r.cell)] = list(r.w)
     codes = spark.read.parquet(path + "/codes")
     return _adc_search(spark, sf_dir, cb, codes)
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVFADC lifecycle: the at-rest generation of the composed index
+# (VERDICT r13 item 2). One directory IS the deployable index: codes
+# cell-partitioned for DPP-pruned serve, the codebook stored inside it
+# under an underscore-prefixed subdir (self-describing generation,
+# invisible to parquet scans of the generation root).
+# ---------------------------------------------------------------------------
+
+
+def _read_pq_codebook(spark: SparkSession, path: str) -> np.ndarray:
+    """(S, C, SUBDIM) codebook array from a stored (sub, cell, w)
+    parquet table — the bounded S·C-row artifact fetch (the
+    ``_pq_trained_codebooks`` collect discipline, reading the at-rest
+    copy instead of retraining)."""
+    rows = spark.read.parquet(path).toPandas()
+    cb = np.empty((PQ_SUBSPACES, PQ_CELLS, PQ_SUBDIM), dtype=np.int64)
+    for r in rows.itertuples(index=False):
+        cb[int(r.sub), int(r.cell)] = list(r.w)
+    return cb
+
+
+def _write_pq_codebook(spark: SparkSession, cb: np.ndarray,
+                       path: str) -> None:
+    """Store a codebook as the (sub, cell, w) parquet artifact — S·C
+    rows, one file; written INSIDE an index generation so the
+    generation is self-describing."""
+    spark.createDataFrame(
+        [(s, j, [int(x) for x in cb[s, j]])
+         for s in range(PQ_SUBSPACES) for j in range(PQ_CELLS)],
+        "sub int, cell int, w array<bigint>",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def ivfpq_index_build(spark: SparkSession, sf_dir: str) -> str:
+    """BUILD side of the persisted IVFADC lifecycle: fetch the trained
+    codebook from the PQ training artifact (``_pq_artifact_dir`` — the
+    train-once discipline; training never reruns per build), encode +
+    coarse-assign the corpus in one map-only Arrow pass, write it
+    cell-partitioned with the codebook stored alongside. Returns the
+    generation path. Split from serve (the ``ivf_index_build`` r8
+    precedent) so the bench times each component."""
+    from ..engine.scratch import scratch_dir
+
+    cb = _read_pq_codebook(
+        spark, _pq_artifact_dir(spark, sf_dir) + "/codebook")
+    path = scratch_dir("fsbd_ivfpq_index_")
+    (_ivfpq_corpus_index(spark, sf_dir, cb)
+     .write.mode("overwrite").partitionBy("cell").parquet(path))
+    _write_pq_codebook(spark, cb, path + "/_codebook")
+    return path
+
+
+def ivfpq_index_serve(spark: SparkSession, sf_dir: str,
+                      path: str) -> DataFrame:
+    """SERVE side: answer the query batch FROM the on-disk generation —
+    codebook read back from inside the index (bounded S·C rows), probe
+    set + per-query LUT arrays broadcast against the codes on the
+    PARTITION column, so dynamic partition pruning limits the scan to
+    probed cells; scoring is the map-side ``_adc_fold``."""
+    cb = _read_pq_codebook(spark, path + "/_codebook")
+    return _ivfpq_serve(spark.read.parquet(path),
+                        _ivfpq_probe_luts(spark, sf_dir, cb))
+
+
+@register(
+    "ann_ivfpq_index_persist",
+    oracle=_ivfpq_trained_oracle(),
+    description="persisted IVFADC lifecycle: trained codebook + "
+                f"cell-partitioned PQ codes written as ONE self-describing "
+                f"generation dir ({IVF_CELLS_WIDE} cell partitions, codebook "
+                "stored inside it), queries served FROM disk with DPP-pruned "
+                "scans — same oracle as ann_ivfpq_adc, so the hash proves "
+                "persisted == composed-inline",
+    tags=("similarity", "ann", "ivf", "pq", "storage"),
+)
+def ann_ivfpq_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What a billion-vector deployment actually ships to serving hosts
+    (``ann_ivfpq_adc`` proved the composition in-query): an index
+    GENERATION on disk — 4-byte-per-vector PQ codes clustered into
+    their coarse cells, the codebook that decodes them stored inside
+    the same directory — and a query path that never touches a float
+    corpus vector: probe-set broadcast join on the partition column
+    (dynamic partition pruning reads probes/C of the codes from disk,
+    plan-pinned in tests/test_plans.py), then the map-side ADC fold.
+    Reusing the composed entry's trained oracle makes the driver hash
+    a round-trip proof: the persisted generation serves bit-identical
+    rankings to the inline composition.
+
+    Scale: the build is one map-only Arrow pass streamed to a
+    partitioned write (no pre-write shuffle); the serve scan is
+    probes/C of a corpus already 64× compressed by PQ — at 10⁹ vectors
+    the whole generation is ~4 GB of codes, and one query batch reads
+    ~9% of it. Codebook I/O is S·C rows regardless of corpus size."""
+    return ivfpq_index_serve(spark, sf_dir, ivfpq_index_build(spark, sf_dir))
+
+
+def _pq_trained_codebooks_on(spark: SparkSession,
+                             e: DataFrame) -> np.ndarray:
+    """One-Lloyd-step codebooks trained on an arbitrary corpus frame —
+    ``_pq_trained_codebooks``'s integer step parameterized by WHICH
+    rows train, because the append lifecycle trains at BASE-generation
+    time: the stored codebook is a function of the base corpus only,
+    and today's dump must be encoded with it, not with a retrain.
+    Same arithmetic (floor(x·100) ints, rounded per-cell means, empty
+    cells keep the literal centroid), same bounded S·C-row collect."""
+    enc = e.select(
+        F.transform("embedding", lambda x: F.floor(x.cast("double") * 100)
+                    .cast("bigint")).alias("qv"),
+        F.slice(_pq_encode_udf()("embedding"), 1, PQ_SUBSPACES).alias("codes"))
+    sv = (enc.select(F.posexplode("codes").alias("sub", "cell"), "qv")
+          .select("sub", "cell",
+                  F.slice("qv", F.col("sub") * PQ_SUBDIM + 1,
+                          F.lit(PQ_SUBDIM)).alias("sv")))
+    dim_sums = [F.sum(F.col("sv")[d]).alias(f"_s{d}")
+                for d in range(PQ_SUBDIM)]
+    cent = [F.floor(F.col(f"_s{d}") / F.col("n") + 0.5).cast("bigint")
+            .alias(f"c{d}") for d in range(PQ_SUBDIM)]
+    rows = (sv.groupBy("sub", "cell").agg(F.count("*").alias("n"), *dim_sums)
+            .select("sub", "cell", *cent).toPandas())
+    cb = _pq_codebooks().copy()
+    for r in rows.itertuples(index=False):
+        cb[int(r.sub), int(r.cell)] = [getattr(r, f"c{d}")
+                                       for d in range(PQ_SUBDIM)]
+    return cb
+
+
+@register(
+    "ann_ivfpq_index_append",
+    oracle=_ivfpq_trained_oracle(
+        train_where=f" AND e.vec_id % {IVF_APPEND_MOD} != 0"),
+    description="incremental IVFADC maintenance: codebook trained at BASE "
+                "generation time, today's dump encoded with the codebook "
+                "READ BACK from the stored index and appended into the cell "
+                "partitions, per-cell compaction, serve from the compacted "
+                "generation — the oracle trains on the base subset only, so "
+                "the hash proves append+compact == rebuild-with-stored-"
+                "codebook",
+    tags=("similarity", "ann", "ivf", "pq", "storage"),
+)
+def ann_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE side of IVFADC index reuse (``ann_ivf_index_append``
+    proved it for the float IVF store): a deployment retrains PQ
+    codebooks per FULL rebuild, not per dump — between rebuilds each
+    day's vectors are encoded with the STORED codebook (coarse sign
+    centroids are constants of the index; PQ codebooks are constants
+    of the generation) and appended into the existing cell
+    directories, then per-cell compaction folds the per-dump
+    micro-files back to one file per cell. This entry runs that
+    lifecycle end to end: base generation from vec_id % 10 != 0
+    (codebook TRAINED on exactly those rows), dump % 10 == 0 encoded
+    with the codebook read back from the base generation's stored
+    artifact, append, compact (codebook carried to the new
+    generation), serve the query batch from the result.
+
+    The oracle replays training ON THE BASE SUBSET and everything else
+    over the full corpus — so the driver hash proves both halves: the
+    appended rows were scored by the stored (base-trained) codebook,
+    and append+compact answers exactly like a from-scratch rebuild
+    with that codebook.
+
+    Scale: identical to ``ann_ivf_index_append`` (map-side assignment
+    writes, delta touches only its cells, compaction is one cell-keyed
+    exchange of the 4-byte-code index — sized by the index, never the
+    corpus history) with PQ shrinking every byte moved 64×. File
+    counts pinned in tests/test_similarity.py."""
+    from ..engine.scratch import scratch_dir
+
+    e = Catalog(spark, sf_dir).embeddings
+    base = e.where(F.col("vec_id") % IVF_APPEND_MOD != 0)
+    cb = _pq_trained_codebooks_on(spark, base)
+    path = scratch_dir("fsbd_ivfpq_append_")
+    (_ivfpq_rows(base, cb)
+     .write.mode("overwrite").partitionBy("cell").parquet(path))
+    _write_pq_codebook(spark, cb, path + "/_codebook")
+    # today's dump: encoded with the codebook READ BACK from the store
+    # (round-trip on the artifact, not the in-memory array)
+    cb2 = _read_pq_codebook(spark, path + "/_codebook")
+    (_ivfpq_rows(e.where(F.col("vec_id") % IVF_APPEND_MOD == 0), cb2)
+     .write.mode("append").partitionBy("cell").parquet(path))
+    gen2 = scratch_dir("fsbd_ivfpq_append_gen2_")
+    ivf_index_compact(spark, path, gen2)
+    _write_pq_codebook(spark, cb2, gen2 + "/_codebook")
+    return ivfpq_index_serve(spark, sf_dir, gen2)
 
 
 # ---------------------------------------------------------------------------

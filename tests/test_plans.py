@@ -373,6 +373,28 @@ def test_ivf_persisted_index_serve_uses_dynamic_partition_pruning(spark):
                for l in idx_scans), idx_scans[0][:500]
 
 
+def test_ivfpq_persisted_serve_dpp_and_no_generate(spark):
+    """ann_ivfpq_index_persist's serve plan must (1) carry a
+    dynamicpruning PartitionFilter on the codes scan — a query batch
+    reads only probed cells' files, probes/C of the 4-byte-code index —
+    and (2) contain NO posexplode: r14's map-side ``_adc_fold``
+    replaced the per-candidate code fan-out, so scoring is pure
+    projection between the broadcast join and the top-k (the one
+    remaining Generate is the probe-set's queries×probes explode —
+    bounded by the query batch, never by candidates)."""
+    from full_stack_big_data_spark.operators.registry import load_all
+
+    reg = load_all()
+    df = reg["ann_ivfpq_index_persist"].builder(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    idx_scans = [l for l in plan.splitlines()
+                 if "fsbd_ivfpq_index" in l and "FileScan" in l]
+    assert idx_scans, "codes scan not found in plan"
+    assert any("dynamicpruning" in l and "PartitionFilters" in l
+               for l in idx_scans), idx_scans[0][:500]
+    assert "posexplode" not in plan, "code fan-out resurfaced in ADC path"
+
+
 def test_phash_signature_stage_is_map_only(spark):
     """The perceptual-hash signature pipeline (render -> container
     decode -> 60-bit dHash) must be two chained Arrow passes with ZERO

@@ -323,6 +323,70 @@ def test_ivf_append_compaction_file_counts_and_equivalence(spark):
     assert canon(ivf_index_serve(spark, sf, path)) == canon(rebuilt)
 
 
+def test_ivfpq_append_compacts_to_one_file_per_cell_and_carries_codebook(spark):
+    """The IVFADC append lifecycle's storage pins: the dump append
+    drops extra files into existing cell partitions; compaction folds
+    every cell back to ONE parquet file; the stored codebook artifact
+    (_codebook, underscore-invisible to scans of the generation root)
+    survives into the new generation; and serve is layout-invariant —
+    pre-compaction, post-compaction, and a from-scratch rebuild with
+    the same stored codebook all answer identically."""
+    import os
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from full_stack_big_data_spark.engine.catalog import Catalog
+    from full_stack_big_data_spark.engine.scratch import scratch_dir
+    from full_stack_big_data_spark.operators.similarity import (
+        IVF_APPEND_MOD, _ivfpq_rows, _pq_trained_codebooks_on,
+        _read_pq_codebook, _write_pq_codebook, ivf_index_compact,
+        ivfpq_index_serve)
+
+    sf = SF_SMOKE
+    e = Catalog(spark, sf).embeddings
+    base = e.where(F.col("vec_id") % IVF_APPEND_MOD != 0)
+    cb = _pq_trained_codebooks_on(spark, base)
+    path = scratch_dir("fsbd_test_ivfpq_append_")
+    (_ivfpq_rows(base, cb)
+     .write.mode("overwrite").partitionBy("cell").parquet(path))
+    _write_pq_codebook(spark, cb, path + "/_codebook")
+    cb2 = _read_pq_codebook(spark, path + "/_codebook")
+    assert (cb2 == cb).all(), "codebook artifact round-trip diverged"
+    (_ivfpq_rows(e.where(F.col("vec_id") % IVF_APPEND_MOD == 0), cb2)
+     .write.mode("append").partitionBy("cell").parquet(path))
+
+    def files_per_cell(root):
+        c = Counter()
+        for dp, _dirs, files in os.walk(root):
+            cell = os.path.basename(dp)
+            if cell.startswith("cell="):
+                c[cell] += sum(1 for f in files if f.endswith(".parquet"))
+        return c
+
+    appended = files_per_cell(path)
+    assert max(appended.values()) >= 2, "append never hit an existing cell"
+
+    gen2 = scratch_dir("fsbd_test_ivfpq_append_gen2_")
+    ivf_index_compact(spark, path, gen2)
+    _write_pq_codebook(spark, cb2, gen2 + "/_codebook")
+    compacted = files_per_cell(gen2)
+    assert set(compacted) == set(appended)
+    assert all(v == 1 for v in compacted.values()), compacted
+
+    def canon(df):
+        return sorted(map(tuple, df.collect()))
+
+    # from-scratch rebuild with the SAME stored codebook
+    rb = scratch_dir("fsbd_test_ivfpq_rebuild_")
+    (_ivfpq_rows(e, cb2)
+     .write.mode("overwrite").partitionBy("cell").parquet(rb))
+    _write_pq_codebook(spark, cb2, rb + "/_codebook")
+    rebuilt = canon(ivfpq_index_serve(spark, sf, rb))
+    assert canon(ivfpq_index_serve(spark, sf, gen2)) == rebuilt
+    assert canon(ivfpq_index_serve(spark, sf, path)) == rebuilt
+
+
 def test_semdedup_clusters_stay_within_cells_and_subset_exact(spark):
     """SemDeDup's defining property: candidates exist ONLY within an
     IVF cell, so every cluster lives in exactly one cell — and each
