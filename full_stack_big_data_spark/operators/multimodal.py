@@ -72,8 +72,11 @@ def decode_payload(buf: bytes) -> tuple[int, int, str]:
     STARTS with a magic but fails validation (e.g. ASCII text spoofing
     ``BM`` — its compression field bytes are all ≥ 0x20; or a PNG with
     a wrong CRC) falls through, exactly what a production sniffer does.
-    Only unsniffed payloads keep the import-gated PIL seam (JPEG's
-    remaining home) with the deterministic fake behind it."""
+    An 0xFFD8 SOI routes to the REAL baseline JPEG decoder
+    (``operators.jpeg``, r14 — marker walk, file-defined Huffman
+    tables, full entropy decode; mode ``YCC24``, JPEG's native color
+    space). Only unsniffed payloads keep the import-gated PIL seam
+    (now exotic-format-only) with the deterministic fake behind it."""
     if buf[:2] == b"BM":
         try:
             w, h, _bpp, _checksum = decode_bmp(buf)
@@ -85,6 +88,13 @@ def decode_payload(buf: bytes) -> tuple[int, int, str]:
             w, h, _bpp, _checksum = decode_png(buf)
             return (w, h, "RGB24")
         except Exception:  # truncated/corrupt: not actually a PNG
+            pass
+    if buf[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg  # deferred: jpeg imports this module
+        try:
+            w, h, _nb, _checksum = decode_jpeg(buf)
+            return (w, h, "YCC24")
+        except Exception:  # truncated/corrupt: not actually a JPEG
             pass
     try:
         from PIL import Image  # real path, absent in this container
@@ -708,53 +718,60 @@ WITH b AS (
 )
 SELECT doc_id,
        CASE WHEN text IS NULL THEN NULL
-            WHEN doc_id % 3 = 0
+            WHEN doc_id % 4 = 0
               THEN CAST({BMP_HEADER_BYTES} + ((w * 3 + 3) // 4) * 4 * h AS INTEGER)
-            WHEN doc_id % 3 = 1 THEN NULL
+            WHEN doc_id % 4 IN (1, 2) THEN NULL
             ELSE CAST(n AS INTEGER) END AS payload_bytes,
        CASE WHEN text IS NULL THEN NULL
-            WHEN doc_id % 3 IN (0, 1) THEN CAST(w AS INTEGER)
+            WHEN doc_id % 4 IN (0, 1, 2) THEN CAST(w AS INTEGER)
             ELSE CAST(n % 640 + 1 AS INTEGER) END AS width,
        CASE WHEN text IS NULL THEN NULL
-            WHEN doc_id % 3 IN (0, 1) THEN CAST(h AS INTEGER)
+            WHEN doc_id % 4 IN (0, 1, 2) THEN CAST(h AS INTEGER)
             ELSE CAST(checksum % 480 + 1 AS INTEGER) END AS height,
        CASE WHEN text IS NULL THEN NULL
-            WHEN doc_id % 3 = 0 THEN 'BGR24'
-            WHEN doc_id % 3 = 1 THEN 'RGB24'
+            WHEN doc_id % 4 = 0 THEN 'BGR24'
+            WHEN doc_id % 4 = 1 THEN 'RGB24'
+            WHEN doc_id % 4 = 2 THEN 'YCC24'
             WHEN checksum % 2 = 1 THEN 'L' ELSE 'RGB' END AS mode
 FROM b
 """,
-    description="container-sniffing decode over a MIXED corpus (doc_id%3: "
-                "real BMPs / real zlib-deflated PNGs / raw bytes): BM magic "
-                "→ real BMP parse, PNG signature → real inflate+unfilter "
-                "decode, others → the documented PIL seam/fake",
+    description="container-sniffing decode over a MIXED corpus (doc_id%4: "
+                "real BMPs / real zlib-deflated PNGs / real baseline JPEGs "
+                "/ raw bytes): BM magic → real BMP parse, PNG signature → "
+                "real inflate+unfilter decode, SOI → real Huffman+DCT "
+                "entropy decode, others → the documented PIL seam/fake",
     tags=("multimodal", "pandas-udf", "codec"),
 )
 def multimodal_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-covers the DISPATCH itself (r6 verdict item 3; PNG route
-    added r13): stage 1 renders doc_id%3==0 into genuine BMP
-    containers (``encode_bmp``), %3==1 into genuine PNGs
-    (``encode_png`` — zlib-deflated, CRC'd, mixed filter types), and
-    leaves %3==2 as raw text bytes; stage 2 — which sees ONLY the
-    payload, no residue hint — runs :func:`decode_payload`. The oracle
-    derives each route independently from the text, so a hash match
-    proves the sniff sent every payload to the right decoder and both
-    real decoders recovered true header geometry — a fake leaking onto
-    a container payload shifts width to len%640+1 and the mode to
-    L/RGB, and a BMP/PNG cross-wire flips BGR24/RGB24.
+    added r13, JPEG r14 → 4-way): stage 1 renders doc_id%4==0 into
+    genuine BMP containers (``encode_bmp``), %4==1 into genuine PNGs
+    (``encode_png`` — zlib-deflated, CRC'd, mixed filter types),
+    %4==2 into genuine baseline JPEGs (``operators.jpeg.encode_jpeg``
+    — Annex K tables, Huffman entropy coding), and leaves %4==3 as
+    raw text bytes; stage 2 — which sees ONLY the payload, no residue
+    hint — runs :func:`decode_payload`. The oracle derives each route
+    independently from the text, so a hash match proves the sniff sent
+    every payload to the right decoder and all three real decoders
+    recovered true header geometry — a fake leaking onto a container
+    payload shifts width to len%640+1 and the mode to L/RGB, and any
+    cross-wire flips the BGR24/RGB24/YCC24 mode tag.
     ``payload_bytes`` is emitted for UNCOMPRESSED payloads only
     (container size is content-derivable exactly when nothing is
-    deflated; the PNG rows' oracle-checkable surface is the geometry
-    the decoder recovers). Both stages are Arrow-batched map-only
-    passes; zero exchanges."""
+    deflated/entropy-coded; the PNG/JPEG rows' oracle-checkable
+    surface is the geometry the decoder recovers). Both stages are
+    Arrow-batched map-only passes; zero exchanges."""
+    from .jpeg import encode_jpeg
+
     src = with_payload(Catalog(spark, sf_dir).documents)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [
                 None if buf is None
-                else encode_bmp(bytes(buf)) if did % 3 == 0
-                else encode_png(bytes(buf)) if did % 3 == 1
+                else encode_bmp(bytes(buf)) if did % 4 == 0
+                else encode_png(bytes(buf)) if did % 4 == 1
+                else encode_jpeg(bytes(buf)) if did % 4 == 2
                 else bytes(buf)
                 for did, buf in zip(pdf["doc_id"], pdf["payload"])
             ]
@@ -781,7 +798,7 @@ def multimodal_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "payload_bytes": pd.array(
-                    [None if b is None or did % 3 == 1 else len(b)
+                    [None if b is None or did % 4 in (1, 2) else len(b)
                      for did, b in zip(pdf["doc_id"], pdf["payload"])],
                     dtype="Int32"),
                 "width": pd.array(decoded.map(lambda t: t[0]), dtype="Int32"),

@@ -69,11 +69,13 @@ def load_all() -> dict[str, QuerySpec]:
     from . import cdc, quality  # noqa: F401
     from . import analytics, decontam, graph, textanalysis, dedup, pipeline, similarity, multimodal, wire  # noqa: F401
     from . import sampling, asof, sketches  # noqa: F401
+    from . import jpeg  # noqa: F401  (r14: baseline JFIF codec entry)
     from ..streaming import queries as _streaming_queries  # noqa: F401
     from ..streaming import stateful as _streaming_stateful  # noqa: F401
     from ..streaming import joins as _streaming_joins  # noqa: F401
     from ..streaming import leaderboard as _streaming_leaderboard  # noqa: F401
     from ..streaming import reservoir as _streaming_reservoir  # noqa: F401
     from ..streaming import vacuum as _streaming_vacuum  # noqa: F401
+    from ..streaming import ivf as _streaming_ivf  # noqa: F401  (r14)
     from . import wordcount, relational, relational_ext  # noqa: F401
     return REGISTRY

@@ -147,3 +147,118 @@ def test_quant_screen_bound_dominates_exact_cosine(v, draw):
         return  # degenerate → bypass keeps the pair, trivially safe
     ub = (sum(a * b for a, b in zip(x, u)) + nx * r) / (nx * (nu - r))
     assert ub >= exact - 1e-9, (ub, exact, s, nu, r)
+
+
+# --- JPEG (r14): the lossy codec's exact and bounded layers ---------------
+
+from full_stack_big_data_spark.operators.jpeg import (  # noqa: E402
+    _source_pixels, _ycbcr_planes, coef_checksum, decode_jpeg, encode_jpeg,
+    jpeg_decode_coefficients, jpeg_pixel_array, jpeg_plan_coefficients)
+
+
+@settings(max_examples=120, deadline=None)
+@given(_payloads)
+def test_jpeg_entropy_layer_roundtrips_exactly(data):
+    """The lossless half of JPEG, proven lossless: decode∘encode must
+    recover the encoder's quantized coefficients BIT-EXACTLY for any
+    payload — markers, file-defined Huffman tables, zigzag, DC
+    prediction, ZRL/EOB runs and byte stuffing all in the loop."""
+    w, h, bw, bh, coefs = jpeg_plan_coefficients(data)
+    dw, dh, dbw, dbh, dcoefs, _q = jpeg_decode_coefficients(
+        encode_jpeg(data))
+    assert (dw, dh, dbw, dbh) == (w, h, bw, bh)
+    for comp in range(3):
+        for bi in range(bw * bh):
+            assert (dcoefs[comp][bi] == coefs[comp][bi]).all()
+
+
+@settings(max_examples=120, deadline=None)
+@given(_payloads)
+def test_jpeg_matches_bmp_geometry_for_any_payload(data):
+    """The JPEG surface agrees with the BMP decoder on geometry for
+    every payload (the shared _bmp_geometry contract), and its
+    coefficient checksum equals the plan's."""
+    w, h, bpp, _ck = decode_bmp(encode_bmp(data))
+    jw, jh, nb, jck = decode_jpeg(encode_jpeg(data))
+    assert (jw, jh) == (w, h)
+    assert nb == 3 * ((w + 7) // 8) * ((h + 7) // 8)
+    assert jck == coef_checksum(jpeg_plan_coefficients(data)[4])
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=1, max_size=200), st.data())
+def test_jpeg_scan_corruption_never_silently_misdecodes(data, draw):
+    """Flipping one byte inside the entropy-coded scan must either
+    raise (invalid code / marker / truncation) or change the decoded
+    stream to a DIFFERENT coefficient checksum that the oracle-exact
+    original would catch — a flip that leaves the checksum intact
+    while claiming success would break the entry's proof. Bits after
+    the last MCU's final code are padding — flips there decode
+    identically, so the draw targets all but the final scan byte."""
+    buf = bytearray(encode_jpeg(data))
+    sos = bytes(buf).find(b"\xff\xda")
+    (seglen,) = struct.unpack_from(">H", bytes(buf), sos + 2)
+    start, end = sos + 2 + seglen, len(buf) - 2
+    if end - start < 2:
+        return
+    orig = decode_jpeg(bytes(buf))
+    i = draw.draw(st.integers(min_value=start, max_value=end - 2))
+    flip = draw.draw(st.integers(min_value=1, max_value=255))
+    buf[i] ^= flip
+    try:
+        got = decode_jpeg(bytes(buf))
+    except ValueError:
+        return
+    assert got != orig or (buf[i] ^ flip) == buf[i]
+
+
+@settings(max_examples=100, deadline=None)
+@given(_payloads)
+def test_jpeg_pixel_error_is_bounded(data):
+    """The lossy pixel path's measured quality pin: constant-content
+    payloads (all energy in the DC coefficients) stay within the
+    DC-quantization residual — ≤3, measured exhaustively over all 256
+    byte values (luma step 16 and chroma step 17 leave ±1–2 per
+    channel, amplified ≤1.772× by the color transform) — and
+    arbitrary payloads — pseudo-random noise, JPEG's adversarial
+    worst case under Annex K's up-to-121-step high-frequency
+    quantization — stay within the measured transform-energy
+    ceiling."""
+    buf = encode_jpeg(data)
+    _w, _h, px = jpeg_pixel_array(buf)
+    _sw, _sh, spx = _source_pixels(data)
+    err = np.abs(px.astype(np.int64) - spx.astype(np.int64)).max()
+    if len(set(data)) <= 1:
+        assert err <= 3, err
+    else:
+        # measured ceiling on the fixture's content class (max observed
+        # 193 across 200+ seeds); 255 would be vacuous, 224 is not
+        assert err <= 224, err
+
+
+def test_jpeg_constant_images_within_dc_residual():
+    """Exhaustive flat-image pin: every constant byte value decodes
+    within the ≤3 DC-quantization residual, and the specific values
+    whose YCbCr channels land on quantizer multiples reconstruct
+    exactly."""
+    for v in range(256):
+        data = bytes([v]) * 96
+        _w, _h, px = jpeg_pixel_array(encode_jpeg(data))
+        _sw, _sh, spx = _source_pixels(data)
+        err = int(np.abs(px.astype(np.int64)
+                         - spx.astype(np.int64)).max())
+        assert err <= 3, (v, err)
+        if v == 0:   # black: every channel on a quantizer multiple
+            assert err == 0, (v, err)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(0, 255), st.integers(0, 255), st.integers(0, 255))
+def test_jpeg_ycbcr_fixed_point_stays_in_range(r, g, b):
+    """The integer YCbCr transform must land every channel in [0, 255]
+    after the documented clamp (the 128/256 = 0.5 coefficient can
+    reach exactly 256 pre-clamp) — the oracle replays the same clamp,
+    so this pins the shared numeric contract."""
+    px = np.array([[[r, g, b]]], dtype=np.uint8)
+    planes = _ycbcr_planes(px)
+    assert planes.min() >= 0 and planes.max() <= 255

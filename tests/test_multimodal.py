@@ -296,3 +296,22 @@ def test_decode_payload_sniffs_png_signature():
         == _decode_payload_fake(bytes(corrupt))
     truncated = _PNG_SIG + b"\x00\x01"
     assert decode_payload(truncated) == _decode_payload_fake(truncated)
+
+
+def test_decode_payload_sniffs_jpeg_soi():
+    """An 0xFFD8 SOI routes to the real baseline JPEG decoder (r14,
+    mode YCC24 — JPEG's native color space); a payload that merely
+    starts with SOI but fails the marker walk falls through to the
+    fake, exactly like the spoofed-BM and corrupt-PNG cases."""
+    from full_stack_big_data_spark.operators.jpeg import encode_jpeg
+    from full_stack_big_data_spark.operators.multimodal import (
+        _bmp_geometry, _decode_payload_fake, decode_payload)
+
+    data = b"jpeg sniff corpus payload"
+    w, h = _bmp_geometry(len(data))
+    jpg = encode_jpeg(data)
+    assert decode_payload(jpg) == (w, h, "YCC24")
+    spoofed = b"\xff\xd8not actually a jpeg stream"
+    assert decode_payload(spoofed) == _decode_payload_fake(spoofed)
+    truncated = jpg[:24]
+    assert decode_payload(truncated) == _decode_payload_fake(truncated)
