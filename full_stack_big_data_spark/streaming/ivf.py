@@ -1,0 +1,221 @@
+"""Streaming lifecycle for the IVF-cell vector store (r13 verdict
+item 6): the text and embedding-SRP families carry the full
+admit → ingest → compact → vacuum loop, but the IVF-cell store — the
+generation SemDeDup and IVFADC serve from — had persist/append/compact
+(batch) and no streaming ingest gate, no registered vacuum. This
+module closes the symmetry with two entries:
+
+* ``stream_ivf_ingest`` — each micro-batch of "today's dump" is
+  coarse-assigned with the STORED sign codebook (an index constant:
+  old assignments never invalidate) in one Arrow pass and appended as
+  a ``batch_id=<epoch>`` partition under dynamic partition overwrite —
+  the family's exactly-once recipe at both replay layers (Structured
+  Streaming's checkpoint dedups batch delivery; a replayed foreachBatch
+  REWRITES its epoch partition instead of appending — crash-replay
+  pinned in tests/test_streaming.py). The entry returns the grown
+  (vec_id, cell) membership; the oracle replays the full-corpus
+  assignment in SQL, so green proves streamed growth ≡ batch rebuild.
+
+* ``ivf_index_vacuum`` — the registered retention lifecycle
+  (``text_index_vacuum``'s five steps on the vector store): private
+  base generation → streaming ingest drain → compact fold to ONE
+  cell-partitioned gen2 (one file per cell) → VACUUM of base + epochs
+  (bytes-reclaimed asserted > 0, checkpoint preserved, both RAISED
+  inside the query) → the query batch served from the post-vacuum
+  gen2 only, through the DPP-pruned ``ivf_index_serve`` plan. The
+  oracle is ``ann_ivf_scaled``'s full pipeline, so a green hash IS
+  serve-equality after reclaim.
+
+Scale: ingest cost is one map-only Arrow assignment per batch plus a
+batch-sized partition write — zero streaming state, zero shuffles;
+compaction is one cell-keyed exchange of the index (sized by the
+index, never the corpus history); vacuum is driver-side directory ops
+on superseded generations only, between drains (quiescence is the
+caller's contract, engine/retention.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..engine.retention import vacuum_superseded
+from ..engine.session import tune_session
+from ..operators.registry import register
+from ..operators.similarity import (IVF_APPEND_MOD, _ivf_assigned,
+                                    _ivf_scaled_assign_prefix,
+                                    _ivf_scaled_oracle, ivf_index_serve)
+from .core import stream_table
+from .joins import _gate_dirs, _read_gate_output, _registered_cache
+
+# vec_id % IVF_APPEND_MOD == 0 plays "today's dump" (the ann_ivf_index_
+# append convention); the base generation indexes the rest.
+_IVF_INGEST_DIRS = _registered_cache()
+_IVF_BASE_DIRS: dict[str, str] = {}
+_IVF_VAC_DIRS = _registered_cache()
+
+
+def _ivf_base_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the PRIVATE base generation (cell-partitioned
+    (vec_id, embedding, cell) over vec_id % MOD != 0) once per
+    (process, corpus) — the corpus-side artifact a long-running ingest
+    checks nothing against but grows beside; memoized like the SRP
+    base index (production steady state: the base is built once per
+    full rebuild, not per drain)."""
+    path = _IVF_BASE_DIRS.get(sf_dir)
+    if path is not None:
+        return path
+    from ..engine.catalog import Catalog
+    from ..engine.scratch import scratch_dir
+
+    path = scratch_dir("fsbd_ivf_stream_base_")
+    e = Catalog(spark, sf_dir).embeddings
+    (_ivf_assigned(e.where(F.col("vec_id") % IVF_APPEND_MOD != 0))
+     .write.mode("overwrite").partitionBy("cell").parquet(path))
+    _IVF_BASE_DIRS[sf_dir] = path
+    return path
+
+
+def _ivf_ingest(epochs_dir: str):
+    """foreachBatch body: assign the micro-batch with the stored sign
+    codebook (one Arrow pass, no shuffle) and write it as THIS epoch's
+    partition under dynamic overwrite — a crash-replay of the same
+    batch_id rewrites the partition instead of appending."""
+    def body(batch: DataFrame, batch_id: int) -> None:
+        (_ivf_assigned(batch)
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(epochs_dir))
+    return body
+
+
+def _ivf_ingest_oracle() -> str:
+    """Grown membership replayed from source bytes: the r=1 sign-
+    codebook assignment over the FULL corpus (base residues ∪ the
+    streamed dump — together, every vector)."""
+    return _ivf_scaled_assign_prefix() + """
+SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM corpus
+"""
+
+
+def _drain_ivf_dump(spark: SparkSession, sf_dir: str, epochs_dir: str,
+                    ckpt: str) -> None:
+    """availableNow drain of the dump residue through the ingest sink."""
+    path = f"{sf_dir}/embeddings.parquet"
+    template = spark.read.parquet(path)
+    feed = (stream_table(spark, path, template)
+            .where(F.col("vec_id") % IVF_APPEND_MOD == 0)
+            .select("vec_id", "embedding"))
+    q = (feed.writeStream.foreachBatch(_ivf_ingest(epochs_dir))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+@register(
+    "stream_ivf_ingest",
+    oracle=_ivf_ingest_oracle(),
+    description="self-growing IVF-cell store: each micro-batch of the "
+                "dump coarse-assigned with the STORED sign codebook and "
+                "appended as an epoch-keyed partition (exactly-once under "
+                "both replay layers); returns the grown (vec_id, cell) "
+                "membership — oracle replays the full-corpus assignment, "
+                "so green proves streamed growth == batch rebuild",
+    tags=("streaming", "similarity", "ivf", "storage"),
+)
+def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector store's missing self-growing loop (images:
+    ``stream_phash_ingest``; text: ``stream_text_ingest``; SRP
+    buckets: ``stream_embedding_ingest``; IVF cells: this). No admit
+    decision — an INDEX ingests everything it is handed (dedup is the
+    admit gates' job); what the stream owns is the exactly-once epoch
+    mechanics and the invariant that the stored codebook, not a
+    retrain, assigns the growth — which is precisely what the
+    full-corpus assignment oracle proves, since a drifted codebook
+    would send some dump vector to a different cell than the batch
+    rebuild.
+
+    Scale: per-batch cost is one Arrow matmul over the batch + one
+    partition write; zero streaming state; the grown store is what
+    ``ivf_index_compact`` folds and ``ivf_index_vacuum`` reclaims."""
+    tune_session(spark)
+    base = _ivf_base_dir(spark, sf_dir)
+    epochs_dir, ckpt = _gate_dirs(_IVF_INGEST_DIRS, sf_dir, "ivf_ingest")
+    _drain_ivf_dump(spark, sf_dir, epochs_dir, ckpt)
+    base_rows = (spark.read.parquet(base)
+                 .select("vec_id", F.col("cell").cast("int").alias("cell")))
+    grown = _read_gate_output(spark, epochs_dir, "vec_id long, cell int")
+    return base_rows.unionByName(grown)
+
+
+def _vacuumed_ivf_gen2(spark: SparkSession, sf_dir: str) -> str:
+    """Steps 1-4 of the retention lifecycle: private base generation,
+    ingest drain into epochs, compact fold to one cell-partitioned
+    gen2 (one file per cell — the ``ivf_index_compact`` kernel over
+    base ∪ epochs), vacuum of the superseded dirs. Returns the gen2
+    path — the only directory left alive besides the checkpoint."""
+    path = _IVF_VAC_DIRS.get(sf_dir)
+    if path is not None:
+        return path
+    from ..engine.catalog import Catalog
+    from ..engine.scratch import scratch_dir
+
+    # 1. private base generation (vacuum DELETES its inputs — the
+    # memoized family artifacts must never be its victims)
+    base = scratch_dir("fsbd_ivfvac_base_")
+    e = Catalog(spark, sf_dir).embeddings
+    (_ivf_assigned(e.where(F.col("vec_id") % IVF_APPEND_MOD != 0))
+     .write.mode("overwrite").partitionBy("cell").parquet(base))
+
+    # 2. ingest drain of the dump residue
+    epochs = scratch_dir("fsbd_ivfvac_epochs_")
+    ckpt = scratch_dir("fsbd_ivfvac_ckpt_")
+    _drain_ivf_dump(spark, sf_dir, epochs, ckpt)
+
+    # 3. compact: fold base ∪ epochs into one file per cell
+    gen2 = scratch_dir("fsbd_ivfvac_gen2_")
+    base_rows = spark.read.parquet(base)
+    epoch_rows = spark.read.parquet(epochs).drop("batch_id")
+    (base_rows.unionByName(epoch_rows)
+     .repartition("cell")
+     .write.mode("overwrite").partitionBy("cell").parquet(gen2))
+
+    # 4. vacuum — asserted inside the registered query, not just run
+    stats = vacuum_superseded(required=[gen2], superseded=[base, epochs])
+    if stats["bytes_reclaimed"] <= 0:
+        raise RuntimeError("vacuum reclaimed nothing — the lifecycle "
+                           f"left no superseded bytes: {stats}")
+    if any(os.path.isdir(p) for p in (base, epochs)):
+        raise RuntimeError("vacuum left a superseded generation alive")
+    if not os.path.isdir(ckpt):
+        raise RuntimeError("vacuum ate the streaming checkpoint — "
+                           "retention contract violated")
+    _IVF_VAC_DIRS[sf_dir] = gen2
+    return gen2
+
+
+@register(
+    "ivf_index_vacuum",
+    oracle=_ivf_scaled_oracle(),
+    description="registered IVF retention lifecycle: private base "
+                "generation → streaming ingest (epochs) → compact fold to "
+                "one file per cell → VACUUM of base + epochs (bytes "
+                "reclaimed asserted > 0, checkpoint preserved) → query "
+                "batch served from the post-vacuum gen2 via the DPP-pruned "
+                "plan; oracle = the full ann_ivf_scaled pipeline, so green "
+                "= serve-equality after reclaim",
+    tags=("streaming", "storage", "similarity", "ivf"),
+)
+def ivf_index_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text_index_vacuum``'s contract on the vector store: every
+    byte the serve reads postdates the reclaim. The entry returns the
+    query batch's top-k FROM the vacuumed generation — the same
+    surface as ``ann_ivf_scaled`` — so the driver hash proves the
+    compact+vacuum chain preserved the index exactly (a lost epoch
+    row, a dropped cell directory, or a fold that double-counted a
+    replayed partition all change some query's neighbor set)."""
+    tune_session(spark)
+    gen2 = _vacuumed_ivf_gen2(spark, sf_dir)
+    return ivf_index_serve(spark, sf_dir, gen2)

@@ -1306,3 +1306,54 @@ def test_stream_reservoir_all_torn_raises_descriptive(spark, tmp_path):
     os.makedirs(empty)
     with pytest.raises(FileNotFoundError, match="no committed reservoir"):
         read_reservoir(spark, empty)
+
+
+def test_stream_ivf_ingest_epoch_replay_writes_no_duplicates(spark, tmp_path):
+    """Crash-replay idempotency for the IVF-cell growth sink (r14):
+    re-invoking the foreachBatch body with the SAME batch_id rewrites
+    that epoch's partition — the store cannot accumulate duplicate
+    assignment rows — and the assigned cell matches the batch-path
+    assignment (the stored codebook is an index constant)."""
+    from full_stack_big_data_spark.engine.catalog import Catalog
+    from full_stack_big_data_spark.operators.similarity import _ivf_assigned
+    from full_stack_big_data_spark.streaming.ivf import _ivf_ingest
+
+    e = Catalog(spark, SF_SMOKE).embeddings
+    batch = e.where((e.vec_id >= 40) & (e.vec_id < 44))
+    epochs = str(tmp_path / "epochs")
+    ingest = _ivf_ingest(epochs)
+    ingest(batch, 7)
+    once = sorted(map(tuple, spark.read.parquet(epochs)
+                      .select("vec_id", "cell").collect()))
+    ingest(batch, 7)          # the crash-replay of epoch 7
+    twice = sorted(map(tuple, spark.read.parquet(epochs)
+                       .select("vec_id", "cell").collect()))
+    assert once == twice
+    expected = sorted(map(tuple,
+                          _ivf_assigned(batch).select("vec_id", "cell")
+                          .collect()))
+    assert once == expected and len(once) == 4
+
+
+def test_ivf_vacuum_gen2_one_file_per_cell_and_superseded_gone(spark):
+    """The registered IVF retention lifecycle's storage pins: after the
+    builder runs, the gen2 generation holds exactly ONE parquet file
+    per cell directory (the compact contract), and the memoized gen2
+    is the only surviving store (the builder itself RAISES if vacuum
+    under-reclaims, so a green run already proved base+epochs died —
+    this pin re-checks the layout from outside)."""
+    import os
+    from collections import Counter
+
+    from full_stack_big_data_spark.operators.registry import load_all
+    from full_stack_big_data_spark.streaming.ivf import _IVF_VAC_DIRS
+
+    reg = load_all()
+    assert reg["ivf_index_vacuum"].builder(spark, SF_SMOKE).count() > 0
+    gen2 = _IVF_VAC_DIRS[SF_SMOKE]
+    files = Counter()
+    for dp, _dirs, fs in os.walk(gen2):
+        cell = os.path.basename(dp)
+        if cell.startswith("cell="):
+            files[cell] += sum(1 for f in fs if f.endswith(".parquet"))
+    assert files and all(v == 1 for v in files.values()), files
