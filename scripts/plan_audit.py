@@ -216,6 +216,18 @@ STREAM_STATE_BOUNDS = {
                          "generations folded to gen2 and then "
                          "RECLAIMED (engine.retention, completeness-"
                          "gated), checkpoint preserved",
+    "stream_ivf_ingest": "zero store state: each batch is one map-only "
+                         "Arrow assignment (no join at all — an index "
+                         "ingests everything; dedup is the admit "
+                         "gates' job) appended as an epoch-keyed "
+                         "partition under dynamic overwrite — growth "
+                         "on disk, not in the store",
+    "ivf_index_vacuum": "zero store state: the drain is the stateless "
+                        "map-only IVF assignment sink; the lifecycle's "
+                        "only state is ON DISK — private base + epoch "
+                        "generations folded to a one-file-per-cell "
+                        "gen2 and then RECLAIMED (engine.retention, "
+                        "completeness-gated), checkpoint preserved",
 }
 
 

@@ -197,6 +197,28 @@ PROBES = [
     ("ann_ivfpq_adc", "linear",
      "coarse cells prune the scan to probes/cells; ADC sum is the one "
      "exchange, ∝ candidates = probes × occupancy per query"),
+    # r14: the persisted IVFADC generation (build = map-only encode +
+    # cell-partitioned write, training memoized per process like the
+    # BPE artifacts; serve = DPP-pruned probes/C scan + map-side ADC
+    # fold), its append lifecycle (adds one base-training scan + one
+    # index-sized compaction exchange per rep), the JPEG codec (two
+    # map-only Arrow passes, DCT+Huffman per image, zero exchanges),
+    # and the IVF store's streaming lifecycle (fresh-dirs drains).
+    ("ann_ivfpq_index_persist", "linear",
+     "map-only encode streamed to a partitioned write; serve reads "
+     "probes/C of the 4-byte-code generation under DPP"),
+    ("ann_ivfpq_index_append", "linear",
+     "base training scan + map-side assignment writes + one "
+     "index-sized compaction exchange; serve DPP-pruned"),
+    ("multimodal_decode_jpeg", "linear",
+     "two map-only Arrow passes (render + entropy decode), zero "
+     "exchanges; per-image cost fixed by the w≤16×h≤9 geometry"),
+    ("stream_ivf_ingest", "linear",
+     "fresh-dirs drain: per-batch Arrow assignment + epoch partition "
+     "write; zero streaming state, no candidate join at all"),
+    ("ivf_index_vacuum", "linear",
+     "fresh-dirs lifecycle: base build + drain + one cell-keyed fold "
+     "exchange + driver-side reclaim + DPP-pruned serve"),
 ]
 
 # Candidate-volume ceilings for the banded families (r7 verdict item 4):
@@ -369,6 +391,12 @@ BUILDER_OVERRIDES = {
     # fresh-dirs so every rep re-runs build + drain + fold + reclaim +
     # serve, not a memoized gen2 read.
     "text_index_vacuum": _fresh_gate("text_index_vacuum"),
+    # r14: the IVF store's streaming entries memoize drains/gen2 via
+    # the registered caches — probe them fresh-dirs like their text/
+    # SRP siblings (the corpus-side base generation stays memoized,
+    # production steady state).
+    "stream_ivf_ingest": _fresh_gate("stream_ivf_ingest"),
+    "ivf_index_vacuum": _fresh_gate("ivf_index_vacuum"),
 }
 
 # NOTE: ann_ivfpq_adc enrolls in PROBES with the "linear" model — at
