@@ -98,6 +98,21 @@ SCALED = {
                                       # half has no bucket geometry
                                       # (fixed S×C codebook, candidates
                                       # come from the IVF side only)
+    "ann_ivfpq_index_persist",        # r14: the same composed geometry
+                                      # persisted — cell-partitioned
+                                      # codes store + DPP serve at
+                                      # IVF_CELLS_WIDE
+    "ann_ivfpq_index_append",         # append+compact at the same
+                                      # geometry (codebook a generation
+                                      # constant, coarse cells N/64)
+    "stream_ivf_ingest",              # per-batch assignment with the
+                                      # SAME N/64 sign codebook (an
+                                      # index constant); no candidate
+                                      # join at all — growth only
+    "ivf_index_vacuum",               # the retention lifecycle over
+                                      # the same cell-partitioned
+                                      # store; serve = ann_ivf_scaled's
+                                      # DPP plan at IVF_CELLS_WIDE
 }
 
 # Entries that reuse a knob whose graduation is already pinned by a
