@@ -219,3 +219,117 @@ def ivf_index_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     gen2 = _vacuumed_ivf_gen2(spark, sf_dir)
     return ivf_index_serve(spark, sf_dir, gen2)
+
+
+# ---------------------------------------------------------------------------
+# IVFADC codes store: streaming ingest (the composed index's capstone).
+# ---------------------------------------------------------------------------
+
+_IVFPQ_INGEST_DIRS = _registered_cache()
+_IVFPQ_BASE_DIRS: dict[str, str] = {}
+
+
+def _ivfpq_stream_base(spark: SparkSession, sf_dir: str) -> str:
+    """The IVFADC base generation a long-running codes ingest grows
+    beside: PQ codebook TRAINED on the base residues (the append
+    lifecycle's rule — codebooks are constants of the generation, not
+    of the stream), codes cell-partitioned, codebook stored inside the
+    generation. Memoized per (process, corpus) like the SRP base."""
+    path = _IVFPQ_BASE_DIRS.get(sf_dir)
+    if path is not None:
+        return path
+    from ..engine.catalog import Catalog
+    from ..engine.scratch import scratch_dir
+    from ..operators.similarity import (_ivfpq_rows,
+                                        _pq_trained_codebooks_on,
+                                        _write_pq_codebook)
+
+    path = scratch_dir("fsbd_ivfpq_stream_base_")
+    e = Catalog(spark, sf_dir).embeddings
+    base = e.where(F.col("vec_id") % IVF_APPEND_MOD != 0)
+    cb = _pq_trained_codebooks_on(spark, base)
+    (_ivfpq_rows(base, cb)
+     .write.mode("overwrite").partitionBy("cell").parquet(path))
+    _write_pq_codebook(spark, cb, path + "/_codebook")
+    _IVFPQ_BASE_DIRS[sf_dir] = path
+    return path
+
+
+def _ivfpq_ingest(epochs_dir: str, cb):
+    """foreachBatch body: coarse-assign AND PQ-encode the micro-batch
+    with the STORED codebook (one Arrow pass — the `_ivfpq_rows`
+    kernel), written as this epoch's partition under dynamic overwrite
+    (replay rewrites, never appends)."""
+    from ..operators.similarity import _ivfpq_rows
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        (_ivfpq_rows(batch, cb)
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(epochs_dir))
+    return body
+
+
+def _ivfpq_append_oracle() -> str:
+    from ..operators.similarity import _ivfpq_trained_oracle
+    return _ivfpq_trained_oracle(
+        train_where=f" AND e.vec_id % {IVF_APPEND_MOD} != 0")
+
+
+@register(
+    "stream_ivfpq_ingest",
+    oracle=_ivfpq_append_oracle(),
+    description="streaming ingest for the IVFADC codes store: each "
+                "micro-batch coarse-assigned AND PQ-encoded with the "
+                "codebook READ BACK from the base generation, appended as "
+                "epoch partitions; the query batch is then served from "
+                "base ∪ epochs — same base-trained oracle as "
+                "ann_ivfpq_index_append, so green proves streamed growth "
+                "+ serve == batch rebuild with the stored codebook",
+    tags=("streaming", "similarity", "ivf", "pq", "storage"),
+)
+def stream_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed index's lifecycle capstone: a billion-vector
+    deployment's dump arrives as a STREAM, and each batch must become
+    servable index rows — (cell, codes) — using only the generation's
+    stored artifacts (the codebook read from disk, the sign centroids
+    that are index constants). This entry drains the dump residue
+    through that path and answers the query batch from base ∪ grown
+    epochs via the shared ``_ivfpq_serve`` plan (broadcast probe set +
+    per-query LUT arrays, map-side ADC fold).
+
+    Reusing ``ann_ivfpq_index_append``'s base-trained oracle makes the
+    driver hash a three-way equivalence: streamed-ingest serve ==
+    batch append+compact serve == from-scratch rebuild with the same
+    stored codebook. Exactly-once growth is the family recipe
+    (checkpointed batch delivery × epoch-partition dynamic overwrite;
+    crash-replay pinned in tests/test_streaming.py).
+
+    Scale: per-batch cost is one Arrow matmul (coarse + PQ in a single
+    kernel) + a batch-sized partition write; zero streaming state; the
+    serve side reads 4-byte codes, never a float corpus vector."""
+    from ..operators.similarity import (_ivfpq_probe_luts,
+                                        _ivfpq_serve, _read_pq_codebook)
+
+    tune_session(spark)
+    base = _ivfpq_stream_base(spark, sf_dir)
+    cb = _read_pq_codebook(spark, base + "/_codebook")
+    epochs_dir, ckpt = _gate_dirs(_IVFPQ_INGEST_DIRS, sf_dir,
+                                  "ivfpq_ingest")
+    path = f"{sf_dir}/embeddings.parquet"
+    template = spark.read.parquet(path)
+    feed = (stream_table(spark, path, template)
+            .where(F.col("vec_id") % IVF_APPEND_MOD == 0)
+            .select("vec_id", "embedding"))
+    q = (feed.writeStream.foreachBatch(_ivfpq_ingest(epochs_dir, cb))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    base_rows = (spark.read.parquet(base)
+                 .select("vec_id", F.col("cell").cast("int").alias("cell"),
+                         "codes"))
+    grown = _read_gate_output(spark, epochs_dir,
+                              "vec_id long, cell int, codes array<bigint>")
+    idx = base_rows.unionByName(grown)
+    return _ivfpq_serve(idx, _ivfpq_probe_luts(spark, sf_dir, cb))

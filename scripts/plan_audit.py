@@ -228,6 +228,12 @@ STREAM_STATE_BOUNDS = {
                         "generations folded to a one-file-per-cell "
                         "gen2 and then RECLAIMED (engine.retention, "
                         "completeness-gated), checkpoint preserved",
+    "stream_ivfpq_ingest": "zero store state: each batch is one "
+                           "map-only Arrow pass (coarse assignment + "
+                           "PQ encode with the stored codebook) "
+                           "appended as an epoch-keyed partition "
+                           "under dynamic overwrite — growth on "
+                           "disk, not in the store",
 }
 
 

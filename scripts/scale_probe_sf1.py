@@ -397,6 +397,7 @@ BUILDER_OVERRIDES = {
     # production steady state).
     "stream_ivf_ingest": _fresh_gate("stream_ivf_ingest"),
     "ivf_index_vacuum": _fresh_gate("ivf_index_vacuum"),
+    "stream_ivfpq_ingest": _fresh_gate("stream_ivfpq_ingest"),
 }
 
 # NOTE: ann_ivfpq_adc enrolls in PROBES with the "linear" model — at

@@ -113,6 +113,10 @@ SCALED = {
                                       # the same cell-partitioned
                                       # store; serve = ann_ivf_scaled's
                                       # DPP plan at IVF_CELLS_WIDE
+    "stream_ivfpq_ingest",            # the codes store's streaming
+                                      # ingest at the same composed
+                                      # geometry (coarse N/64; PQ has
+                                      # no bucket space)
 }
 
 # Entries that reuse a knob whose graduation is already pinned by a

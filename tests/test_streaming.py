@@ -1357,3 +1357,29 @@ def test_ivf_vacuum_gen2_one_file_per_cell_and_superseded_gone(spark):
         if cell.startswith("cell="):
             files[cell] += sum(1 for f in fs if f.endswith(".parquet"))
     assert files and all(v == 1 for v in files.values()), files
+
+
+def test_stream_ivfpq_ingest_epoch_replay_writes_no_duplicates(spark, tmp_path):
+    """Crash-replay idempotency for the IVFADC codes sink (r14): same
+    batch_id → same epoch partition rewritten, and the (cell, codes)
+    rows equal the batch-path encode with the same codebook."""
+    from full_stack_big_data_spark.engine.catalog import Catalog
+    from full_stack_big_data_spark.operators.similarity import (
+        _ivfpq_rows, _pq_codebooks)
+    from full_stack_big_data_spark.streaming.ivf import _ivfpq_ingest
+
+    e = Catalog(spark, SF_SMOKE).embeddings
+    batch = e.where((e.vec_id >= 40) & (e.vec_id < 44))
+    cb = _pq_codebooks()
+    epochs = str(tmp_path / "epochs")
+    ingest = _ivfpq_ingest(epochs, cb)
+    ingest(batch, 9)
+    once = sorted((r.vec_id, r.cell, tuple(r.codes))
+                  for r in spark.read.parquet(epochs).collect())
+    ingest(batch, 9)          # the crash-replay of epoch 9
+    twice = sorted((r.vec_id, r.cell, tuple(r.codes))
+                   for r in spark.read.parquet(epochs).collect())
+    assert once == twice
+    expected = sorted((r.vec_id, r.cell, tuple(r.codes))
+                      for r in _ivfpq_rows(batch, cb).collect())
+    assert once == expected and len(once) == 4
