@@ -91,6 +91,11 @@ STREAMING_HEADLINE = [
     "stream_text_admit",
     "stream_embedding_ingest_scaled",
     "stream_reservoir_sample",
+    # r14: the IVFADC codes-store ingest tracked from birth (the r13
+    # item-7 rule applied to this round's own heavy family); the base
+    # generation's build+train stays memoized across reps — production
+    # steady state — so the number prices the drain + serve.
+    "stream_ivfpq_ingest",
 ]
 
 # Fixed sub-second canary timed once per pass: band_spread = max/min of
