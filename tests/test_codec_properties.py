@@ -190,26 +190,34 @@ def test_jpeg_matches_bmp_geometry_for_any_payload(data):
 def test_jpeg_scan_corruption_never_silently_misdecodes(data, draw):
     """Flipping one byte inside the entropy-coded scan must either
     raise (invalid code / marker / truncation) or change the decoded
-    stream to a DIFFERENT coefficient checksum that the oracle-exact
-    original would catch — a flip that leaves the checksum intact
-    while claiming success would break the entry's proof. Bits after
-    the last MCU's final code are padding — flips there decode
-    identically, so the draw targets all but the final scan byte."""
+    COEFFICIENT STREAM — a flip that decodes cleanly to the original
+    coefficients would mean the entropy layer silently absorbed
+    corruption. The assertion is on the coefficients themselves, not
+    the mod-99991 checksum: the checksum is a bounded oracle surface
+    and, like any hash, collides at ~1e-5 per corrupted stream
+    (hypothesis found such a collision — coefficients differed, both
+    summed to 91 mod 99991 — which is the checksum working as
+    designed, not the decoder misdecoding). Bits after the last MCU's
+    final code are padding — flips there decode identically, so the
+    draw targets all but the final scan byte."""
     buf = bytearray(encode_jpeg(data))
     sos = bytes(buf).find(b"\xff\xda")
     (seglen,) = struct.unpack_from(">H", bytes(buf), sos + 2)
     start, end = sos + 2 + seglen, len(buf) - 2
     if end - start < 2:
         return
-    orig = decode_jpeg(bytes(buf))
+    orig = jpeg_decode_coefficients(bytes(buf))[4]
     i = draw.draw(st.integers(min_value=start, max_value=end - 2))
     flip = draw.draw(st.integers(min_value=1, max_value=255))
     buf[i] ^= flip
     try:
-        got = decode_jpeg(bytes(buf))
+        got = jpeg_decode_coefficients(bytes(buf))[4]
     except ValueError:
         return
-    assert got != orig or (buf[i] ^ flip) == buf[i]
+    coefs_equal = len(got) == len(orig) and all(
+        np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(orig, got))
+    assert not coefs_equal or (buf[i] ^ flip) == buf[i]
 
 
 @settings(max_examples=100, deadline=None)
