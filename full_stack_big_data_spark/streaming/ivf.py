@@ -43,7 +43,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..engine.retention import vacuum_superseded
 from ..engine.session import tune_session
 from ..operators.registry import register
-from ..operators.similarity import (IVF_APPEND_MOD, _ivf_assigned,
+from ..operators.similarity import (IVF_APPEND_MOD, _cell_write_tasks,
+                                    _ivf_assigned,
                                     _ivf_scaled_assign_prefix,
                                     _ivf_scaled_oracle, ivf_index_serve)
 from .core import stream_table
@@ -71,7 +72,9 @@ def _ivf_base_dir(spark: SparkSession, sf_dir: str) -> str:
 
     path = scratch_dir("fsbd_ivf_stream_base_")
     e = Catalog(spark, sf_dir).embeddings
+    # clustered write: one file per cell (similarity.ivf_index_build)
     (_ivf_assigned(e.where(F.col("vec_id") % IVF_APPEND_MOD != 0))
+     .repartition(_cell_write_tasks(spark), "cell")
      .write.mode("overwrite").partitionBy("cell").parquet(path))
     _IVF_BASE_DIRS[sf_dir] = path
     return path
@@ -166,7 +169,9 @@ def _vacuumed_ivf_gen2(spark: SparkSession, sf_dir: str) -> str:
     # memoized family artifacts must never be its victims)
     base = scratch_dir("fsbd_ivfvac_base_")
     e = Catalog(spark, sf_dir).embeddings
+    # clustered write: one file per cell (similarity.ivf_index_build)
     (_ivf_assigned(e.where(F.col("vec_id") % IVF_APPEND_MOD != 0))
+     .repartition(_cell_write_tasks(spark), "cell")
      .write.mode("overwrite").partitionBy("cell").parquet(base))
 
     # 2. ingest drain of the dump residue
@@ -179,7 +184,7 @@ def _vacuumed_ivf_gen2(spark: SparkSession, sf_dir: str) -> str:
     base_rows = spark.read.parquet(base)
     epoch_rows = spark.read.parquet(epochs).drop("batch_id")
     (base_rows.unionByName(epoch_rows)
-     .repartition("cell")
+     .repartition(_cell_write_tasks(spark), "cell")
      .write.mode("overwrite").partitionBy("cell").parquet(gen2))
 
     # 4. vacuum — asserted inside the registered query, not just run
@@ -248,7 +253,8 @@ def _ivfpq_stream_base(spark: SparkSession, sf_dir: str) -> str:
     e = Catalog(spark, sf_dir).embeddings
     base = e.where(F.col("vec_id") % IVF_APPEND_MOD != 0)
     cb = _pq_trained_codebooks_on(spark, base)
-    (_ivfpq_rows(base, cb)
+    # clustered write: one file per cell (similarity.ivf_index_build)
+    (_ivfpq_rows(base, cb).repartition(_cell_write_tasks(spark), "cell")
      .write.mode("overwrite").partitionBy("cell").parquet(path))
     _write_pq_codebook(spark, cb, path + "/_codebook")
     _IVFPQ_BASE_DIRS[sf_dir] = path
