@@ -507,6 +507,63 @@ def ivf_cells_scaled(df: DataFrame, vec_col: str = "embedding",
     return df.withColumn("cells", _cells(F.col(vec_col)))
 
 
+def _query_batch(spark: SparkSession, sf_dir: str) -> list[tuple[int, list]]:
+    """The query batch's (vec_id, embedding) rows, driver-side. The
+    batch is the SERVING REQUEST — N_QUERIES rows by contract, never
+    corpus-sized — so this collect is O(batch) (the same bounded-
+    artifact discipline as the S·C codebook collects); the vec_id
+    predicate pushes into the parquet scan, so the fetch is a point
+    read. Motivation (guide §8 / §5): the probe-set and LUT frames
+    built FROM the batch are a few hundred rows, and building them
+    through scan → spread-exchange → Arrow UDF → crossJoin → groupBy
+    cost ~1.7 s of pure stage overhead per serve at sf0.1 (measured
+    r14, BENCHNOTES) — query-side work belongs on the query host, as
+    in any IVFADC deployment; corpus-side work stays distributed."""
+    e = Catalog(spark, sf_dir).load("embeddings", spread=False)
+    rows = (e.where(F.col("vec_id") < N_QUERIES)
+            .select("vec_id", "embedding").collect())
+    return sorted((int(r.vec_id), list(r.embedding)) for r in rows)
+
+
+def _probe_cells_np(emb, cents: np.ndarray, probes: int):
+    """(floor(x·100) int64 vector, probes nearest sign cells) for one
+    query — the ``ivf_cells_scaled`` kernel's exact arithmetic
+    (stable argsort on -dot: ties keep ascending cell id) run in
+    driver numpy over one row."""
+    q = np.floor(np.asarray(emb, dtype=np.float64) * 100.0).astype(np.int64)
+    d = q @ cents.T
+    if int(np.abs(d).max(initial=0)) >= 2**53:
+        raise ValueError("probe dot exceeds exact range")
+    order = np.argsort(-d, kind="stable")
+    return q, [int(c) for c in order[:probes]]
+
+
+def _probe_rows(spark: SparkSession, sf_dir: str,
+                probes: int = IVF_PROBES_WIDE,
+                cells: int = IVF_CELLS_WIDE) -> list[tuple]:
+    """[(query_id, embedding, cell)] — one row per probed cell of each
+    query in the batch, built driver-side (see ``_query_batch``).
+    Bit-identical to the former scan→UDF construction: the embedding
+    doubles round-trip exactly through collect/createDataFrame, and
+    the cell ranking is the same stable integer argsort."""
+    cents = _ivf_sign_centroids(cells)
+    rows = []
+    for qid, emb in _query_batch(spark, sf_dir):
+        _, pc = _probe_cells_np(emb, cents, probes)
+        rows.extend((qid, emb, c) for c in pc)
+    return rows
+
+
+def _probe_frame(spark: SparkSession, sf_dir: str,
+                 probes: int = IVF_PROBES_WIDE,
+                 cells: int = IVF_CELLS_WIDE) -> DataFrame:
+    """(query_id, qv array<double>, cell) probe-set frame over
+    ``_probe_rows``."""
+    return spark.createDataFrame(
+        _probe_rows(spark, sf_dir, probes, cells),
+        "query_id long, qv array<double>, cell int")
+
+
 def _ivf_scaled_assign_prefix(cells: int = IVF_CELLS_WIDE) -> str:
     """Shared oracle prefix for the sign-centroid codebook:
     ``ranked_cells(vec_id, cell, r)`` ranks every cell per vector by the
@@ -583,10 +640,9 @@ def ann_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).embeddings
     corpus = (ivf_cells_scaled(e, probes=1)
               .select("vec_id", "embedding", F.col("cells")[0].alias("cell")))
-    q = (ivf_cells_scaled(e.where(F.col("vec_id") < N_QUERIES),
-                          probes=IVF_PROBES_WIDE)
-         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
-                 F.explode("cells").alias("cell")))
+    # probe set built driver-side from the bounded query batch
+    # (see _query_batch) — same rows as the former scan→UDF chain
+    q = _probe_frame(spark, sf_dir)
     cand = (
         F.broadcast(q).join(corpus, "cell")
         .where(F.col("vec_id") != F.col("query_id"))
@@ -681,14 +737,17 @@ def ivf_index_build(spark: SparkSession, sf_dir: str) -> str:
 
 def ivf_index_serve(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
     """SERVE side: answer the query batch FROM the on-disk index —
-    broadcast probe set joined on the partition column, so dynamic
-    partition pruning limits the scan to probed cells."""
-    index = spark.read.parquet(path)
-    e = Catalog(spark, sf_dir).embeddings
-    q = (ivf_cells_scaled(e.where(F.col("vec_id") < N_QUERIES),
-                          probes=IVF_PROBES_WIDE)
-         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
-                 F.explode("cells").alias("cell")))
+    broadcast probe set joined on the partition column, with the
+    probed-cell list pushed as a STATIC IN-filter on the partition
+    column: the scan is pruned to probes/C of the index at PLANNING
+    time (PartitionFilters carries the IN-list — stronger than the
+    former runtime DPP subquery, possible because the driver-built
+    probe set makes the cell list a literal; plan-pinned)."""
+    rows = _probe_rows(spark, sf_dir)
+    q = spark.createDataFrame(
+        rows, "query_id long, qv array<double>, cell int")
+    probed = sorted({r[2] for r in rows})
+    index = spark.read.parquet(path).where(F.col("cell").isin(probed))
     cand = (
         F.broadcast(q).join(index, "cell")
         .where(F.col("vec_id") != F.col("query_id"))
@@ -2211,27 +2270,24 @@ def _adc_search(spark: SparkSession, sf_dir: str, cb: np.ndarray,
     """Shared ADC query path over a given codebook + code table — the
     literal (`ann_pq_adc`) and trained (`ann_pq_adc_trained`) variants
     differ ONLY in which artifacts they pass here."""
-    e = Catalog(spark, sf_dir).embeddings
     codes = code_df.select("vec_id", F.posexplode("codes").alias("sub", "cell"))
 
+    # Per-query LUT built driver-side from the bounded query batch
+    # (see _query_batch): cost(q, s, j) = |c_sj|² − 2·(q_s·c_sj) +
+    # |q_s|² over floor(x·100) integers — the exact arithmetic the
+    # former scan→crossJoin frame computed, S·C rows per query.
     n2 = (cb * cb).sum(axis=2)
-    cents = spark.createDataFrame(
-        [(s, j, [int(x) for x in cb[s, j]], int(n2[s, j]))
-         for s in range(PQ_SUBSPACES) for j in range(PQ_CELLS)],
-        "sub int, cell int, w array<bigint>, n2 bigint")
-
-    q = (e.where(F.col("vec_id") < N_QUERIES)
-         .select(F.col("vec_id").alias("query_id"),
-                 F.transform("embedding",
-                             lambda x: F.floor(x * 100).cast("bigint")).alias("qv")))
-    qs = F.slice("qv", F.col("sub") * PQ_SUBDIM + 1, PQ_SUBDIM)
-    dot = F.aggregate(F.zip_with(qs, "w", lambda a, b: a * b),
-                      F.lit(0).cast("bigint"), lambda acc, x: acc + x)
-    qn = F.aggregate(F.zip_with(qs, qs, lambda a, b: a * b),
-                     F.lit(0).cast("bigint"), lambda acc, x: acc + x)
-    lut = (q.crossJoin(cents)
-           .select("query_id", "sub", "cell",
-                   (F.col("n2") - 2 * dot + qn).alias("cost")))
+    lut_rows = []
+    for qid, emb in _query_batch(spark, sf_dir):
+        q = np.floor(np.asarray(emb, dtype=np.float64) * 100.0).astype(np.int64)
+        sub = q.reshape(PQ_SUBSPACES, PQ_SUBDIM)
+        dots = np.einsum("sd,scd->sc", sub, cb)
+        qn = (sub * sub).sum(axis=1)
+        cost = n2 - 2 * dots + qn[:, None]
+        lut_rows.extend((qid, s, j, int(cost[s, j]))
+                        for s in range(PQ_SUBSPACES) for j in range(PQ_CELLS))
+    lut = spark.createDataFrame(
+        lut_rows, "query_id long, sub int, cell int, cost bigint")
 
     adc = (codes.join(F.broadcast(lut), ["sub", "cell"])
            .where(F.col("vec_id") != F.col("query_id"))
@@ -2441,40 +2497,34 @@ def _ivfpq_probe_luts(spark: SparkSession, sf_dir: str,
     with a (S·C)-long array each — broadcast-sized by construction, so
     the candidate join ships LUTs to the data and scoring needs no
     LUT join at all (the r13 posexplode formulation's exchange,
-    deleted on measurement — BENCHNOTES r14)."""
-    n2 = (cb * cb).sum(axis=2)
-    cents = spark.createDataFrame(
-        [(s, j, [int(x) for x in cb[s, j]], int(n2[s, j]))
-         for s in range(PQ_SUBSPACES) for j in range(PQ_CELLS)],
-        "sub int, pcell int, w array<bigint>, n2 bigint")
-    e = Catalog(spark, sf_dir).embeddings
-    q = (e.where(F.col("vec_id") < N_QUERIES)
-         .select(F.col("vec_id").alias("query_id"),
-                 F.transform("embedding",
-                             lambda x: F.floor(x * 100).cast("bigint"))
-                 .alias("qv")))
-    qs = F.slice("qv", F.col("sub") * PQ_SUBDIM + 1, PQ_SUBDIM)
-    dot = F.aggregate(F.zip_with(qs, "w", lambda a, b: a * b),
-                      F.lit(0).cast("bigint"), lambda acc, x: acc + x)
-    qn = F.aggregate(F.zip_with(qs, qs, lambda a, b: a * b),
-                     F.lit(0).cast("bigint"), lambda acc, x: acc + x)
-    # queries × S·C cost rows folded to one array per query: array_sort
-    # on struct(i, cost) orders by the unique flat index i, so the
-    # transform projects costs in LUT order deterministically.
-    lut = (q.crossJoin(cents)
-           .select("query_id", "sub", "pcell",
-                   (F.col("n2") - 2 * dot + qn).alias("cost"))
-           .groupBy("query_id")
-           .agg(F.transform(
-               F.array_sort(F.collect_list(F.struct(
-                   (F.col("sub") * PQ_CELLS + F.col("pcell")).alias("i"),
-                   F.col("cost")))),
-               lambda s: s.getField("cost")).alias("lut")))
-    qp = (ivf_cells_scaled(e.where(F.col("vec_id") < N_QUERIES),
-                           probes=IVF_PROBES_WIDE)
-          .select(F.col("vec_id").alias("query_id"),
-                  F.explode("cells").alias("cell")))
-    return qp.join(lut, "query_id")
+    deleted on measurement — BENCHNOTES r14). Built DRIVER-SIDE from
+    the bounded query batch (see ``_query_batch``): lut[s·C + j] =
+    |c_sj|² − 2·(q_s·c_sj) + |q_s|² over the floor(x·100) integers —
+    the exact arithmetic the former crossJoin/zip_with frame computed,
+    now one numpy pass per query instead of a 4-stage Spark job."""
+    return _ivfpq_probe_luts_and_cells(spark, sf_dir, cb)[0]
+
+
+def _ivfpq_probe_luts_and_cells(
+        spark: SparkSession, sf_dir: str,
+        cb: np.ndarray) -> tuple[DataFrame, list[int]]:
+    """(probe-LUT frame, sorted distinct probed cells) — the cell list
+    feeds the serve side's STATIC partition IN-filter (see
+    ``ivf_index_serve``)."""
+    cents = _ivf_sign_centroids(IVF_CELLS_WIDE)
+    n2 = (cb * cb).sum(axis=2)                       # (S, C) int64
+    rows = []
+    for qid, emb in _query_batch(spark, sf_dir):
+        q, pc = _probe_cells_np(emb, cents, IVF_PROBES_WIDE)
+        sub = q.reshape(PQ_SUBSPACES, PQ_SUBDIM)
+        dots = np.einsum("sd,scd->sc", sub, cb)      # (S, C)
+        qn = (sub * sub).sum(axis=1)                 # (S,)
+        lut = (n2 - 2 * dots + qn[:, None]).reshape(-1)
+        lut_list = [int(x) for x in lut]
+        rows.extend((qid, c, lut_list) for c in pc)
+    frame = spark.createDataFrame(
+        rows, "query_id long, cell int, lut array<bigint>")
+    return frame, sorted({r[1] for r in rows})
 
 
 def _adc_fold(codes_col, lut_col) -> F.Column:
@@ -2793,8 +2843,12 @@ def ivfpq_index_serve(spark: SparkSession, sf_dir: str,
     PARTITION column, so dynamic partition pruning limits the scan to
     probed cells; scoring is the map-side ``_adc_fold``."""
     cb = _read_pq_codebook(spark, path + "/_codebook")
-    return _ivfpq_serve(spark.read.parquet(path),
-                        _ivfpq_probe_luts(spark, sf_dir, cb))
+    probes, probed = _ivfpq_probe_luts_and_cells(spark, sf_dir, cb)
+    # static partition pruning: the probed-cell list is a literal, so
+    # the codes scan carries it as a planning-time PartitionFilter
+    # (see ivf_index_serve)
+    idx = spark.read.parquet(path).where(F.col("cell").isin(probed))
+    return _ivfpq_serve(idx, probes)
 
 
 @register(

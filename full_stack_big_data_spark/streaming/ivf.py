@@ -315,7 +315,7 @@ def stream_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per-batch cost is one Arrow matmul (coarse + PQ in a single
     kernel) + a batch-sized partition write; zero streaming state; the
     serve side reads 4-byte codes, never a float corpus vector."""
-    from ..operators.similarity import (_ivfpq_probe_luts,
+    from ..operators.similarity import (_ivfpq_probe_luts_and_cells,
                                         _ivfpq_serve, _read_pq_codebook)
 
     tune_session(spark)
@@ -332,10 +332,16 @@ def stream_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+    probes, probed = _ivfpq_probe_luts_and_cells(spark, sf_dir, cb)
+    # static partition pruning on the base generation's cell dirs
+    # (similarity.ivf_index_serve); the epoch side is batch_id-
+    # partitioned, so the cell filter prunes its row groups instead
     base_rows = (spark.read.parquet(base)
+                 .where(F.col("cell").isin(probed))
                  .select("vec_id", F.col("cell").cast("int").alias("cell"),
                          "codes"))
-    grown = _read_gate_output(spark, epochs_dir,
-                              "vec_id long, cell int, codes array<bigint>")
+    grown = (_read_gate_output(spark, epochs_dir,
+                               "vec_id long, cell int, codes array<bigint>")
+             .where(F.col("cell").isin(probed)))
     idx = base_rows.unionByName(grown)
-    return _ivfpq_serve(idx, _ivfpq_probe_luts(spark, sf_dir, cb))
+    return _ivfpq_serve(idx, probes)

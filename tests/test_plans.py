@@ -355,12 +355,15 @@ def test_shuffle_audit_metric_extraction(spark, reg):
     assert r2["shuffled"] == 0 and r2["exchanges"] == 0, r2
 
 
-def test_ivf_persisted_index_serve_uses_dynamic_partition_pruning(spark):
+def test_ivf_persisted_index_serve_uses_static_partition_pruning(spark):
     """ann_ivf_index_persist stores the corpus cell-clustered and joins
     the broadcast probe set on the PARTITION column: the index scan
-    must carry a dynamicpruning PartitionFilter so a serve reads only
-    the probed cells' files (probes/C of the corpus) — the on-disk
-    twin of the in-query variant's probes/C memory scan."""
+    must carry the probed-cell IN-list as a PartitionFilter so a serve
+    reads only the probed cells' files (probes/C of the corpus) — the
+    on-disk twin of the in-query variant's probes/C memory scan.
+    STATIC since r14: the driver-built probe set makes the cell list a
+    literal, so pruning happens at planning time (strictly stronger
+    than the former runtime dynamicpruning subquery)."""
     from full_stack_big_data_spark.operators.registry import load_all
 
     reg = load_all()
@@ -369,19 +372,18 @@ def test_ivf_persisted_index_serve_uses_dynamic_partition_pruning(spark):
     idx_scans = [l for l in plan.splitlines()
                  if "fsbd_ivf_index" in l and "FileScan" in l]
     assert idx_scans, "index scan not found in plan"
-    assert any("dynamicpruning" in l and "PartitionFilters" in l
+    assert any("PartitionFilters" in l and ("INSET" in l or " IN (" in l)
                for l in idx_scans), idx_scans[0][:500]
 
 
-def test_ivfpq_persisted_serve_dpp_and_no_generate(spark):
-    """ann_ivfpq_index_persist's serve plan must (1) carry a
-    dynamicpruning PartitionFilter on the codes scan — a query batch
-    reads only probed cells' files, probes/C of the 4-byte-code index —
+def test_ivfpq_persisted_serve_static_pruning_and_no_generate(spark):
+    """ann_ivfpq_index_persist's serve plan must (1) carry the
+    probed-cell IN-list as a PartitionFilter on the codes scan — a
+    query batch reads only probed cells' files, probes/C of the
+    4-byte-code index (STATIC since r14, see the ivf pin above) —
     and (2) contain NO posexplode: r14's map-side ``_adc_fold``
     replaced the per-candidate code fan-out, so scoring is pure
-    projection between the broadcast join and the top-k (the one
-    remaining Generate is the probe-set's queries×probes explode —
-    bounded by the query batch, never by candidates)."""
+    projection between the broadcast join and the top-k."""
     from full_stack_big_data_spark.operators.registry import load_all
 
     reg = load_all()
@@ -390,7 +392,7 @@ def test_ivfpq_persisted_serve_dpp_and_no_generate(spark):
     idx_scans = [l for l in plan.splitlines()
                  if "fsbd_ivfpq_index" in l and "FileScan" in l]
     assert idx_scans, "codes scan not found in plan"
-    assert any("dynamicpruning" in l and "PartitionFilters" in l
+    assert any("PartitionFilters" in l and ("INSET" in l or " IN (" in l)
                for l in idx_scans), idx_scans[0][:500]
     assert "posexplode" not in plan, "code fan-out resurfaced in ADC path"
 
@@ -433,12 +435,12 @@ def test_phash_signature_pred_filters_below_the_arrow_stages(spark):
     assert min(filt_idx) > max(map_idx), plan[:1500]
 
 
-def test_ivf_appended_index_serve_uses_dynamic_partition_pruning(spark):
+def test_ivf_appended_index_serve_uses_static_partition_pruning(spark):
     """The appended-and-compacted index generation must serve exactly
     like the from-scratch one: broadcast probe set joined on the
-    partition column with a dynamicpruning PartitionFilter, so a serve
-    reads only the probed cells' files no matter how many dumps were
-    appended."""
+    partition column with the probed-cell IN-list as a PartitionFilter
+    (static since r14), so a serve reads only the probed cells' files
+    no matter how many dumps were appended."""
     from pyspark.sql import functions as F
     from full_stack_big_data_spark.engine.catalog import Catalog
     from full_stack_big_data_spark.engine.scratch import scratch_dir
@@ -458,7 +460,7 @@ def test_ivf_appended_index_serve_uses_dynamic_partition_pruning(spark):
     idx_scans = [l for l in plan.splitlines()
                  if "gen2" in l and "FileScan" in l]
     assert idx_scans, "appended index scan not found in plan"
-    assert any("dynamicpruning" in l and "PartitionFilters" in l
+    assert any("PartitionFilters" in l and ("INSET" in l or " IN (" in l)
                for l in idx_scans), idx_scans[0][:500]
 
 
