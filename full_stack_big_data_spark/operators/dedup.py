@@ -995,18 +995,25 @@ def min_label_components(pairs: DataFrame, a: str = "doc_a",
         nbr_min = (edges.join(labels.withColumnRenamed("node", "src"), "src")
                    .groupBy(F.col("dst").alias("node"))
                    .agg(F.min("lbl").alias("nbr_lbl")))
+        # the change flag rides IN the label frame (chg = some neighbor
+        # label beat ours), so convergence detection is a scan of the
+        # just-materialized blocks instead of a join of two rounds'
+        # frames — one fewer join + exchange per round (guide §2.4)
         new_labels = (labels.join(nbr_min, "node", "left")
-                      .select("node", F.least("lbl", F.coalesce("nbr_lbl", "lbl"))
-                              .alias("lbl"))
+                      .select("node",
+                              F.least("lbl", F.coalesce("nbr_lbl", "lbl"))
+                              .alias("lbl"),
+                              (F.col("nbr_lbl") < F.col("lbl"))
+                              .cast("int").alias("chg"))
                       .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .where(F.col("n.lbl") != F.col("o.lbl"))
-                   .limit(1).count())
+        changed = new_labels.where(F.col("chg") == 1).limit(1).count()
         # the superseded round's blocks are never read again (the
-        # `changed` count above was their last reader) — free them now
+        # propagation join above was their last reader) — free them now
         # rather than leaking until driver GC (clearCache can't see
-        # localCheckpoint blocks)
+        # localCheckpoint blocks). new_labels keeps the chg column
+        # (an int per node) — dropping it would wrap the checkpoint in
+        # a Project and _free_local_checkpoint could no longer reach
+        # the LogicalRDD to unpersist; every consumer ignores it.
         _free_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
