@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import ArrayType, IntegerType, LongType
 
 from ..engine.catalog import Catalog
+from ..engine.localdf import local_df
 from ..functions import observability
 from ..functions.skew import grouped_topk
 from ..functions.vectors import cosine_sim
@@ -559,8 +560,8 @@ def _probe_frame(spark: SparkSession, sf_dir: str,
                  cells: int = IVF_CELLS_WIDE) -> DataFrame:
     """(query_id, qv array<double>, cell) probe-set frame over
     ``_probe_rows``."""
-    return spark.createDataFrame(
-        _probe_rows(spark, sf_dir, probes, cells),
+    return local_df(
+        spark, _probe_rows(spark, sf_dir, probes, cells),
         "query_id long, qv array<double>, cell int")
 
 
@@ -744,8 +745,8 @@ def ivf_index_serve(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
     former runtime DPP subquery, possible because the driver-built
     probe set makes the cell list a literal; plan-pinned)."""
     rows = _probe_rows(spark, sf_dir)
-    q = spark.createDataFrame(
-        rows, "query_id long, qv array<double>, cell int")
+    q = local_df(
+        spark, rows, "query_id long, qv array<double>, cell int")
     probed = sorted({r[2] for r in rows})
     index = spark.read.parquet(path).where(F.col("cell").isin(probed))
     cand = (
@@ -884,7 +885,7 @@ def _neardup_broadcast(spark: SparkSession, src: DataFrame,
     pdf_all = (build if build is not None else src).toPandas()
     ids_all = pdf_all["vec_id"].to_numpy(dtype=np.int64)
     if not len(ids_all):  # empty corpus: no pairs (np.stack rejects [])
-        return spark.createDataFrame([], _NEARDUP_SCHEMA)
+        return local_df(spark, [], _NEARDUP_SCHEMA)
     mat_all = np.stack(pdf_all["embedding"].to_numpy()).astype(np.float64)
     bc = spark.sparkContext.broadcast((ids_all, mat_all))
     thresh, margin = NEARDUP_COS, 1e-6
@@ -934,8 +935,9 @@ def _neardup_blockpair(spark: SparkSession, src: DataFrame,
         src.groupBy(blk.alias("blk"))
         .agg(F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))).alias("pk"))
     )
-    pairs = spark.createDataFrame(
-        [(i, j) for i in range(nblk) for j in range(i, nblk)], "ba int, bb int")
+    pairs = local_df(
+        spark, [(i, j) for i in range(nblk) for j in range(i, nblk)],
+        "ba int, bb int")
     joined = (
         F.broadcast(pairs)
         .join(packed.select(F.col("blk").alias("ba"), F.col("pk").alias("pa")), "ba")
@@ -2286,8 +2288,8 @@ def _adc_search(spark: SparkSession, sf_dir: str, cb: np.ndarray,
         cost = n2 - 2 * dots + qn[:, None]
         lut_rows.extend((qid, s, j, int(cost[s, j]))
                         for s in range(PQ_SUBSPACES) for j in range(PQ_CELLS))
-    lut = spark.createDataFrame(
-        lut_rows, "query_id long, sub int, cell int, cost bigint")
+    lut = local_df(
+        spark, lut_rows, "query_id long, sub int, cell int, cost bigint")
 
     adc = (codes.join(F.broadcast(lut), ["sub", "cell"])
            .where(F.col("vec_id") != F.col("query_id"))
@@ -2522,8 +2524,8 @@ def _ivfpq_probe_luts_and_cells(
         lut = (n2 - 2 * dots + qn[:, None]).reshape(-1)
         lut_list = [int(x) for x in lut]
         rows.extend((qid, c, lut_list) for c in pc)
-    frame = spark.createDataFrame(
-        rows, "query_id long, cell int, lut array<bigint>")
+    frame = local_df(
+        spark, rows, "query_id long, cell int, lut array<bigint>")
     return frame, sorted({r[1] for r in rows})
 
 
@@ -2730,11 +2732,12 @@ def _pq_artifact_dir(spark: SparkSession, sf_dir: str) -> str:
 
     path = scratch_dir("fsbd_pq_artifact_")
     cb = _pq_trained_codebooks(spark, sf_dir)
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(s, j, [int(x) for x in cb[s, j]])
          for s in range(PQ_SUBSPACES) for j in range(PQ_CELLS)],
         "sub int, cell int, w array<bigint>",
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/codebook")
+    ).write.mode("overwrite").parquet(path + "/codebook")
     # The corpus codes are the index payload (4 bytes/vector at scale);
     # map-only encode streamed straight to parquet, no shuffle.
     (pq_codes(spark, sf_dir, cb)
@@ -2806,11 +2809,12 @@ def _write_pq_codebook(spark: SparkSession, cb: np.ndarray,
     """Store a codebook as the (sub, cell, w) parquet artifact — S·C
     rows, one file; written INSIDE an index generation so the
     generation is self-describing."""
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(s, j, [int(x) for x in cb[s, j]])
          for s in range(PQ_SUBSPACES) for j in range(PQ_CELLS)],
         "sub int, cell int, w array<bigint>",
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    ).write.mode("overwrite").parquet(path)
 
 
 def ivfpq_index_build(spark: SparkSession, sf_dir: str) -> str:
@@ -3216,7 +3220,7 @@ def emb_cell_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _ivf_centroids()
     cent_rows = [(int(j), [int(x) for x in cents[j]])
                  for j in range(IVF_CELLS)]
-    cdf = spark.createDataFrame(cent_rows, "cell int, w array<bigint>")
+    cdf = local_df(spark, cent_rows, "cell int, w array<bigint>")
     e = Catalog(spark, sf_dir).embeddings
     xq = F.transform(F.col("embedding").cast("array<double>"),
                      lambda c: F.floor(c * 100).cast("long"))

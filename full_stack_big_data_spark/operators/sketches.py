@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..engine.catalog import Catalog
+from ..engine.localdf import local_df
 from ..functions.hashing import hex64, hex64_sql
 from ..functions.text import token_ngrams_sql, tokens_sql
 from .dedup import _shingled
@@ -322,7 +323,7 @@ def _cms_probe_report(spark: SparkSession, toks: DataFrame,
     aggregate), and the corpus size read off the sketch itself (row 0's
     cells partition all token occurrences), so serving adds no extra
     corpus pass."""
-    probes = spark.createDataFrame([(t,) for t in CMS_PROBES], "token string")
+    probes = local_df(spark, [(t,) for t in CMS_PROBES], "token string")
     prb = probes.select("token", F.explode(F.array(*[
         F.struct(F.lit(r).alias("r"), _cms_bucket(F.col("token"), r).alias("b"))
         for r in range(CMS_ROWS)])).alias("rb")).select("token", "rb.r", "rb.b")

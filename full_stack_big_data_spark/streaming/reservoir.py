@@ -42,6 +42,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..engine.localdf import local_df
 from ..engine.retention import _is_committed
 from ..engine.session import tune_session
 from ..functions.hashing import hex64, hex64_sql
@@ -117,8 +118,8 @@ def _reservoir_body(state_root: str, k: int = RESERVOIR_K):
             prev = ss.read.parquet(
                 os.path.join(state_root, f"v={versions[-1]}"))
         else:
-            prev = ss.createDataFrame(
-                [], "doc_id long, n_chars int, race_key bigint")
+            prev = local_df(
+                ss, [], "doc_id long, n_chars int, race_key bigint")
         out = os.path.join(state_root, f"v={batch_id}")
         (_merge_reservoir(prev, keyed, k)
          .coalesce(1).write.mode("overwrite").parquet(out))
@@ -245,8 +246,8 @@ def _weighted_reservoir_body(state_root: str, k: int = WEIGHTED_RES_K):
             prev = ss.read.parquet(
                 os.path.join(state_root, f"v={versions[-1]}"))
         else:
-            prev = ss.createDataFrame(
-                [], "doc_id long, n_chars int, race_key double")
+            prev = local_df(
+                ss, [], "doc_id long, n_chars int, race_key double")
         out = os.path.join(state_root, f"v={batch_id}")
         (_merge_reservoir(prev, keyed, k)
          .coalesce(1).write.mode("overwrite").parquet(out))
