@@ -122,10 +122,19 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    edges_deg = edges.join(deg, "src").persist()
+    # Persist the loop invariants PRE-PARTITIONED on their join keys
+    # (explicit count: an AQE-coalesced keyed repartition would cache a
+    # partitioning the per-round shuffles no longer match). The cached
+    # hash layout satisfies every iteration's join/anti-join required
+    # distribution, so EnsureRequirements drops the per-round Sort +
+    # Exchange on the cached side — the in-memory form of the bucketed
+    # edges_deg refinement described below (guide §2.4/§3.4): only the
+    # rank table moves per round.
+    part = spark.sparkContext.defaultParallelism
+    edges_deg = edges.join(deg, "src").repartition(part, "src").persist()
     nodes = (edges_deg.select(F.col("src").alias("u"))
              .union(edges_deg.select(F.col("dst").alias("u")))
-             .distinct().persist())
+             .distinct().repartition(part, "u").persist())
     nn = nodes.count()  # catalog scalar: |V|, needed in the rank constants
     if nn == 0:  # empty graph: no nodes, no ranks (guards the // nn below)
         return nodes.select(F.col("u").alias("user_id"),
