@@ -2272,29 +2272,30 @@ def _adc_search(spark: SparkSession, sf_dir: str, cb: np.ndarray,
     """Shared ADC query path over a given codebook + code table — the
     literal (`ann_pq_adc`) and trained (`ann_pq_adc_trained`) variants
     differ ONLY in which artifacts they pass here."""
-    codes = code_df.select("vec_id", F.posexplode("codes").alias("sub", "cell"))
-
     # Per-query LUT built driver-side from the bounded query batch
     # (see _query_batch): cost(q, s, j) = |c_sj|² − 2·(q_s·c_sj) +
-    # |q_s|² over floor(x·100) integers — the exact arithmetic the
-    # former scan→crossJoin frame computed, S·C rows per query.
+    # |q_s|² over floor(x·100) integers, flattened to one S·C array per
+    # query and folded map-side over each vector's codes (``_adc_fold``,
+    # the ``_ivfpq_serve`` shape) — the former posexplode→LUT-join→
+    # groupBy chain fanned every vector to S rows through an exchange
+    # for the same integer sum; integer addition is exact and
+    # order-free, so adc_x is bit-identical.
     n2 = (cb * cb).sum(axis=2)
-    lut_rows = []
+    rows = []
     for qid, emb in _query_batch(spark, sf_dir):
         q = np.floor(np.asarray(emb, dtype=np.float64) * 100.0).astype(np.int64)
         sub = q.reshape(PQ_SUBSPACES, PQ_SUBDIM)
         dots = np.einsum("sd,scd->sc", sub, cb)
         qn = (sub * sub).sum(axis=1)
-        cost = n2 - 2 * dots + qn[:, None]
-        lut_rows.extend((qid, s, j, int(cost[s, j]))
-                        for s in range(PQ_SUBSPACES) for j in range(PQ_CELLS))
-    lut = local_df(
-        spark, lut_rows, "query_id long, sub int, cell int, cost bigint")
+        cost = (n2 - 2 * dots + qn[:, None]).reshape(-1)
+        rows.append((qid, [int(x) for x in cost]))
+    luts = local_df(spark, rows, "query_id long, lut array<bigint>")
 
-    adc = (codes.join(F.broadcast(lut), ["sub", "cell"])
+    adc = (code_df.select("vec_id", "codes")
+           .crossJoin(F.broadcast(luts))
            .where(F.col("vec_id") != F.col("query_id"))
-           .groupBy("query_id", "vec_id")
-           .agg(F.sum("cost").cast("bigint").alias("adc_x")))
+           .select("query_id", "vec_id",
+                   _adc_fold(F.col("codes"), F.col("lut")).alias("adc_x")))
     return (grouped_topk(adc, ["query_id"],
                          [F.asc("adc_x"), F.asc("vec_id")],
                          TOP_K, F.col("vec_id"))

@@ -397,6 +397,23 @@ def test_ivfpq_persisted_serve_static_pruning_and_no_generate(spark):
     assert "posexplode" not in plan, "code fan-out resurfaced in ADC path"
 
 
+def test_pq_adc_full_scan_is_fold_not_fanout(spark):
+    """The full-scan ADC family (`_adc_search`: ann_pq_adc /
+    _trained / ann_pq_persist) scores with the map-side ``_adc_fold``
+    too (r14): no Generate (posexplode) fan-out of codes, no
+    HashAggregate summing S fanned rows — scoring is pure projection
+    after the broadcast of the per-query LUT arrays, and the only
+    hash-partitioned exchange left is the top-k's."""
+    from full_stack_big_data_spark.operators.registry import load_all
+
+    reg = load_all()
+    df = reg["ann_pq_adc"].builder(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan, "code fan-out resurfaced in ADC path"
+    assert "HashAggregate" not in plan, \
+        "per-(query, vec) re-aggregation resurfaced in ADC path"
+
+
 def test_phash_signature_stage_is_map_only(spark):
     """The perceptual-hash signature pipeline (render -> container
     decode -> 60-bit dHash) must be two chained Arrow passes with ZERO
