@@ -132,9 +132,22 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank table moves per round.
     part = spark.sparkContext.defaultParallelism
     edges_deg = edges.join(deg, "src").repartition(part, "src").persist()
+    # Dangling-ness (no out-degree) is a LOOP INVARIANT, so it is
+    # computed ONCE here as a boolean column of the persisted node
+    # table instead of re-deriving nodes⟕deg anti-join + rank join
+    # inside every iteration's mass aggregate: each round's dangling
+    # mass becomes filter(dang) + SUM over the cached rank frame —
+    # zero joins feeding the 1-row funnel (guide §2.4; paired
+    # order-alternating A/B won all 4 rounds, ~1.3×,
+    # scripts/adjudicate_pagerank_dangflag.py — results bit-identical).
     nodes = (edges_deg.select(F.col("src").alias("u"))
              .union(edges_deg.select(F.col("dst").alias("u")))
-             .distinct().repartition(part, "u").persist())
+             .distinct()
+             .join(deg.select(F.col("src").alias("u"),
+                              F.lit(True).alias("hasdeg")), "u", "left")
+             .withColumn("dang", F.col("hasdeg").isNull())
+             .drop("hasdeg")
+             .repartition(part, "u").persist())
     nn = nodes.count()  # catalog scalar: |V|, needed in the rank constants
     if nn == 0:  # empty graph: no nodes, no ranks (guards the // nn below)
         return nodes.select(F.col("u").alias("user_id"),
@@ -142,7 +155,6 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = (PR_D_DEN - PR_D_NUM) * PR_SCALE // (PR_D_DEN * nn)
     r = nodes.withColumn("r", F.lit(PR_SCALE // nn).cast("bigint"))
-    dangling = nodes.join(deg, nodes.u == deg.src, "left_anti")
     for _ in range(PR_ITERS):
         contrib = (
             edges_deg.join(r, edges_deg.src == r.u)
@@ -150,11 +162,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr(f"({PR_D_NUM} * r) div ({PR_D_DEN} * deg)").alias("c"))
             .groupBy("u").agg(F.sum("c").cast("bigint").alias("inc"))
         )
-        m = (dangling.join(r, "u")
+        m = (r.where("dang")
              .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("bigint").alias("m")))
         r = (
             nodes.join(contrib, "u", "left").crossJoin(F.broadcast(m))
-            .select("u",
+            .select("u", "dang",
                     (F.lit(base) + F.coalesce(F.col("inc"), F.lit(0))
                      + F.expr(f"({PR_D_NUM} * m) div ({PR_D_DEN} * {nn})"))
                     .cast("bigint").alias("r"))

@@ -640,3 +640,29 @@ def test_dedup_incremental_two_tier_artifacts(spark):
         "one-tier shingle-string payload back on a registered path"
     # both payload fetches ride the pk-partitioned point-fetch layout
     assert plan.count("PartitionFilters") >= 2, plan[:2000]
+
+
+def test_pagerank_dangling_mass_is_join_free(spark):
+    """r14: dangling-ness (no out-degree) is a loop invariant, computed
+    once as a boolean column of the persisted node table — each
+    iteration's dangling-mass aggregate must be filter + SUM over the
+    cached rank frame, with NO per-iteration anti-join (and no rank
+    join) feeding the 1-row funnel. Pinned on the analyzed plan: the
+    unrolled lineage must contain the invariant `dang` filter and zero
+    LeftAnti joins."""
+    from full_stack_big_data_spark.operators.registry import load_all
+
+    # the unrolled 3-iteration lineage overflows the engine's 100k
+    # plan-string cap, which would silently blank the assertion
+    old_cap = spark.conf.get("spark.sql.maxPlanStringLength")
+    spark.conf.set("spark.sql.maxPlanStringLength", "8000000")
+    try:
+        reg = load_all()
+        df = reg["q_pagerank"].builder(spark, SF)
+        plan = df._jdf.queryExecution().analyzed().toString()
+        assert len(plan) < 8000000, "raise the cap: plan truncated"
+        assert "LeftAnti" not in plan, \
+            "per-iteration dangling anti-join resurfaced"
+        assert "dang" in plan, "dangling flag missing from node table"
+    finally:
+        spark.conf.set("spark.sql.maxPlanStringLength", old_cap)
