@@ -76,6 +76,18 @@ HEADLINE = [
     # serve regression).
     "ann_ivfpq_adc",
     "ann_ivfpq_index_persist",
+    # r14 close: the four entries the round's registry-wide warm
+    # re-triage caught ABOVE every bench headline row (10-15 s warm
+    # minima) and then fixed — the KMV sketch pair (shingle chain
+    # re-inlined 3x by InferFiltersFromGenerate; change 9) and the
+    # SRP collision-scoring pair (interpreted HOF cosine over millions
+    # of candidate pairs + duplicated bucket-UDF eval; changes 10-11).
+    # Tracked from birth per the r13 item-7 rule so a regression in
+    # either pathology class is visible round-over-round.
+    "q_sketch_kmv",
+    "q_sketch_kmv_merge",
+    "emb_knn_graph",
+    "ann_incremental",
 ]
 
 # r13 (r12 verdict item 4): streaming representatives — the per-batch

@@ -1,17 +1,27 @@
 """Vector math over ``array<float>`` embedding columns.
 
-Pure Catalyst higher-order functions (``zip_with`` + ``aggregate``) so the
-similarity kernels run inside whole-stage codegen with no Python transfer.
-Floats are widened to double *before* any arithmetic so accumulation order
-and precision match the DuckDB oracle (which computes list_* in double).
+Two implementations of the same arithmetic:
 
-For very wide vectors or very hot loops an Arrow-batched pandas UDF using
-numpy BLAS may win; see ``operators/similarity.py`` for that variant —
-benchmarks at sf0.1 decide which one the headline query uses.
+* ``dot`` / ``l2_norm`` / ``cosine_sim_exprs`` — pure Catalyst
+  higher-order functions (``zip_with`` + ``aggregate``). Zero Python
+  transfer, but HOFs are CodegenFallback: every row interprets three
+  lambda chains and allocates the intermediate arrays, ~µs/row.
+* ``cosine_sim`` — Arrow-batched pandas UDF that replays the SAME
+  IEEE-754 operation sequence with numpy (see its docstring for the
+  bit-exactness argument). This is the default: the similarity
+  operators score millions of candidate pairs per run, and the r14
+  decomposition measured the HOF chain at ~7.6 s of the 10.8 s
+  ``emb_knn_graph`` wall at sf0.1 (2.56 M pairs), vs ~1 s Arrow.
+
+Floats are widened to double *before* any arithmetic so accumulation
+order and precision match the DuckDB oracle (which computes list_* in
+double).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, functions as F
 
 
@@ -30,10 +40,86 @@ def l2_norm(a: Column) -> Column:
                               F.lit(0.0), lambda acc, x: acc + x))
 
 
+def cosine_sim_exprs(a: Column, b: Column) -> Column:
+    """The Catalyst-expression form of :func:`cosine_sim` (kept for
+    reference and for the paired A/B adjudication; same semantics)."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom)
+
+
+def _cos_row(x, y) -> float:
+    """Per-row replay of the exact Catalyst sequence, for ragged /
+    mismatched-length pairs only (zip_with pads → NULL dot → NULL)."""
+    if len(x) != len(y):
+        return float("nan")
+    d = 0.0
+    sa = 0.0
+    sb = 0.0
+    for xi, yi in zip(x, y):
+        xd = float(xi)
+        yd = float(yi)
+        d = d + xd * yd
+        sa = sa + xd * xd
+        sb = sb + yd * yd
+    denom = np.sqrt(sa) * np.sqrt(sb)
+    return d / denom if denom > 0 else float("nan")
+
+
 def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine similarity; NULL (not an ANSI divide-by-zero crash) when
     either vector has zero norm — a zero vector has no direction, and a
     NULL similarity drops out of every top-k/threshold filter, which is
-    the only sensible semantics for degenerate embeddings."""
-    denom = l2_norm(a) * l2_norm(b)
-    return F.when(denom > 0, dot(a, b) / denom)
+    the only sensible semantics for degenerate embeddings.
+
+    Arrow-batched numpy implementation, bit-identical to the Catalyst
+    HOF form by construction: the dim loop applies the SAME IEEE-754
+    double operation sequence the ``aggregate`` fold does — per step
+    one rounded multiply then one rounded add, left to right —
+    vectorized ACROSS rows instead of along the vector, so no pairwise
+    / BLAS re-association sneaks in. float32 → float64 widening is
+    exact; ``Math.sqrt`` and ``np.sqrt`` are both correctly rounded per
+    IEEE; denom and the final divide each round once in both forms.
+    NULL propagation matches too: a NULL input row, a NULL element
+    (→ NaN dot via the oracle's own semantics) or a zero/NaN denom all
+    fail ``denom > 0`` in Catalyst and are masked to NA here (pandas
+    converts NaN to NA for the nullable Float64 return, which Spark
+    reads as NULL).
+    """
+
+    @F.pandas_udf("double")
+    def _cos(av: pd.Series, bv: pd.Series) -> pd.Series:
+        out = np.full(len(av), np.nan)
+        valid = (~av.isna() & ~bv.isna()).to_numpy()
+        if valid.any():
+            va = av[valid].to_numpy()
+            vb = bv[valid].to_numpy()
+            try:
+                A = np.stack(va).astype(np.float64)
+                B = np.stack(vb).astype(np.float64)
+            except ValueError:
+                # Ragged batch (never the fixture's fixed-dim
+                # embeddings): zip_with pads with NULL → NULL dot →
+                # when(denom>0, NULL) → NULL; replay row-at-a-time.
+                out[valid] = [_cos_row(x, y) for x, y in zip(va, vb)]
+                return pd.Series(out).astype("Float64")
+            if A.shape[1] != B.shape[1]:
+                out[valid] = [_cos_row(x, y) for x, y in zip(va, vb)]
+                return pd.Series(out).astype("Float64")
+            d = np.zeros(len(A))
+            sa = np.zeros(len(A))
+            sb = np.zeros(len(A))
+            for i in range(A.shape[1]):
+                ai = A[:, i]
+                bi = B[:, i]
+                d = d + ai * bi
+                sa = sa + ai * ai
+                sb = sb + bi * bi
+            denom = np.sqrt(sa) * np.sqrt(sb)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = np.where(denom > 0, d / denom, np.nan)
+            out[valid] = c
+        # Float64 (masked) turns NaN into NA → SQL NULL, matching
+        # when(denom > 0, ...)'s else-NULL branch.
+        return pd.Series(out).astype("Float64")
+
+    return _cos(a, b)

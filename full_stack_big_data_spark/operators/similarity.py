@@ -147,6 +147,13 @@ def srp_buckets(df: DataFrame, vec_col: str = "embedding",
     0.4 neighbors); the 64× probe (scripts/scale_probe_embeddings.py)
     runs 8×12-bit against the same corpus to demonstrate the scaling.
     """
+    return df.withColumn("buckets",
+                         _srp_bucket_udf(tables, bits)(F.col(vec_col)))
+
+
+def _srp_bucket_udf(tables: int = SRP_TABLES, bits: int = SRP_BITS):
+    """The Arrow-batched SRP bucketing UDF itself (one matmul per
+    batch; see :func:`srp_buckets` for the operating-point contract)."""
     planes = _srp_hyperplanes(tables, bits)  # captured in the UDF closure
 
     @F.pandas_udf(ArrayType(IntegerType()))
@@ -162,7 +169,31 @@ def srp_buckets(df: DataFrame, vec_col: str = "embedding",
         )
         return pd.Series(list(out.astype(np.int32)))
 
-    return df.withColumn("buckets", _buckets(F.col(vec_col)))
+    return _buckets
+
+
+def srp_bucket_rows(df: DataFrame, vec_col: str = "embedding",
+                    tables: int = SRP_TABLES, bits: int = SRP_BITS,
+                    keep: tuple[str, ...] = ("vec_id",)) -> DataFrame:
+    """(*keep, table_id, bucket) — one row per (vector, hash table),
+    with the bucket UDF call INSIDE the generator.
+
+    Exploding a projected ``buckets`` column lets Spark 4's
+    InferFiltersFromGenerate infer ``size(buckets)>0 AND isnotnull`` on
+    the generator's bare-attribute input, and filter pushdown then
+    duplicates the ArrowEvalPython below that filter — the SRP matmul
+    and a Python-worker round trip evaluated TWICE per scan branch
+    (guide §4.4's duplicated-UDF shape; plan evidence in
+    plans/r14/emb_knn_graph_before.txt operators (3)-(7)). A PythonUDF
+    generator input is not an Attribute, so the rule skips entirely —
+    one ArrowEvalPython per branch, no inferred filter (the generator
+    drops empty/null arrays itself). Same discipline as the r14 KMV
+    shingle fix (`_shingled`), which measured 8.2x on the same rule.
+    """
+    udf = _srp_bucket_udf(tables, bits)
+    return df.select(*keep,
+                     F.posexplode(udf(F.col(vec_col)))
+                     .alias("table_id", "bucket"))
 
 
 def _srp_bucket_prefix(tables: int = SRP_TABLES,
@@ -228,11 +259,8 @@ FROM ranked WHERE rank <= {TOP_K}
     tags=("similarity", "ann", "lsh"),
 )
 def ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = srp_buckets(Catalog(spark, sf_dir).embeddings)
-    tbl = e.select(
-        "vec_id", "embedding",
-        F.posexplode("buckets").alias("table_id", "bucket"),
-    )
+    tbl = srp_bucket_rows(Catalog(spark, sf_dir).embeddings,
+                          keep=("vec_id", "embedding"))
     q = (tbl.where(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
                  "table_id", "bucket"))
@@ -1116,8 +1144,7 @@ def banded_neardup_pairs(src: DataFrame, threshold: float = NEARDUP_COS,
     # rows (tables × collisions), and towing two 64-float arrays through
     # that explosion is the memory trap (same discipline as the minhash
     # path: band rows are doc_id+bucket, shingle sets join back later).
-    buckets = (srp_buckets(src, tables=tables, bits=bits).select(
-        "vec_id", F.posexplode("buckets").alias("table_id", "bucket")))
+    buckets = srp_bucket_rows(src, tables=tables, bits=bits)
     cand = (buckets.select(F.col("vec_id").alias("vec_a"), "table_id", "bucket")
             .join(buckets, ["table_id", "bucket"])
             .where(F.col("vec_a") < F.col("vec_id"))
@@ -1193,9 +1220,7 @@ def ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     The verify joins fetch embeddings only for candidate pairs, and the
     per-new-vector top-k uses the skew-proof grouped_topk.
     """
-    e = srp_buckets(Catalog(spark, sf_dir).embeddings)
-    tbl = e.select("vec_id",
-                   F.posexplode("buckets").alias("table_id", "bucket"))
+    tbl = srp_bucket_rows(Catalog(spark, sf_dir).embeddings)
     is_new = F.col("vec_id") % ANN_INCR_MOD == ANN_INCR_REM
     newb = (tbl.where(is_new)
             .select(F.col("vec_id").alias("new_id"), "table_id", "bucket"))
@@ -1249,9 +1274,7 @@ def ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..engine.scratch import scratch_dir
 
-    e = srp_buckets(Catalog(spark, sf_dir).embeddings)
-    tbl = e.select("vec_id",
-                   F.posexplode("buckets").alias("table_id", "bucket"))
+    tbl = srp_bucket_rows(Catalog(spark, sf_dir).embeddings)
     is_new = F.col("vec_id") % ANN_INCR_MOD == ANN_INCR_REM
     path = scratch_dir("fsbd_ann_index_")
     (tbl.where(~is_new)
@@ -1382,11 +1405,10 @@ def srp_index_dir(spark: SparkSession, sf_dir: str,
         return path
     from ..engine.scratch import scratch_dir
 
-    e = srp_buckets(Catalog(spark, sf_dir).embeddings
-                    .where(F.col("vec_id") % ANN_INCR_MOD != ANN_INCR_REM),
-                    tables=tables, bits=bits)
-    tbl = e.select("vec_id",
-                   F.posexplode("buckets").alias("table_id", "bucket"))
+    tbl = srp_bucket_rows(Catalog(spark, sf_dir).embeddings
+                          .where(F.col("vec_id") % ANN_INCR_MOD
+                                 != ANN_INCR_REM),
+                          tables=tables, bits=bits)
     path = scratch_dir("fsbd_srp_admit_index_")
     tbl.write.mode("overwrite").partitionBy("table_id").parquet(path)
     _SRP_INDEX_DIRS[key] = path
@@ -3334,8 +3356,7 @@ def knn_graph_edges(src: DataFrame, k: int = KNN_K,
     ``bits`` to hold occupancy constant (the registered 16×4 default is
     right for the 2 k fixture and catastrophic at 128 k — probed)."""
     src = src.select("vec_id", "embedding")
-    buckets = (srp_buckets(src, tables=tables, bits=bits).select(
-        "vec_id", F.posexplode("buckets").alias("table_id", "bucket")))
+    buckets = srp_bucket_rows(src, tables=tables, bits=bits)
     cand = (buckets.select(F.col("vec_id").alias("src_id"), "table_id", "bucket")
             .join(buckets, ["table_id", "bucket"])
             .where(F.col("src_id") != F.col("vec_id"))

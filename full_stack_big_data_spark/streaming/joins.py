@@ -668,17 +668,16 @@ def _embedding_gate(index_path: str, payload_path: str, target_dir: str,
     overrides bits to the N/64 sizing rule against a matching index."""
     def body(batch: DataFrame, batch_id: int) -> None:
         from ..functions import observability
-        from ..operators.similarity import SRP_BITS, SRP_TABLES, srp_buckets
+        from ..operators.similarity import (SRP_BITS, SRP_TABLES,
+                                            srp_bucket_rows)
 
         ss = batch.sparkSession
         idx = (ss.read.parquet(index_path)
                .withColumnRenamed("vec_id", "old_id"))
-        nb = (srp_buckets(
+        nb = (srp_bucket_rows(
                   batch,
                   tables=tables if tables is not None else SRP_TABLES,
                   bits=bits if bits is not None else SRP_BITS)
-              .select("vec_id", F.posexplode("buckets")
-                      .alias("table_id", "bucket"))
               .persist())
         try:
             cand = (nb.join(idx, ["table_id", "bucket"])
