@@ -570,3 +570,57 @@ def test_ivfpq_composition_laws(spark):
     assert overlap, "no overlap with the full-scan top-k — vacuous"
     mism = [k for k in overlap if ivfpq[k] != full[k]]
     assert not mism, mism[:5]
+
+
+def test_arrow_cosine_bit_identical_to_hof_form(spark):
+    """r14 change 10 pin: the Arrow-batched numpy cosine_sim must be
+    BIT-identical to the Catalyst zip_with+aggregate form it replaced —
+    same left-to-right IEEE double sequence, same NULL semantics
+    (null input, zero norm, ragged lengths). A dense cross of the smoke
+    corpus catches re-association (BLAS/pairwise summation) drift; the
+    degenerate rows catch NULL-path drift."""
+    from pyspark.sql import functions as F
+    from full_stack_big_data_spark.engine.catalog import Catalog
+    from full_stack_big_data_spark.functions.vectors import (
+        cosine_sim, cosine_sim_exprs)
+
+    e = Catalog(spark, SF_SMOKE).embeddings
+    a = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("x"))
+    b = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("y"))
+    pairs = a.where("ia % 5 = 0").crossJoin(b.where("ib % 7 = 0"))
+    bad = (pairs.select(cosine_sim(F.col("x"), F.col("y")).alias("new"),
+                        cosine_sim_exprs(F.col("x"), F.col("y")).alias("old"))
+           .where("(new IS NULL) <> (old IS NULL) OR new <> old").count())
+    assert bad == 0, f"{bad} pairs diverge from the Catalyst HOF form"
+
+    degenerate = spark.createDataFrame(
+        [(1, [0.0] * 4, [1.0, 2.0, 3.0, 4.0]),   # zero norm -> NULL
+         (2, None, [1.0, 2.0, 3.0, 4.0]),        # null input -> NULL
+         (3, [1.0, 2.0], [1.0, 2.0, 3.0, 4.0]),  # ragged -> NULL
+         (4, [1.0, -2.0, 3.0, -4.0], [4.0, 3.0, 2.0, 1.0])],
+        "id int, x array<float>, y array<float>")
+    rows = degenerate.select(
+        "id", cosine_sim(F.col("x"), F.col("y")).alias("new"),
+        cosine_sim_exprs(F.col("x"), F.col("y")).alias("old")).collect()
+    for r in rows:
+        assert (r.new is None) == (r.old is None) and \
+            (r.new is None or r.new == r.old), r
+
+
+def test_srp_bucket_rows_single_udf_eval(spark):
+    """r14 change 11 pin: the bucket UDF lives INSIDE the generator, so
+    InferFiltersFromGenerate cannot infer a size()>0 filter that
+    duplicates the ArrowEvalPython below itself (the guide §4.4 shape
+    the before-plan showed: two SRP matmul evaluations per scan
+    branch). Exactly ONE ArrowEvalPython node, zero size()-filters."""
+    from full_stack_big_data_spark.engine.catalog import Catalog
+    from full_stack_big_data_spark.operators.similarity import \
+        srp_bucket_rows
+
+    df = srp_bucket_rows(Catalog(spark, SF_SMOKE).embeddings)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    tree = plan.split("\n\n")[0]  # operator tree, not the detail blocks
+    n_arrow = tree.count("ArrowEvalPython")
+    assert n_arrow == 1, f"expected 1 ArrowEvalPython, got {n_arrow}:\n{tree}"
+    assert "size(" not in plan, "inferred size() filter reappeared"
