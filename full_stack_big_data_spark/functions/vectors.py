@@ -122,4 +122,11 @@ def cosine_sim(a: Column, b: Column) -> Column:
         # when(denom > 0, ...)'s else-NULL branch.
         return pd.Series(out).astype("Float64")
 
-    return _cos(a, b)
+    # asNondeterministic: the threshold consumers filter on the cosine
+    # column (`where(cos >= t)` above the projection), and pushed-down
+    # filters referencing a UDF-computed column duplicate the
+    # ArrowEvalPython below themselves — every candidate pair scored
+    # twice (guide §4.4; the r14 duplicated-UDF audit caught `_cos` ×2
+    # in both banded deployment entries). The function is genuinely
+    # deterministic, so blocking reorder/duplication changes no result.
+    return _cos.asNondeterministic()(a, b)

@@ -360,7 +360,16 @@ def ivf_cells(df: DataFrame, vec_col: str = "embedding",
         top = order[:, :probes]
         return pd.Series(list(top.astype(np.int32)))
 
-    return df.withColumn("cells", _cells(F.col(vec_col)))
+    # asNondeterministic (guide §4.4): consumers index `cells[0]` into a
+    # join key or explode the probes — the join's inferred
+    # isnotnull(cell) constraint and the generator's inferred size()>0
+    # filter both push below the Project and duplicate this full-scan
+    # matmul (the r14 duplicated-UDF audit measured `_cells` ×4 in
+    # ann_ivf, ×2 in the scaled/IVFADC/representatives entries). The
+    # assignment is exactly deterministic, so suppressing the optimizer
+    # copy changes no result.
+    return df.withColumn("cells",
+                         _cells.asNondeterministic()(F.col(vec_col)))
 
 
 def _ivf_assign_prefix() -> str:
@@ -533,7 +542,9 @@ def ivf_cells_scaled(df: DataFrame, vec_col: str = "embedding",
         order = np.argsort(-d, axis=1, kind="stable")
         return pd.Series(list(order[:, :probes].astype(np.int32)))
 
-    return df.withColumn("cells", _cells(F.col(vec_col)))
+    # asNondeterministic: same §4.4 duplication guard as ivf_cells.
+    return df.withColumn("cells",
+                         _cells.asNondeterministic()(F.col(vec_col)))
 
 
 def _query_batch(spark: SparkSession, sf_dir: str) -> list[tuple[int, list]]:
@@ -2050,7 +2061,11 @@ def _pq_encode_udf(cb: np.ndarray | None = None):
         out = np.concatenate([codes, err[:, None]], axis=1)  # (n, S+1)
         return pd.Series(list(out.astype(np.int64)))
 
-    return _encode
+    # asNondeterministic: consumers index the codes array into filters/
+    # joins, whose inferred constraints otherwise duplicate the encoder
+    # below themselves (the r14 duplicated-UDF audit caught `_encode` ×2
+    # in emb_pq_train) — guide §4.4, deterministic in fact.
+    return _encode.asNondeterministic()
 
 
 def _pq_oracle() -> str:

@@ -164,7 +164,14 @@ def decode_tweet_avro(payload: Column, mode: str = "PERMISSIVE") -> Column:
     FAILFAST raises — the reference's T1 vs T2 semantics."""
     if mode not in ("PERMISSIVE", "FAILFAST"):
         raise ValueError(f"unknown mode {mode!r}")
-    return _decode_udf(mode)(payload)
+    # asNondeterministic (guide §4.4): the T1 drop pattern filters on
+    # a field of this UDF's struct output, and the pushed-down filter
+    # otherwise duplicates the decode (and the encode chain feeding it)
+    # below itself — the r14 duplicated-UDF audit measured decode AND
+    # encode ×2 in avro_roundtrip. Decode is deterministic in fact, so
+    # blocking the optimizer copy changes no result; it also pins
+    # FAILFAST to exactly-once evaluation per payload.
+    return _decode_udf(mode).asNondeterministic()(payload)
 
 
 # --- JSON identity serde (pure Catalyst) -------------------------------------

@@ -1,0 +1,46 @@
+"""Registry-wide duplicated-Python-UDF audit (guide §4.4): flag any
+batch plan where the same Python UDF name appears in MORE ArrowEval/
+BatchEval nodes than distinct call sites would explain — the
+InferFiltersFromGenerate / pushed-filter duplication signature."""
+import os
+import re
+import sys
+from collections import Counter
+
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+
+from full_stack_big_data_spark.engine.session import (get_spark,
+                                                      release_scoped_cache)
+from full_stack_big_data_spark.operators.registry import load_all
+
+sf = "/root/testdata/sf0.01"
+spark = get_spark(app_name="udf-dup-audit")
+spark.sparkContext.setLogLevel("ERROR")
+reg = load_all()
+flagged = []
+for n, spec in sorted(reg.items()):
+    if "streaming" in spec.tags or n.startswith("stream_"):
+        continue
+    release_scoped_cache(spark)
+    try:
+        df = spec.builder(spark, sf)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+    except Exception as e:
+        print(n, "ERR", type(e).__name__, str(e)[:80], flush=True)
+        continue
+    # detail blocks: "(k) ArrowEvalPython\nInput...\nArguments: [udf(args)#id], ..."
+    udf_calls = []
+    for m in re.finditer(
+            r"\(\d+\) (?:ArrowEvalPython|BatchEvalPython|MapInPandas|"
+            r"MapInArrow)\n(?:[^\n]*\n)*?Arguments: \[([^\]]*)\]", plan):
+        for call in re.findall(r"(\w+)\(", m.group(1)):
+            udf_calls.append(call)
+    c = Counter(udf_calls)
+    dups = {k: v for k, v in c.items() if v > 1}
+    if dups:
+        flagged.append((n, dups))
+        print(n, "DUP", dups, flush=True)
+print("FLAGGED:", len(flagged))
+spark.stop()
