@@ -84,6 +84,25 @@ def cosine_sim(a: Column, b: Column) -> Column:
     fail ``denom > 0`` in Catalyst and are masked to NA here (pandas
     converts NaN to NA for the nullable Float64 return, which Spark
     reads as NULL).
+
+    PRECONDITION — finite inputs (r14 ADVICE): the bit-identity claim
+    above covers finite embeddings (every corpus/fixture vector). For
+    NON-finite inputs the two forms diverge on one corner: ±inf
+    elements give denom = inf > 0 with a NaN ratio, which the HOF form
+    returns as NaN (sorted ABOVE all doubles by a descending top-k)
+    while this form's Float64 masking turns it into NULL (dropped by
+    threshold filters). Callers feeding unsanitized external vectors
+    must filter non-finite rows first; the engine's similarity
+    operators all consume the generated corpus tables, which are
+    finite by construction.
+
+    CALL-SITE CONSTRAINT: returned as a nondeterministic expression
+    (see below), so it is valid in Project/Filter positions only —
+    Spark's analyzer rejects nondeterministic expressions inside join
+    conditions, aggregate-function arguments and generator inputs, and
+    it blocks pushdown of unrelated filters below the projection.
+    Compute the column first (``withColumn``) if a future caller needs
+    it near one of those positions.
     """
 
     @F.pandas_udf("double")

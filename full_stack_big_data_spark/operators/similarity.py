@@ -328,6 +328,13 @@ def ivf_cells(df: DataFrame, vec_col: str = "embedding",
     batch and fails loudly instead. Ties broken by cell id. That makes
     the whole IVF pipeline deterministic and hash-exactly checkable,
     like the SRP path.
+
+    Returned as a nondeterministic expression (the §4.4 duplication
+    guard), so valid in Project/Filter positions ONLY — the analyzer
+    rejects nondeterministic expressions in join conditions, aggregate
+    arguments and generator inputs, and unrelated filters cannot push
+    below the projection (r14 ADVICE: constraint stated here so a new
+    call site fails loudly in review, not at runtime).
     """
     cents = _ivf_centroids()                              # (C, dim) int64
     n2 = (cents * cents).sum(axis=1)                      # (C,) |C_c|²
@@ -528,7 +535,9 @@ def ivf_cells_scaled(df: DataFrame, vec_col: str = "embedding",
     centroids. One integer matmul + one argsort per Arrow batch; with
     equal-norm centroids the ordering is the raw int64 dot product
     (exact: |d| ≤ 64·53·100 ≪ 2⁵³ on this corpus, asserted per batch),
-    ties broken by ascending cell id via the stable sort."""
+    ties broken by ascending cell id via the stable sort. Same
+    nondeterministic-marking and Project/Filter-only call-site
+    constraint as :func:`ivf_cells` (r14 ADVICE)."""
     cents = _ivf_sign_centroids(cells)                    # (C, dim) ±100
 
     @F.pandas_udf(ArrayType(IntegerType()))
@@ -1557,6 +1566,141 @@ def unpacked_q_col(w32):
         F.shiftright(F.shiftleft(w, 16), 16), F.shiftright(w, 16))))
 
 
+def _screen_keep_row(x, w, s) -> bool:
+    """Per-row replay of the exact Catalyst screen sequence, for
+    ragged/degenerate rows only (see :func:`quant_screen_keep_arrow`). A row
+    whose unpacked codes are shorter than the query (zip_with would pad
+    with NULL → NULL bound → dropped by the filter) returns False."""
+    # lo sign-extends via mask + sign bit, hi via arithmetic shift —
+    # replayed in plain ints (Python's >> on a signed int is arithmetic).
+    codes = []
+    for v in (int(v) for v in w):
+        lo = (v & 0xFFFF) - (1 << 16) if v & 0x8000 else v & 0xFFFF
+        hi = v >> 16  # python >> on signed int is arithmetic
+        codes.extend((lo, hi))
+    d = len(x)
+    if len(codes) < d:
+        return False
+    q = codes[:d]
+    dot = 0.0
+    sq = 0.0
+    sx = 0.0
+    for xi, qi in zip(x, q):
+        xd = float(xi)
+        qd = float(qi)
+        dot = dot + xd * qd
+        sq = sq + qd * qd
+        sx = sx + xd * xd
+    s64 = float(s)
+    dotq = s64 * dot
+    qn = s64 * np.sqrt(sq)
+    r = (0.5 * (1.0 + _QUANT_R_SLACK) * s64) * np.sqrt(float(d))
+    xn = np.sqrt(sx)
+    return bool((qn <= r)
+                or (dotq + xn * r >= NEARDUP_COS * (xn * (qn - r))))
+
+
+def quant_screen_keep(qv, w32, s):
+    """Boolean screen decision for one candidate pair — the
+    Cauchy–Schwarz upper-bound test ``(qn <= r) | (dotq + xn·r >=
+    θ·xn·(qn − r))`` the embedding gates' tier 1 applies (see
+    :func:`quantized_vec_cols` for the no-false-drops argument; the
+    expression chain lived inline in streaming/joins.py through r14 and
+    moved here, next to its pack format, unchanged).
+
+    DELIBERATELY the Catalyst HOF form: the r15 Arrow-kernel trial
+    (:func:`quant_screen_keep_arrow`, kept for reference) LOST the
+    paired order-alternating A/B 0/8 at sf0.1
+    (scripts/adjudicate_quant_screen.py — minima 0.93–0.97× of this
+    form) — at the scaled gates' candidate volume (~2k pairs × 64 dims
+    per batch) the interpreted fold is cheaper than the extra Python
+    worker round trip + per-batch UDF registration the kernel pays,
+    the same small-candidate-count economics that put
+    ``ann_brute_topk`` on the r14 watch list. NULL/ragged rows yield
+    NULL, which the gate's filter drops."""
+    from ..functions.vectors import dot, l2_norm
+
+    qarr = F.slice(unpacked_q_col(w32), 1, F.size(qv))
+    dotq = s * dot(qv, qarr)
+    qn = s * l2_norm(qarr)
+    r = (F.lit(0.5 * (1.0 + _QUANT_R_SLACK)) * s
+         * F.sqrt(F.size(qv).cast("double")))
+    xn = l2_norm(qv)
+    return ((qn <= r)                           # degenerate → bypass
+            | (dotq + xn * r >= NEARDUP_COS * (xn * (qn - r))))
+
+
+def quant_screen_keep_arrow(qv, w32, s):
+    """REFERENCE-ONLY Arrow form of :func:`quant_screen_keep` — the r15
+    trial that applied the r14 cosine-kernel mechanism (§4.2: one numpy
+    pass per Arrow batch instead of the interpreted HOF chain) to the
+    tier-1 screen, bit-identical to the Catalyst form by the same
+    replayed-IEEE construction: the dim loop applies the identical
+    double operation sequence (one rounded multiply then one rounded
+    add per step, left to right) vectorized ACROSS rows; int16→float64
+    and float32→float64 widenings are exact; each scalar multiply in
+    ``dotq``/``qn``/``r`` rounds once in the same order as the Column
+    expression tree; ``np.sqrt``/``Math.sqrt`` are both correctly
+    rounded — so the screened pair set is provably unchanged (pinned in
+    tests/test_similarity.py). MEASURED AND REJECTED for the production
+    path: 0/8 paired wins at sf0.1 (scripts/adjudicate_quant_screen.py)
+    — the gates' per-batch candidate volume is too small to amortize
+    the Python boundary crossing. Kept so the adjudication stays
+    reproducible and because the kernel becomes the right form if a
+    future operating point raises per-batch candidates by ~10×.
+    NULL/ragged rows (zip_with pads → NULL bound → dropped) return
+    False, which the ``where()`` treats identically."""
+
+    @F.pandas_udf("boolean")
+    def _keep(xv: pd.Series, wv: pd.Series, sv: pd.Series) -> pd.Series:
+        out = np.zeros(len(xv), dtype=bool)
+        valid = (~xv.isna() & ~wv.isna() & ~sv.isna()).to_numpy()
+        if valid.any():
+            xs = xv[valid].to_numpy()
+            ws = wv[valid].to_numpy()
+            ss = sv[valid].to_numpy().astype(np.float64)
+            try:
+                X = np.stack(xs).astype(np.float64)
+                W = np.stack(ws).astype(np.int64)
+            except ValueError:   # ragged batch — never the fixed-dim corpus
+                out[valid] = [_screen_keep_row(x, w, s)
+                              for x, w, s in zip(xs, ws, ss)]
+                return pd.Series(out)
+            d = X.shape[1]
+            if 2 * W.shape[1] < d:
+                out[valid] = False
+                return pd.Series(out)
+            # unpack: lo = (w<<16)>>16 sign-extended, hi = w>>16 — the
+            # exact integer arithmetic of unpacked_q_col, on int32 words
+            W32 = W.astype(np.int32)
+            lo = np.right_shift(np.left_shift(W32, 16), 16)
+            hi = np.right_shift(W32, 16)
+            Q = np.empty((W32.shape[0], 2 * W32.shape[1]), dtype=np.int32)
+            Q[:, 0::2] = lo
+            Q[:, 1::2] = hi
+            Q64 = Q[:, :d].astype(np.float64)
+            dot = np.zeros(len(X))
+            sq = np.zeros(len(X))
+            sx = np.zeros(len(X))
+            for i in range(d):
+                xi = X[:, i]
+                qi = Q64[:, i]
+                dot = dot + xi * qi
+                sq = sq + qi * qi
+                sx = sx + xi * xi
+            dotq = ss * dot
+            qn = ss * np.sqrt(sq)
+            r = (0.5 * (1.0 + _QUANT_R_SLACK) * ss) * np.sqrt(float(d))
+            xn = np.sqrt(sx)
+            with np.errstate(invalid="ignore"):
+                keep = (qn <= r) | (dotq + xn * r
+                                    >= NEARDUP_COS * (xn * (qn - r)))
+            out[valid] = keep
+        return pd.Series(out)
+
+    return _keep(qv, w32, s)
+
+
 _SRP_QUANT_PAYLOAD_DIRS: dict[str, str] = {}
 
 
@@ -2042,7 +2186,12 @@ def _pq_encode_udf(cb: np.ndarray | None = None):
     Returns a pandas UDF mapping an embedding to [code_0..code_{{S-1}},
     err_x]: per-subspace argmin of |c|² - 2·(v_s·c) over floor(x·100)
     integers (ties → lowest cell, numpy first-min == SQL ORDER BY
-    cost, cell), plus the exact reconstruction error."""
+    cost, cell), plus the exact reconstruction error. Callers mark the
+    returned UDF nondeterministic (the §4.4 duplication guard), making
+    it Project/Filter-only — the analyzer rejects nondeterministic
+    expressions in join conditions, aggregate arguments and generator
+    inputs (r14 ADVICE: stated here so a new call site fails in
+    review, not at runtime)."""
     if cb is None:
         cb = _pq_codebooks()
     n2 = (cb * cb).sum(axis=2)                             # (S, C)

@@ -169,8 +169,13 @@ def decode_tweet_avro(payload: Column, mode: str = "PERMISSIVE") -> Column:
     # otherwise duplicates the decode (and the encode chain feeding it)
     # below itself — the r14 duplicated-UDF audit measured decode AND
     # encode ×2 in avro_roundtrip. Decode is deterministic in fact, so
-    # blocking the optimizer copy changes no result; it also pins
-    # FAILFAST to exactly-once evaluation per payload.
+    # blocking the optimizer copy changes no result. This prevents
+    # OPTIMIZER-duplicated evaluation only — task retries and
+    # speculative execution can still evaluate a FAILFAST payload more
+    # than once (exactly-once per payload is not a guarantee Spark
+    # gives any UDF; r14 ADVICE). Nondeterministic expressions are
+    # also Project/Filter-only: the analyzer rejects them in join
+    # conditions, aggregate arguments and generator inputs.
     return _decode_udf(mode).asNondeterministic()(payload)
 
 

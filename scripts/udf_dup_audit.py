@@ -14,6 +14,29 @@ from full_stack_big_data_spark.engine.session import (get_spark,
                                                       release_scoped_cache)
 from full_stack_big_data_spark.operators.registry import load_all
 
+def udf_eval_names(plan: str) -> list[str]:
+    """PythonUDF result names — ``name(args)#exprId`` with balanced
+    parens — from every Python-eval node's Arguments list. Counting
+    every ``name(`` token flagged legitimate repeated builtins (cast(,
+    isnotnull() as DUPs and eroded the §4.4 signal (r14 ADVICE);
+    chained UDFs nest arbitrarily deep (avro decode(encode(...)#a)#b),
+    so a paren scanner, not a fixed-depth regex. Mirrored by
+    tests/test_udf_single_eval.py's pin."""
+    names = []
+    for m in re.finditer(
+            r"\(\d+\) (?:ArrowEvalPython|BatchEvalPython|MapInPandas|"
+            r"MapInArrow)\n(?:[^\n]*\n)*?Arguments: \[([^\]]*)\]", plan):
+        args = m.group(1)
+        for c in re.finditer(r"(\w+)\(", args):
+            depth, i = 1, c.end()
+            while i < len(args) and depth:
+                depth += {"(": 1, ")": -1}.get(args[i], 0)
+                i += 1
+            if depth == 0 and re.match(r"#\d+", args[i:]):
+                names.append(c.group(1))
+    return names
+
+
 sf = "/root/testdata/sf0.01"
 spark = get_spark(app_name="udf-dup-audit")
 spark.sparkContext.setLogLevel("ERROR")
@@ -30,14 +53,7 @@ for n, spec in sorted(reg.items()):
     except Exception as e:
         print(n, "ERR", type(e).__name__, str(e)[:80], flush=True)
         continue
-    # detail blocks: "(k) ArrowEvalPython\nInput...\nArguments: [udf(args)#id], ..."
-    udf_calls = []
-    for m in re.finditer(
-            r"\(\d+\) (?:ArrowEvalPython|BatchEvalPython|MapInPandas|"
-            r"MapInArrow)\n(?:[^\n]*\n)*?Arguments: \[([^\]]*)\]", plan):
-        for call in re.findall(r"(\w+)\(", m.group(1)):
-            udf_calls.append(call)
-    c = Counter(udf_calls)
+    c = Counter(udf_eval_names(plan))
     dups = {k: v for k, v in c.items() if v > 1}
     if dups:
         flagged.append((n, dups))

@@ -624,3 +624,52 @@ def test_srp_bucket_rows_single_udf_eval(spark):
     n_arrow = tree.count("ArrowEvalPython")
     assert n_arrow == 1, f"expected 1 ArrowEvalPython, got {n_arrow}:\n{tree}"
     assert "size(" not in plan, "inferred size() filter reappeared"
+
+
+def test_arrow_quant_screen_bit_identical_to_hof_form(spark):
+    """r15 pin: the REFERENCE Arrow quantized-screen kernel
+    (quant_screen_keep_arrow — measured and rejected for the production
+    path, kept for the adjudication) must make the BIT-identical keep
+    decision the shipping Catalyst HOF bound chain makes — same
+    left-to-right IEEE double sequence, same scalar-multiply order,
+    same int16 unpack arithmetic. NULL/ragged rows may differ only as
+    NULL-vs-False (both dropped by the gate's filter). Dense corpus
+    pairs catch re-association drift; the degenerate rows catch the
+    unpack/NULL paths."""
+    from pyspark.sql import functions as F
+    from full_stack_big_data_spark.engine.catalog import Catalog
+    from full_stack_big_data_spark.operators.similarity import (
+        quant_screen_keep, quant_screen_keep_arrow, quantized_vec_cols)
+
+    e = Catalog(spark, SF_SMOKE).embeddings
+    qz = quantized_vec_cols(e.select("vec_id", "embedding")).where(
+        "vec_id % 5 = 0")
+    x = (e.select(F.col("vec_id").alias("ix"),
+                  F.col("embedding").alias("qv"))
+         .where("ix % 7 = 0"))
+    pairs = x.crossJoin(qz)
+    args = (F.col("qv"), F.col("w32"), F.col("s"))
+    bad = (pairs.select(quant_screen_keep_arrow(*args).alias("new"),
+                        quant_screen_keep(*args).alias("old"))
+           .where("new <> coalesce(old, false)").count())
+    assert bad == 0, f"{bad} pairs diverge from the Catalyst HOF screen"
+    # the sweep must exercise both outcomes or the comparison is vacuous
+    kept = pairs.where(quant_screen_keep_arrow(*args)).count()
+    assert 0 < kept < pairs.count()
+
+    degenerate = spark.createDataFrame(
+        [(1, [0.0] * 4, [0, 0], 0.0),             # zero query + zero codes
+         (2, [1.0, 2.0, 3.0, 4.0], [65537, 65537], 1e-4),   # codes (1,1,1,1)
+         (3, [1.0, 2.0, 3.0, 4.0], [-65536, 131071], 2.0),  # negative codes
+         (4, [1.0, 2.0, 3.0, 4.0], [65537], 1.0),  # ragged: codes too short
+         (5, None, [65537, 65537], 1.0),           # null query
+         (6, [1.0, -1.0], [virt := 0x7FFF7FFF, virt], 3.05e-5)],  # int16 max
+        "id int, qv array<float>, w32 array<int>, s float")
+    rows = degenerate.select(
+        "id", quant_screen_keep_arrow(F.col("qv"), F.col("w32"),
+                                      F.col("s")).alias("new"),
+        quant_screen_keep(F.col("qv"), F.col("w32"),
+                          F.col("s")).alias("old")).collect()
+    for r in rows:
+        old = bool(r.old) if r.old is not None else False
+        assert r.new == old, r
