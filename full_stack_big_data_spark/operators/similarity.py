@@ -44,7 +44,8 @@ from ..engine.catalog import Catalog
 from ..engine.localdf import local_df
 from ..functions import observability
 from ..functions.skew import grouped_topk
-from ..functions.vectors import cosine_sim
+from ..functions.vectors import (cosine_sim, cosine_sim_exprs,
+                                 cosine_sim_zerocopy)
 from .registry import register
 
 N_QUERIES = 5          # vec_id < 5 are the query vectors
@@ -88,10 +89,17 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).embeddings
     q = (e.where(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")))
+    # Catalyst HOF cosine for THIS consumer (r15, closing the r14 watch
+    # item): at N_QUERIES×corpus ≈ 12.5k scored pairs the Python
+    # boundary never amortizes — 3-variant paired A/B minima: HOF
+    # 0.537s vs Arrow-pandas 0.691s vs zero-copy 0.749s, HOF winning
+    # every rep (scripts/adjudicate_brute_topk_cosine.py; md5-equal).
+    # The corpus-scale scorers stay on the Arrow kernels.
     scored = (
         F.broadcast(q).join(e, F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                cosine_sim(F.col("embedding"), F.col("qv")).alias("cos"))
+                cosine_sim_exprs(F.col("embedding"),
+                                 F.col("qv")).alias("cos"))
     )
     # Per-query top-k via the skew-proof grouped_topk (functions/
     # skew.py): a naive full sort partitioned by query_id alone would
@@ -1252,9 +1260,12 @@ def ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     qn = src.select(F.col("vec_id").alias("new_id"), F.col("embedding").alias("qv"))
     nn = src.select(F.col("vec_id").alias("neighbor_id"),
                     F.col("embedding").alias("nv"))
+    # zero-copy Arrow cosine (r15): candidate volume here amortizes the
+    # boundary, and the buffer-reshape form wins the paired A/B
     scored = (cand.join(qn, "new_id").join(nn, "neighbor_id")
               .select("new_id", "neighbor_id",
-                      cosine_sim(F.col("nv"), F.col("qv")).alias("cos")))
+                      cosine_sim_zerocopy(F.col("nv"),
+                                          F.col("qv")).alias("cos")))
     return (
         grouped_topk(scored, ["new_id"],
                      [F.desc("cos"), F.asc("neighbor_id")],
@@ -1310,9 +1321,12 @@ def ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     qn = src.select(F.col("vec_id").alias("new_id"), F.col("embedding").alias("qv"))
     nn = src.select(F.col("vec_id").alias("neighbor_id"),
                     F.col("embedding").alias("nv"))
+    # zero-copy Arrow cosine (r15): candidate volume here amortizes the
+    # boundary, and the buffer-reshape form wins the paired A/B
     scored = (cand.join(qn, "new_id").join(nn, "neighbor_id")
               .select("new_id", "neighbor_id",
-                      cosine_sim(F.col("nv"), F.col("qv")).alias("cos")))
+                      cosine_sim_zerocopy(F.col("nv"),
+                                          F.col("qv")).alias("cos")))
     return (
         grouped_topk(scored, ["new_id"],
                      [F.desc("cos"), F.asc("neighbor_id")],
@@ -2995,13 +3009,39 @@ def _write_pq_codebook(spark: SparkSession, cb: np.ndarray,
                        path: str) -> None:
     """Store a codebook as the (sub, cell, w) parquet artifact — S·C
     rows, one file; written INSIDE an index generation so the
-    generation is self-describing."""
-    local_df(
-        spark,
-        [(s, j, [int(x) for x in cb[s, j]])
-         for s in range(PQ_SUBSPACES) for j in range(PQ_CELLS)],
-        "sub int, cell int, w array<bigint>",
-    ).write.mode("overwrite").parquet(path)
+    generation is self-describing.
+
+    Written DRIVER-SIDE with pyarrow (r15): the codebook is a bounded
+    S·C-row driver array — the ``local_df`` class of artifact — and a
+    Spark job for its ~20 KB single-file write costs ~0.35 s of pure
+    job machinery per index build (measured in the r15 build
+    decomposition, ~15% of the build component) where the driver
+    writes the identical spark-readable file in milliseconds. Same
+    schema as the ``local_df`` form (sub int, cell int, w
+    array<bigint>); ``_read_pq_codebook``'s spark.read.parquet reads
+    both. A 100 TB deployment keeps this shape: the codebook never
+    grows with the corpus, so driver-side I/O is the correct layout at
+    any scale (the CORPUS writes stay distributed)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {"sub": pa.array([s for s in range(PQ_SUBSPACES)
+                          for _ in range(PQ_CELLS)], pa.int32()),
+         "cell": pa.array(list(range(PQ_CELLS)) * PQ_SUBSPACES,
+                          pa.int32()),
+         "w": pa.array([[int(x) for x in cb[s, j]]
+                        for s in range(PQ_SUBSPACES)
+                        for j in range(PQ_CELLS)],
+                       pa.list_(pa.int64()))})
+    os.makedirs(path, exist_ok=True)
+    for old in os.listdir(path):                 # overwrite semantics
+        if old.endswith(".parquet") or old == "_SUCCESS":
+            os.remove(os.path.join(path, old))
+    pq.write_table(tbl, os.path.join(path, "part-00000.parquet"))
+    open(os.path.join(path, "_SUCCESS"), "w").close()
 
 
 def ivfpq_index_build(spark: SparkSession, sf_dir: str) -> str:
@@ -3530,7 +3570,8 @@ def knn_graph_edges(src: DataFrame, k: int = KNN_K,
     eb = src.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_b"))
     scored = (cand.join(ea, "src_id").join(eb, "neighbor_id")
               .select("src_id", "neighbor_id",
-                      cosine_sim(F.col("emb_a"), F.col("emb_b")).alias("cos")))
+                      cosine_sim_zerocopy(F.col("emb_a"),
+                                          F.col("emb_b")).alias("cos")))
     from pyspark.sql import Window
     w = Window.partitionBy("src_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (scored.withColumn("rank", F.row_number().over(w).cast("bigint"))

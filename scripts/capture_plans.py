@@ -1,4 +1,5 @@
-"""Capture .explain("formatted") for headline queries into plans/r14/.
+"""Capture .explain("formatted") for headline queries into plans/<round>/
+(round from $FSBD_PLANS_ROUND, default r15).
 
 Usage: python scripts/capture_plans.py <suffix> [name ...]
 Writes plans/r14/<query>_<suffix>.txt for each headline (or named) query.
@@ -18,7 +19,8 @@ import bench
 suffix = sys.argv[1]
 names = sys.argv[2:] or bench.HEADLINE
 out_dir = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "plans", "r14")
+    os.path.abspath(__file__))), "plans",
+    os.environ.get("FSBD_PLANS_ROUND", "r15"))
 os.makedirs(out_dir, exist_ok=True)
 
 spark = get_spark(app_name="fsbd-capture-plans")

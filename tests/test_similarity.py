@@ -673,3 +673,40 @@ def test_arrow_quant_screen_bit_identical_to_hof_form(spark):
     for r in rows:
         old = bool(r.old) if r.old is not None else False
         assert r.new == old, r
+
+
+def test_zerocopy_cosine_bit_identical_to_hof_form(spark):
+    """r15 pin: the arrow_udf zero-copy cosine (cosine_sim_zerocopy,
+    routed to the corpus-scale pair scorers) must be BIT-identical to
+    the Catalyst HOF form — same fold, same NaN→NULL masking — across
+    dense corpus pairs and every degenerate path (null row, null
+    element, ragged lengths, zero norm), exactly like the r14 pandas
+    kernel's pin above."""
+    from pyspark.sql import functions as F
+    from full_stack_big_data_spark.engine.catalog import Catalog
+    from full_stack_big_data_spark.functions.vectors import (
+        cosine_sim_exprs, cosine_sim_zerocopy)
+
+    e = Catalog(spark, SF_SMOKE).embeddings
+    a = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("x"))
+    b = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("y"))
+    pairs = a.where("ia % 5 = 0").crossJoin(b.where("ib % 7 = 0"))
+    bad = (pairs.select(
+               cosine_sim_zerocopy(F.col("x"), F.col("y")).alias("new"),
+               cosine_sim_exprs(F.col("x"), F.col("y")).alias("old"))
+           .where("(new IS NULL) <> (old IS NULL) OR new <> old").count())
+    assert bad == 0, f"{bad} pairs diverge from the Catalyst HOF form"
+
+    degenerate = spark.createDataFrame(
+        [(1, [0.0] * 4, [1.0, 2.0, 3.0, 4.0]),   # zero norm -> NULL
+         (2, None, [1.0, 2.0, 3.0, 4.0]),        # null row -> NULL
+         (3, [1.0, 2.0], [1.0, 2.0, 3.0, 4.0]),  # ragged -> NULL
+         (4, [1.0, None, 3.0, -4.0], [4.0, 3.0, 2.0, 1.0]),  # null elem
+         (5, [1.0, -2.0, 3.0, -4.0], [4.0, 3.0, 2.0, 1.0])],
+        "id int, x array<float>, y array<float>")
+    rows = degenerate.select(
+        "id", cosine_sim_zerocopy(F.col("x"), F.col("y")).alias("new"),
+        cosine_sim_exprs(F.col("x"), F.col("y")).alias("old")).collect()
+    for r in rows:
+        assert (r.new is None) == (r.old is None) and \
+            (r.new is None or r.new == r.old), r
