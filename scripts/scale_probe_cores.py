@@ -38,7 +38,12 @@ OUT = os.path.join(HERE, "plans", "r15", "scale_probe_cores_sf1.jsonl")
 # cold run is dominated by the once-per-process corpus artifact build,
 # which would swamp the core-count signal this probe exists to read).
 QUERIES = [
-    "emb_knn_graph",            # 2.56M-pair candidate join + arrow cosine
+    "emb_knn_graph_scaled",     # candidate join + arrow cosine at the
+                                # N/64 geometry (the FIXTURE 16x4 point
+                                # is quadratic-in-occupancy by design —
+                                # ~100x candidates at sf1.0 — and would
+                                # measure the documented pathology, not
+                                # core scaling)
     "q_pagerank",               # iterative: cached pre-partitioned invariants
     "ann_ivfpq_index_persist",  # build+serve lifecycle (encode, 256-cell write)
     "dedup_editdistance",       # prefix-filter candidate join + banded DP
